@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs every registered query at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "total_query_sec", "value": N, "unit": "sec",
+     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+
+Each query is materialized with a count-style action (collect) so the
+full plan executes; a warm-up run of the flagship amortizes session
+start-up out of the per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from fastmlframework_spark.core.session import get_spark
+from fastmlframework_spark.queries.registry import all_queries
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = _sf_from_dir(sf_dir)
+    spark = get_spark(app_name="fastml-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = all_queries()
+    # Warm up JVM / parquet footers with the flagship query.
+    warm = queries.get("q1_pricing_summary")
+    if warm is not None:
+        warm(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in sorted(queries):
+        start = time.perf_counter()
+        try:
+            queries[name](spark, sf_dir).collect()
+            timings[name] = round(time.perf_counter() - start, 4)
+        except Exception as exc:  # keep the bench line well-formed
+            print(f"bench: query {name} failed: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+
+    ok = {k: v for k, v in timings.items() if v >= 0}
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_sec",
+                "value": round(sum(ok.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,74 @@
+"""Query/oracle registry — the contract surface for the driver harness.
+
+Every implemented operator from SURVEY.md §2 (and the §7.5 extensions)
+registers a named query here: a callable ``(spark, sf_dir) ->
+DataFrame`` plus, when SQL-expressible, an equivalent DuckDB oracle
+SQL string.  ``__spark_entry__.py`` exposes this registry verbatim.
+
+Cross-engine float parity: aggregates are rounded (``F.round`` /
+``ROUND``) to a fixed scale in BOTH the Spark query and the oracle so
+that summation-order differences between engines cannot flip the
+driver's value hash.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+# Modules that register queries at import time.
+_QUERY_MODULES = (
+    "fastmlframework_spark.queries.analytics",
+    "fastmlframework_spark.queries.profiling",
+    "fastmlframework_spark.queries.preprocessing",
+    "fastmlframework_spark.queries.windows",
+    "fastmlframework_spark.queries.cv",
+    "fastmlframework_spark.queries.text",
+    "fastmlframework_spark.queries.dedup",
+    "fastmlframework_spark.queries.similarity",
+    "fastmlframework_spark.queries.events",
+    "fastmlframework_spark.queries.mlflow",
+)
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register ``fn`` under ``name``; ``oracle`` is DuckDB SQL or None
+    for non-SQL-expressible operators (driver then does rows-only)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _QUERIES:
+            raise ValueError(f"duplicate query name {name!r}")
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _load() -> None:
+    for mod in _QUERY_MODULES:
+        try:
+            importlib.import_module(mod)
+        except ModuleNotFoundError as e:
+            # Module not written yet — fine during incremental build-out,
+            # but never swallow a typo inside an existing module.
+            if e.name != mod:
+                raise
+
+
+def all_queries() -> dict[str, QueryFn]:
+    _load()
+    return dict(_QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    _load()
+    return dict(_ORACLES)

@@ -1,0 +1,26 @@
+"""Oracle parity for every registered query that declares an oracle —
+the same gate the driver runs (row-count + schema + order-insensitive
+values) at sf=0.01."""
+
+from __future__ import annotations
+
+import pytest
+
+from fastmlframework_spark.queries.registry import all_oracles, all_queries
+
+from tests.oracle_harness import compare_query
+
+_QUERIES = all_queries()
+_ORACLES = all_oracles()
+
+
+@pytest.mark.parametrize("name", sorted(_ORACLES))
+def test_oracle_parity(spark, sf_dir, name):
+    compare_query(spark, _QUERIES[name], _ORACLES[name], sf_dir)
+
+
+def test_every_query_returns_rows(spark, sf_dir_small):
+    for name, fn in _QUERIES.items():
+        df = fn(spark, sf_dir_small)
+        assert df.columns, name
+        assert df.count() >= 0, name

@@ -36,7 +36,10 @@ def main() -> None:
     # Warm up JVM / parquet footers with the flagship query.
     warm = queries.get("q1_pricing_summary")
     if warm is not None:
-        warm(spark, sf_dir).collect()
+        try:
+            warm(spark, sf_dir).collect()
+        except Exception as exc:
+            print(f"bench: warm-up failed: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name in sorted(queries):

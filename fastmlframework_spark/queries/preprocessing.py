@@ -1,0 +1,211 @@
+"""Oracle-checked queries for imputation, screening, and transform
+selection (§2.2/§2.3/§2.4/§2.7)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from fastmlframework_spark.core.tables import load_table
+from fastmlframework_spark.operators import imputation, screening, transforms
+from fastmlframework_spark.queries.profiling import _EVENTS_NULLS, _events_with_nulls
+from fastmlframework_spark.queries.registry import query
+
+
+@query(
+    "impute_group_mean",
+    oracle=f"""
+WITH base AS ({_EVENTS_NULLS}),
+g  AS (SELECT user_id, AVG(value) AS ga FROM base WHERE value IS NOT NULL GROUP BY user_id),
+gl AS (SELECT AVG(value) AS global_mean FROM base WHERE value IS NOT NULL)
+SELECT event_id, ROUND(COALESCE(value, ga, global_mean), 4) AS value_imputed
+FROM base LEFT JOIN g USING (user_id), gl
+""",
+)
+def impute_group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: the reference's groupby-then-row-loop imputation
+    (preprocessing.py:90-112) as a hash join + coalesce."""
+    base = _events_with_nulls(spark, sf_dir)
+    out = imputation.impute_by_group(base, "value", ["user_id"], agg="mean")
+    return out.select(
+        "event_id", F.round("value_imputed", 4).alias("value_imputed")
+    )
+
+
+@query(
+    "impute_global_mean",
+    oracle=f"""
+WITH base AS ({_EVENTS_NULLS}),
+gl AS (SELECT AVG(value) AS global_mean FROM base WHERE value IS NOT NULL)
+SELECT event_id, ROUND(COALESCE(value, global_mean), 4) AS value_imputed
+FROM base, gl
+""",
+)
+def impute_global_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: global-mean imputation via one broadcast 1-row aggregate."""
+    base = _events_with_nulls(spark, sf_dir)
+    out = imputation.impute_global(base, ["value"], agg="mean")
+    return out.select(
+        "event_id", F.round("value_imputed", 4).alias("value_imputed")
+    )
+
+
+# Derived feature frame over orders: two genuinely binary columns, two not.
+_ORDERS_FEATS = """
+SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END               AS is_f,
+       CASE WHEN EXTRACT(year FROM o_orderdate) = 2000 THEN 1 ELSE 0 END AS year_2000,
+       LENGTH(o_orderpriority)                                        AS priority_len,
+       CAST(FLOOR(o_totalprice / 100000.0) AS BIGINT)                 AS total_bucket
+FROM orders
+"""
+
+
+def _orders_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("is_f"),
+        F.when(F.year("o_orderdate") == 2000, 1).otherwise(0).alias("year_2000"),
+        F.length("o_orderpriority").alias("priority_len"),
+        F.floor(F.col("o_totalprice") / 100000.0).cast("long").alias("total_bucket"),
+    )
+
+
+_FEAT_COLS = ["is_f", "year_2000", "priority_len", "total_bucket"]
+
+
+def _binary_oracle() -> str:
+    parts = [
+        f"SELECT '{c}' AS \"column\","
+        f" (COUNT(*) FILTER ({c} IS NOT NULL AND {c} NOT IN (0, 1)) = 0"
+        f"  AND COUNT({c}) > 0) AS is_binary"
+        f" FROM ({_ORDERS_FEATS}) t"
+        for c in _FEAT_COLS
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@query("screen_binary", oracle=_binary_oracle())
+def screen_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: binary-domain detection across candidate columns, one pass."""
+    return screening.binary_columns(_orders_feats(spark, sf_dir), _FEAT_COLS)
+
+
+def _variance_oracle() -> str:
+    thresh = 0.95 * 0.05
+    parts = [
+        f"SELECT '{c}' AS \"column\","
+        f" ROUND(VAR_POP(CAST({c} AS DOUBLE)), 6) AS variance,"
+        f" (VAR_POP(CAST({c} AS DOUBLE)) < {thresh!r}) AS is_near_zero"
+        f" FROM ({_ORDERS_FEATS}) t"
+        for c in ["is_f", "year_2000"]
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@query("screen_variance", oracle=_variance_oracle())
+def screen_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: sklearn-VarianceThreshold(p(1-p)) screen on binary columns."""
+    return screening.near_zero_variance(
+        _orders_feats(spark, sf_dir), ["is_f", "year_2000"], p=0.95
+    )
+
+
+def _intconv_oracle() -> str:
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    parts = [
+        f"SELECT '{c}' AS \"column\","
+        f" (COUNT(*) FILTER ({c} IS NOT NULL AND {c} <> FLOOR({c})) = 0)"
+        f" AS is_int_convertible FROM lineitem"
+        for c in cols
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@query("screen_int_convertible", oracle=_intconv_oracle())
+def screen_int_convertible(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8: exact integer-convertibility over the full columns (the
+    reference samples 100 rows; exact costs the same single scan)."""
+    return screening.int_convertible(
+        load_table(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+
+@query(
+    "screen_category_drift",
+    oracle="""
+WITH a AS (
+  SELECT o_orderpriority AS category,
+         ROUND(100.0 * COUNT(*) / (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0), 4) AS pct_a
+  FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1
+),
+b AS (
+  SELECT o_orderpriority AS category,
+         ROUND(100.0 * COUNT(*) / (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 1), 4) AS pct_b
+  FROM orders WHERE o_orderkey % 2 = 1 GROUP BY 1
+)
+SELECT category,
+       COALESCE(pct_a, 0.0) AS pct_a,
+       COALESCE(pct_b, 0.0) AS pct_b,
+       (ABS(COALESCE(pct_a, 0.0) - COALESCE(pct_b, 0.0))
+          <= 0.0 + 0.05 * ABS(COALESCE(pct_b, 0.0))) AS is_close
+FROM a FULL JOIN b USING (category)
+""",
+)
+def screen_category_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9+A5: train-vs-test category-share drift with np.isclose
+    semantics, on an even/odd orderkey split."""
+    o = load_table(spark, sf_dir, "orders")
+    return screening.category_drift(
+        o.filter(F.col("o_orderkey") % 2 == 0),
+        o.filter(F.col("o_orderkey") % 2 == 1),
+        "o_orderpriority",
+        rtol=0.05,
+    )
+
+
+# Five columns engineered to land in each transform branch.
+_SKEW_BASE = """
+SELECT value,
+       value - 1      AS shifted,
+       -value         AS neg_value,
+       500.0 - value  AS mirrored,
+       CAST(user_id AS DOUBLE) AS uid
+FROM events
+"""
+
+_SKEW_COLS = ["value", "shifted", "neg_value", "mirrored", "uid"]
+
+
+def _transform_oracle() -> str:
+    parts = []
+    for c in _SKEW_COLS:
+        parts.append(
+            f"""SELECT '{c}' AS "column",
+  ROUND(AVG(POWER({c} - mu, 3)) / POWER(AVG(POWER({c} - mu, 2)), 1.5), 6) AS skewness,
+  CASE
+    WHEN MAX({c}) < 0 THEN 'abs'
+    WHEN ROUND(AVG(POWER({c} - mu, 3)) / POWER(AVG(POWER({c} - mu, 2)), 1.5), 6) > 0.5
+      THEN CASE WHEN MIN({c}) <= 0 THEN 'log1p' ELSE 'log' END
+    WHEN ROUND(AVG(POWER({c} - mu, 3)) / POWER(AVG(POWER({c} - mu, 2)), 1.5), 6) < -0.5
+      THEN 'pow2'
+    ELSE 'none'
+  END AS transform
+FROM ({_SKEW_BASE}) t, (SELECT AVG({c}) AS mu FROM ({_SKEW_BASE}) s) m"""
+        )
+    return " UNION ALL ".join(parts)
+
+
+@query("transform_select", oracle=_transform_oracle())
+def transform_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F4 selection: per-column skewness drives the corrected
+    normalize-distributions decision (abs / log / log1p / pow2 / none)."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("value"),
+        (F.col("value") - 1).alias("shifted"),
+        (-F.col("value")).alias("neg_value"),
+        (F.lit(500.0) - F.col("value")).alias("mirrored"),
+        F.col("user_id").cast("double").alias("uid"),
+    )
+    return transforms.select_skew_transforms(base, _SKEW_COLS, skew_threshold=0.5)

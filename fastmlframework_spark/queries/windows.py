@@ -1,0 +1,190 @@
+"""Oracle-checked queries for window/rank/top-k/mode/set/horizontal
+operators (SURVEY.md §2.5 W1-W3, §2.6 U2, §2.4 A9/A11, §2.9 M15/M16)."""
+
+from __future__ import annotations
+
+from functools import reduce
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from fastmlframework_spark.core.tables import load_table
+from fastmlframework_spark.functions.horizontal import (
+    hard_vote_long,
+    horizontal_mean,
+    mode_agg,
+    soft_vote,
+)
+from fastmlframework_spark.queries.registry import query
+
+
+@query(
+    "window_rank",
+    oracle="""
+SELECT s_suppkey, s_nationkey,
+       ROUND(s_acctbal, 2) AS acctbal,
+       RANK() OVER (PARTITION BY s_nationkey ORDER BY ROUND(s_acctbal, 2) DESC) AS rnk
+FROM supplier
+""",
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: rank (pandas method='min' ties ≡ SQL RANK) of supplier
+    balances within nation.  Ranking over the pre-rounded value so
+    both engines see identical tie groups."""
+    supp = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(F.desc("acctbal"))
+    return (
+        supp.select(
+            "s_suppkey", "s_nationkey", F.round("s_acctbal", 2).alias("acctbal")
+        )
+        .withColumn("rnk", F.rank().over(w))
+    )
+
+
+@query(
+    "window_topk_per_group",
+    oracle="""
+SELECT p_brand, p_partkey, p_retailprice FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         ROW_NUMBER() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey) AS rn
+  FROM part
+) t WHERE rn <= 5
+""",
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 (grouped form): top-5 parts by price per brand via a
+    partitioned row_number — the scalable top-k (no global sort; each
+    partition keeps a 5-row heap under AQE)."""
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_retailprice"), F.asc("p_partkey")
+    )
+    return (
+        part.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("p_brand", "p_partkey", "p_retailprice")
+    )
+
+
+@query(
+    "mode_per_customer",
+    oracle="""
+SELECT o_custkey, o_orderpriority FROM (
+  SELECT o_custkey, o_orderpriority,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY COUNT(*) DESC, o_orderpriority ASC) AS rn
+  FROM orders GROUP BY o_custkey, o_orderpriority
+) t WHERE rn = 1
+""",
+)
+def mode_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: modal order priority per customer, scipy tie-break
+    (smallest value on equal counts)."""
+    return mode_agg(
+        load_table(spark, sf_dir, "orders"), ["o_custkey"], "o_orderpriority"
+    )
+
+
+@query(
+    "union_folds",
+    oracle="""
+SELECT fold, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+FROM (
+  SELECT 'early' AS fold, o_totalprice FROM orders WHERE EXTRACT(year FROM o_orderdate) <= 1997
+  UNION ALL
+  SELECT 'late' AS fold, o_totalprice FROM orders WHERE EXTRACT(year FROM o_orderdate) >= 2000
+) t GROUP BY fold
+""",
+)
+def union_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: unionByName of tagged sub-frames (per-fold accumulation
+    pattern, prediction.py:388-392) then a grouped aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    frames = [
+        o.filter(F.year("o_orderdate") <= 1997).withColumn("fold", F.lit("early")),
+        o.filter(F.year("o_orderdate") >= 2000).withColumn("fold", F.lit("late")),
+    ]
+    unioned = reduce(lambda a, b: a.unionByName(b), frames)
+    return unioned.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@query(
+    "horizontal_mean_rows",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       ROUND((l_quantity + l_discount + l_tax) / 3, 6) AS row_mean
+FROM lineitem
+""",
+)
+def horizontal_mean_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: bagged-average shape — row-wise mean of 'per-seed' columns;
+    pure projection, zero shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            horizontal_mean(["l_quantity", "l_discount", "l_tax"]), 6
+        ).alias("row_mean"),
+    )
+
+
+@query(
+    "soft_vote_blend",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       ROUND(0.7 * l_discount + 0.3 * l_tax, 6) AS blend
+FROM lineitem
+""",
+)
+def soft_vote_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M15: weighted soft vote of two 'model score' columns (weights
+    normalized to Σ=1 per M18)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(soft_vote(["l_discount", "l_tax"], [0.7, 0.3]), 6).alias("blend"),
+    )
+
+
+@query(
+    "hard_vote_labels",
+    oracle="""
+SELECT l_orderkey, l_linenumber, CAST(vote AS BIGINT) AS vote FROM (
+  SELECT l_orderkey, l_linenumber, label AS vote,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_linenumber
+                            ORDER BY w DESC, label ASC) AS rn
+  FROM (
+    SELECT l_orderkey, l_linenumber, label, SUM(wt) AS w FROM (
+      SELECT l_orderkey, l_linenumber, l_partkey % 3 AS label, 5.0 AS wt FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, l_suppkey % 3, 3.0 FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) % 3, 2.0 FROM lineitem
+    ) s GROUP BY 1, 2, 3
+  ) g
+) t WHERE rn = 1
+""",
+)
+def hard_vote_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M16: weighted hard voting across three 'model label' columns (integer weights: exact float sums) —
+    long-format stack → weighted count → argmax with smallest-label
+    tie-break."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_partkey") % 3).alias("m1"),
+        (F.col("l_suppkey") % 3).alias("m2"),
+        (F.col("l_quantity").cast("long") % 3).alias("m3"),
+    )
+    return hard_vote_long(
+        li,
+        ["l_orderkey", "l_linenumber"],
+        ["m1", "m2", "m3"],
+        [5, 3, 2],
+    )

@@ -1,0 +1,131 @@
+"""Deterministic CV fold assignment and label permutation
+(SURVEY.md §2.8 C1-C3).
+
+Reference behaviors (file:line cite /root/reference/):
+* C3 KFold/StratifiedKFold(shuffle=True, seeded) drive every CV loop —
+  modeling/prediction.py:329-336, ensembling/blending/blender.py:310-317
+* C2 target permutation via pandas index-keeping sample —
+  modeling/feature_selection.py:145-148
+
+sklearn splitters enumerate in-memory index arrays; a Spark rebuild
+needs fold membership as a COLUMN, derived deterministically from the
+row key (§1.4) and a seed.  Per SURVEY.md §7.4(2) we reproduce the
+*statistics* of sklearn folds (sizes ±1, stratification, determinism
+per (key, seed, k)), not the exact membership.
+
+Two strategies:
+
+* ``method='hash'`` — fold = md5(key|seed) mod k.  Embarrassingly
+  parallel, no shuffle, no sort; sizes are multinomial (±O(√n)), which
+  at 100 TB is indistinguishable from exact.  This is the scale path.
+* ``method='ntile'`` — ntile(k) over an order by md5(key|seed), within
+  each stratum when stratified.  Exact ±1 sizes (and per-class ±1,
+  like StratifiedKFold).  The unstratified variant uses ONE global
+  window (single-partition sort) — acceptable for the OOF-table scale
+  it exists for (sklearn parity on train tables that fit a sort);
+  the stratified variant partitions the window by class and scales
+  with per-class sort spill.
+
+md5 (not xxhash64) so the assignment is reproducible in any engine —
+the driver's DuckDB oracle computes the identical fold column.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def fold_hash(key_col: str | Column, seed: int) -> Column:
+    """60-bit integer hash of (key, seed): first 15 hex digits of
+    md5(key || '|' || seed) — portable across engines."""
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    return F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", key.cast("string"), F.lit(str(seed)))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def with_fold_column(
+    df: DataFrame,
+    key_col: str,
+    k: int,
+    seed: int,
+    stratify_col: str | None = None,
+    method: str = "ntile",
+    fold_col: str = "fold",
+) -> DataFrame:
+    """C3: add a deterministic ``fold`` column ∈ [0, k).
+
+    ``stratify_col`` partitions the ntile ordering by class so each
+    class splits ±1 across folds (StratifiedKFold statistics); with
+    ``method='hash'`` stratification is implicit in expectation.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    h = fold_hash(key_col, seed)
+    if method == "hash":
+        return df.withColumn(fold_col, h % k)
+    if method == "ntile":
+        w = (
+            Window.partitionBy(stratify_col).orderBy(h)
+            if stratify_col
+            else Window.orderBy(h)
+        )
+        return df.withColumn(fold_col, F.ntile(k).over(w) - 1)
+    raise ValueError(f"unknown method {method!r}; use 'hash' or 'ntile'")
+
+
+def fold_split(
+    df: DataFrame, fold_col: str, fold: int
+) -> tuple[DataFrame, DataFrame]:
+    """(train, validation) pair for one fold — the Spark form of the
+    reference's index-slice (prediction.py:355-356): two filters on
+    the fold column, both lazily pushed to the scan of the
+    fold-annotated (cached) table."""
+    return (
+        df.filter(F.col(fold_col) != fold),
+        df.filter(F.col(fold_col) == fold),
+    )
+
+
+def permute_labels(
+    df: DataFrame,
+    key_col: str,
+    target_col: str,
+    seed: int,
+    out_col: str | None = None,
+) -> DataFrame:
+    """C2: reassign target values to rows uniformly at random
+    (deterministic in (key, seed)) — the null-importance permutation.
+
+    Two independent md5 orderings of the same key set are joined by
+    row position: position i of ordering A receives the target at
+    position i of ordering B.  The target multiset is exactly
+    preserved.  Uses global row_number windows (single-partition
+    sort) — fine for the train-table scale feature selection runs at;
+    for 100 TB use a sampled subset first (the reference's own
+    null-importance protocol fits ~80-100 sampled refits, not the full
+    corpus).
+    """
+    out_col = out_col or target_col
+    a = df.select(
+        F.col(key_col),
+        F.row_number()
+        .over(Window.orderBy(fold_hash(key_col, seed)))
+        .alias("__pos"),
+    )
+    b = df.select(
+        F.col(target_col).alias("__permuted"),
+        F.row_number()
+        .over(Window.orderBy(fold_hash(key_col, seed + 1)))
+        .alias("__pos"),
+    )
+    permuted = a.join(b, on="__pos").drop("__pos")
+    base = df.drop(out_col) if out_col in df.columns else df
+    return base.join(
+        permuted.withColumnRenamed("__permuted", out_col), on=key_col
+    )

@@ -1,0 +1,121 @@
+"""Invariant tests for the CV core (FIXTURES.md §5): fold partition
+properties, determinism, permutation multiset preservation, metric
+sanity against closed-form values."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from fastmlframework_spark.ml import metrics
+from fastmlframework_spark.ml.folds import fold_split, permute_labels, with_fold_column
+
+
+@pytest.fixture(scope="module")
+def keyed(spark):
+    return spark.range(0, 1001).select(
+        F.col("id").alias("key"), (F.col("id") % 3).alias("cls")
+    )
+
+
+def test_ntile_fold_sizes_within_one(spark, keyed):
+    df = with_fold_column(keyed, "key", k=4, seed=11, method="ntile")
+    sizes = [r.n for r in df.groupBy("fold").agg(F.count("*").alias("n")).collect()]
+    assert len(sizes) == 4 and max(sizes) - min(sizes) <= 1
+    assert sum(sizes) == 1001
+
+
+def test_stratified_per_class_sizes_within_one(spark, keyed):
+    df = with_fold_column(
+        keyed, "key", k=4, seed=11, stratify_col="cls", method="ntile"
+    )
+    per = df.groupBy("cls", "fold").agg(F.count("*").alias("n")).collect()
+    by_cls = {}
+    for r in per:
+        by_cls.setdefault(r.cls, []).append(r.n)
+    for cls, sizes in by_cls.items():
+        assert len(sizes) == 4, cls
+        assert max(sizes) - min(sizes) <= 1, cls
+
+
+def test_fold_determinism_and_seed_sensitivity(spark, keyed):
+    a = with_fold_column(keyed, "key", k=5, seed=3, method="hash")
+    b = with_fold_column(keyed, "key", k=5, seed=3, method="hash")
+    c = with_fold_column(keyed, "key", k=5, seed=4, method="hash")
+    assert a.exceptAll(b).count() == 0
+    assert a.exceptAll(c).count() > 0
+
+
+def test_fold_split_partitions_all_rows(spark, keyed):
+    df = with_fold_column(keyed, "key", k=3, seed=1, method="ntile")
+    total = df.count()
+    for i in range(3):
+        train, valid = fold_split(df, "fold", i)
+        assert train.count() + valid.count() == total
+        assert train.join(valid, on="key", how="inner").count() == 0
+
+
+def test_permutation_preserves_multiset_and_changes_assignment(spark, keyed):
+    perm = permute_labels(keyed, "key", "cls", seed=5)
+    orig_counts = dict(
+        (r.cls, r.n)
+        for r in keyed.groupBy("cls").agg(F.count("*").alias("n")).collect()
+    )
+    perm_counts = dict(
+        (r.cls, r.n)
+        for r in perm.groupBy("cls").agg(F.count("*").alias("n")).collect()
+    )
+    assert orig_counts == perm_counts
+    moved = (
+        perm.withColumnRenamed("cls", "cls_p")
+        .join(keyed, on="key")
+        .filter(F.col("cls") != F.col("cls_p"))
+        .count()
+    )
+    assert moved > 0
+    # one row per key preserved
+    assert perm.count() == keyed.count()
+    assert perm.select("key").distinct().count() == keyed.count()
+
+
+def test_metrics_against_closed_form(spark):
+    rows = [(0, 0.1), (0, 0.4), (1, 0.35), (1, 0.8)]
+    df = spark.createDataFrame(rows, ["label", "score"])
+    # AUC: positives {0.35, 0.8} vs negatives {0.1, 0.4}: pairs won
+    # (0.35>0.1, 0.8>0.1, 0.8>0.4) = 3 of 4
+    assert math.isclose(
+        metrics.score(df, "roc_auc_score", "label", "score"), 0.75
+    )
+    pred = df.withColumn("p", (F.col("score") > 0.5).cast("int"))
+    assert math.isclose(
+        metrics.score(pred, "accuracy_score", "label", "p"), 0.75
+    )
+    mse = sum((l - s) ** 2 for l, s in rows) / 4
+    assert math.isclose(metrics.score(df, "mean_squared_error", "label", "score"), mse)
+    assert math.isclose(
+        metrics.score(df, "root_mean_squared_error", "label", "score"),
+        math.sqrt(mse),
+    )
+    ll = -sum(
+        l * math.log(s) + (1 - l) * math.log(1 - s) for l, s in rows
+    ) / 4
+    assert math.isclose(metrics.score(df, "log_loss", "label", "score"), ll)
+
+
+def test_auc_with_ties_matches_sklearn_convention(spark):
+    # scores with ties across classes -> average-rank handling
+    rows = [(0, 0.5), (1, 0.5), (0, 0.2), (1, 0.8)]
+    df = spark.createDataFrame(rows, ["label", "score"])
+    # ranks: 0.2->1, 0.5->2.5 (avg of 2,3), 0.8->4
+    # AUC = (2.5 + 4 - 2*3/2) / (2*2) = 3.5/4
+    assert math.isclose(
+        metrics.score(df, "roc_auc_score", "label", "score"), 3.5 / 4
+    )
+
+
+def test_unknown_metric_raises(spark):
+    df = spark.createDataFrame([(1, 1.0)], ["label", "p"])
+    with pytest.raises(ValueError, match="unknown metric"):
+        metrics.score(df, "nope", "label", "p")

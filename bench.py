@@ -23,7 +23,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from fastmlframework_spark.core.session import get_spark
-from fastmlframework_spark.queries.registry import all_queries
+from fastmlframework_spark.queries.registry import bench_queries
 
 
 def main() -> None:
@@ -32,7 +32,7 @@ def main() -> None:
     spark = get_spark(app_name="fastml-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    queries = all_queries()
+    queries = bench_queries()
     # Warm up JVM / parquet footers with the flagship query.
     warm = queries.get("q1_pricing_summary")
     if warm is not None:

@@ -1,3 +1,3 @@
-from fastmlframework_spark.ml import folds, metrics
+from fastmlframework_spark.ml import cv, features, folds, metrics, wrappers
 
-__all__ = ["folds", "metrics"]
+__all__ = ["cv", "features", "folds", "metrics", "wrappers"]

@@ -1,0 +1,186 @@
+"""Model wrappers over MLlib estimators (SURVEY.md §2.9 M1-M7, M12).
+
+Reference behaviors (file:line cite /root/reference/):
+* M1 ModelWrapper abstract contract (fit/predict/importance/seed) —
+  modeling/model_wrappers.py:7-57
+* M2/M3 LightGBM/XGBoost wrappers — model_wrappers.py:60-239 → mapped
+  to GBTClassifier/GBTRegressor (SURVEY §7.4(3): numeric parity with
+  LightGBM/XGB is NOT promised; metric-quality bands are)
+* M4 sklearn wrappers (ExtraTrees → RandomForest surrogate,
+  LogisticRegression, LinearRegression) — model_wrappers.py:242-323
+* M6 estimator factory by name — model_wrappers.py:389-406
+* M7 probability slice by class label — model_wrappers.py:125-129
+* M12 per-HP dtype clamps (HP_DATATYPES lambdas) —
+  model_wrappers.py:62-72, applied hyper_parameters_optimization.py:40-47
+* M8 best_iteration×1.1 predict heuristic (prediction.py:380) has no
+  MLlib analogue — dropped, documented divergence (§7.4(3)).
+
+The wrapper keeps engine code model-agnostic: the CV engine sees only
+fit() → FittedModel with predict columns and importances.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from dataclasses import dataclass, field
+
+import pyspark.sql.functions as F
+from pyspark.ml.classification import (
+    GBTClassifier,
+    LogisticRegression,
+    RandomForestClassifier,
+)
+from pyspark.ml.functions import vector_to_array
+from pyspark.ml.regression import GBTRegressor, LinearRegression, RandomForestRegressor
+from pyspark.sql import DataFrame
+
+from fastmlframework_spark.ml.features import FEATURES_COL, fit_feature_pipeline
+
+# M12: HP name → clamp applied to optimizer-proposed floats.
+HP_CLAMPS = {
+    "maxDepth": lambda v: max(1, int(round(v))),
+    "maxIter": lambda v: max(1, int(round(v))),
+    "numTrees": lambda v: max(1, int(round(v))),
+    "maxBins": lambda v: max(2, int(round(v))),
+    "minInstancesPerNode": lambda v: max(1, int(round(v))),
+    "stepSize": lambda v: min(max(float(v), 1e-4), 1.0),
+    "subsamplingRate": lambda v: min(max(float(v), 1e-3), 1.0),
+    "regParam": lambda v: max(float(v), 0.0),
+    "elasticNetParam": lambda v: min(max(float(v), 0.0), 1.0),
+}
+
+
+def clamp_hyperparams(params: dict) -> dict:
+    """M12: coerce proposed hyper-parameter values to legal dtypes/ranges."""
+    return {k: HP_CLAMPS.get(k, lambda v: v)(v) for k, v in params.items()}
+
+
+@dataclass
+class FittedModel:
+    """M1's predict surface over a fitted MLlib model + feature pipeline."""
+
+    pipeline_model: object
+    model: object
+    feature_cols: Sequence[str]
+    task: str
+    prediction_col: str = "prediction"
+
+    def _prepare(self, df: DataFrame) -> DataFrame:
+        return self.pipeline_model.transform(df)
+
+    def predict(self, df: DataFrame) -> DataFrame:
+        """Label / value predictions appended as ``prediction``."""
+        return self.model.transform(self._prepare(df))
+
+    def predict_proba(self, df: DataFrame, class_label: int = 1) -> DataFrame:
+        """M7: probability of ``class_label`` appended as ``prediction``
+        (replacing the raw label column for a uniform engine surface)."""
+        if self.task != "classification":
+            raise ValueError("predict_proba requires a classifier")
+        out = self.model.transform(self._prepare(df))
+        return out.withColumn(
+            "prediction",
+            vector_to_array(F.col("probability"))[class_label],
+        )
+
+    def feature_importances(self) -> list[tuple[str, float]]:
+        """Gain-style importances mapped back to input feature names.
+        Mirrors booster.feature_importance(importance_type='gain')
+        (model_wrappers.py:143-145); linear models expose |coef|."""
+        m = self.model
+        if hasattr(m, "featureImportances"):
+            vec = m.featureImportances
+            vals = vec.toArray().tolist()
+        elif hasattr(m, "coefficients"):
+            vals = [abs(x) for x in m.coefficients.toArray().tolist()]
+        else:  # pragma: no cover
+            return []
+        names = self._vector_slot_names(len(vals))
+        return list(zip(names, vals))
+
+    def _vector_slot_names(self, n: int) -> list[str]:
+        # Indexed string columns keep their source-column attribution.
+        assembler = self.pipeline_model.stages[-1]
+        names = [
+            c.removesuffix("__idx").removesuffix("__ohe")
+            for c in assembler.getInputCols()
+        ]
+        if len(names) == n:
+            return names
+        # OHE expands slots; fall back to positional names.
+        return [f"f{i}" for i in range(n)]
+
+
+@dataclass
+class ModelWrapper:
+    """M1/M6: a named, seeded, parameterized estimator builder."""
+
+    name: str
+    task: str  # 'classification' | 'regression'
+    params: dict = field(default_factory=dict)
+    seed: int = 27
+    one_hot: bool = False
+
+    _BUILDERS = {
+        ("gbt", "classification"): GBTClassifier,
+        ("gbt", "regression"): GBTRegressor,
+        ("random_forest", "classification"): RandomForestClassifier,
+        ("random_forest", "regression"): RandomForestRegressor,
+        ("logistic_regression", "classification"): LogisticRegression,
+        ("linear_regression", "regression"): LinearRegression,
+    }
+
+    # Reference estimator names (model_wrappers.py:389-406) → ours.
+    ALIASES = {
+        "lightgbm": "gbt",
+        "xgboost": "gbt",
+        "et": "random_forest",
+        "extra_trees": "random_forest",
+        "lr": "logistic_regression",
+        "linreg": "linear_regression",
+    }
+
+    def reset_seed(self, seed: int) -> "ModelWrapper":
+        """M1: per-bagging-iteration reseeding (prediction.py:325-327)."""
+        self.seed = seed
+        return self
+
+    def _estimator(self):
+        key = (self.ALIASES.get(self.name, self.name), self.task)
+        try:
+            cls = self._BUILDERS[key]
+        except KeyError:
+            raise ValueError(
+                f"no estimator for name={self.name!r} task={self.task!r}; "
+                f"known: {sorted({k for k, _ in self._BUILDERS})}"
+            ) from None
+        est = cls(featuresCol=FEATURES_COL, labelCol="label")
+        params = clamp_hyperparams(self.params)
+        for k, v in params.items():
+            est.set(est.getParam(k), v)
+        if est.hasParam("seed"):
+            est.set(est.getParam("seed"), self.seed)
+        return est
+
+    def fit(
+        self,
+        df: DataFrame,
+        feature_cols: Sequence[str],
+        label_col: str,
+    ) -> FittedModel:
+        prepared = df.withColumn("label", F.col(label_col).cast("double"))
+        pipe = fit_feature_pipeline(prepared, feature_cols, self.one_hot)
+        model = self._estimator().fit(pipe.transform(prepared))
+        return FittedModel(
+            pipeline_model=pipe,
+            model=model,
+            feature_cols=feature_cols,
+            task=self.task,
+        )
+
+
+def get_wrapped_estimator(
+    name: str, task: str, params: dict | None = None, seed: int = 27
+) -> ModelWrapper:
+    """M6: registry factory by (reference-compatible) name."""
+    return ModelWrapper(name=name, task=task, params=params or {}, seed=seed)

@@ -22,6 +22,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _QUERIES: dict[str, QueryFn] = {}
 _ORACLES: dict[str, str] = {}
+_NO_BENCH: set[str] = set()
 
 # Modules that register queries at import time.
 _QUERY_MODULES = (
@@ -38,9 +39,13 @@ _QUERY_MODULES = (
 )
 
 
-def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+def query(
+    name: str, oracle: str | None = None, bench: bool = True
+) -> Callable[[QueryFn], QueryFn]:
     """Register ``fn`` under ``name``; ``oracle`` is DuckDB SQL or None
-    for non-SQL-expressible operators (driver then does rows-only)."""
+    for non-SQL-expressible operators (driver then does rows-only).
+    ``bench=False`` excludes the query from bench.py timing (model
+    training, not query latency)."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in _QUERIES:
@@ -48,6 +53,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
         _QUERIES[name] = fn
         if oracle is not None:
             _ORACLES[name] = oracle
+        if not bench:
+            _NO_BENCH.add(name)
         return fn
 
     return deco
@@ -72,3 +79,9 @@ def all_queries() -> dict[str, QueryFn]:
 def all_oracles() -> dict[str, str]:
     _load()
     return dict(_ORACLES)
+
+
+def bench_queries() -> dict[str, QueryFn]:
+    """Queries included in bench timing."""
+    _load()
+    return {k: v for k, v in _QUERIES.items() if k not in _NO_BENCH}

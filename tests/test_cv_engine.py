@@ -1,0 +1,126 @@
+"""CV engine invariants (FIXTURES.md §5) on the sf0.001 ML fixture:
+orders⋈customer with binary target, logistic-regression wrapper."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from fastmlframework_spark.ml.cv import CVPredictor
+from fastmlframework_spark.ml.wrappers import ModelWrapper, clamp_hyperparams
+from fastmlframework_spark.queries.analytics import ml_train_table
+
+FEATURES = ["o_totalprice", "c_acctbal", "order_year", "o_orderpriority"]
+
+
+@pytest.fixture(scope="module")
+def fixture_frames(spark, sf_dir_small):
+    df = ml_train_table(spark, sf_dir_small)
+    train = df.filter(F.col("key") % 4 != 0).cache()
+    test = df.filter(F.col("key") % 4 == 0).drop("target").cache()
+    train.count(), test.count()
+    return train, test
+
+
+def test_cv_proba_bagged(fixture_frames):
+    train, test = fixture_frames
+    predictor = CVPredictor(
+        ModelWrapper("logistic_regression", "classification", seed=27),
+        metric="roc_auc_score",
+        k=3,
+        seeds=(27, 99),
+        stratified=True,
+        predict_probability=True,
+        target_decimals=6,
+    )
+    res = predictor.run(train, test, "key", "target", FEATURES)
+
+    n_train = train.count()
+    oof = res.oof.cache()
+    # exactly one OOF row per train key, predictions non-null in [0,1]
+    assert oof.count() == n_train
+    assert oof.select("key").distinct().count() == n_train
+    assert oof.filter(F.col("target_oof").isNull()).count() == 0
+    mn, mx = oof.agg(F.min("target_oof"), F.max("target_oof")).first()
+    assert 0.0 <= mn <= mx <= 1.0
+
+    # bagged mean equals row-mean of per-seed columns (to rounding)
+    bad = oof.filter(
+        F.abs(
+            F.col("target_oof") - F.round((F.col("seed_27") + F.col("seed_99")) / 2, 6)
+        )
+        > 1e-9
+    ).count()
+    assert bad == 0
+
+    # cv_results: one entry per seed, scores in (0,1], std finite
+    assert [r["seed"] for r in res.cv_results] == [27, 99]
+    for r in res.cv_results:
+        assert len(r["cv_score_per_each_fold"]) == 3
+        assert 0.0 < r["cv_mean_score"] <= 1.0
+        assert math.isfinite(r["cv_std"])
+
+    # test predictions: one row per test key
+    n_test = test.count()
+    assert res.test_pred.count() == n_test
+    assert res.test_pred.filter(F.col("target").isNull()).count() == 0
+
+    # importance table covers every feature
+    feats = {r.feature for r in res.feature_importance.collect()}
+    assert feats == set(FEATURES)
+
+
+def test_cv_label_mode_int_cast(fixture_frames):
+    train, test = fixture_frames
+    predictor = CVPredictor(
+        ModelWrapper("logistic_regression", "classification", seed=27),
+        metric="accuracy_score",
+        k=3,
+        seeds=(27,),
+        stratified=True,
+        predict_probability=False,
+        target_decimals=0,
+    )
+    res = predictor.run(train, test, "key", "target", FEATURES)
+    assert dict(res.oof.dtypes)["target_oof"] == "bigint"
+    labels = {r.target_oof for r in res.oof.select("target_oof").distinct().collect()}
+    assert labels <= {0, 1}
+    assert res.cv_results[0]["cv_mean_score"] > 0.5  # better than chance
+    assert dict(res.test_pred.dtypes)["target"] == "bigint"
+
+
+def test_wrapper_factory_and_clamps(spark):
+    clamped = clamp_hyperparams(
+        {"maxDepth": 3.7, "stepSize": 2.0, "regParam": -1.0, "custom": "x"}
+    )
+    assert clamped == {
+        "maxDepth": 4,
+        "stepSize": 1.0,
+        "regParam": 0.0,
+        "custom": "x",
+    }
+    with pytest.raises(ValueError, match="no estimator"):
+        ModelWrapper("nope", "classification")._estimator()
+    # alias + param application
+    est = ModelWrapper(
+        "lightgbm", "classification", params={"maxDepth": 3, "maxIter": 5}
+    )._estimator()
+    assert est.getMaxDepth() == 3 and est.getMaxIter() == 5
+
+
+def test_gbt_regression_smoke(spark, sf_dir_small):
+    df = ml_train_table(spark, sf_dir_small).limit(300)
+    predictor = CVPredictor(
+        ModelWrapper("gbt", "regression", params={"maxIter": 3, "maxDepth": 3}),
+        metric="root_mean_squared_error",
+        k=2,
+        seeds=(1,),
+        stratified=False,
+        target_decimals=4,
+    )
+    res = predictor.run(df, None, "key", "o_totalprice", ["c_acctbal", "order_year"])
+    assert res.oof.count() == 300
+    assert res.test_pred is None
+    assert res.cv_results[0]["cv_mean_score"] > 0

@@ -1,3 +1,21 @@
-from fastmlframework_spark.ml import cv, features, folds, metrics, wrappers
+from fastmlframework_spark.ml import (
+    cv,
+    ensembling,
+    feature_selection,
+    features,
+    folds,
+    hpo,
+    metrics,
+    wrappers,
+)
 
-__all__ = ["cv", "features", "folds", "metrics", "wrappers"]
+__all__ = [
+    "cv",
+    "ensembling",
+    "feature_selection",
+    "features",
+    "folds",
+    "hpo",
+    "metrics",
+    "wrappers",
+]

@@ -1,0 +1,177 @@
+"""Feature selection / HPO / ensembling invariants (SURVEY.md §2.8-2.9)."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from fastmlframework_spark.ml import feature_selection as fs
+from fastmlframework_spark.ml.ensembling import (
+    Blender,
+    Stacker,
+    assemble_oof_matrix,
+    detect_voting_type,
+    normalize_weights,
+)
+from fastmlframework_spark.ml.folds import fold_hash
+from fastmlframework_spark.ml.hpo import maximize
+from fastmlframework_spark.ml.wrappers import ModelWrapper
+from fastmlframework_spark.queries.analytics import ml_train_table
+
+
+def test_hpo_finds_optimum_and_is_deterministic():
+    def objective(x, y):
+        return -((x - 0.3) ** 2) - (y - 0.7) ** 2
+
+    res1 = maximize(objective, {"x": (0, 1), "y": (0, 1)}, init_points=8, n_iter=25, seed=3)
+    res2 = maximize(objective, {"x": (0, 1), "y": (0, 1)}, init_points=8, n_iter=25, seed=3)
+    assert res1.best_params == res2.best_params
+    assert abs(res1.best_params["x"] - 0.3) < 0.15
+    assert abs(res1.best_params["y"] - 0.7) < 0.15
+    assert len(res1.history) == 33
+    assert res1.best_score == max(h["score"] for h in res1.history)
+
+
+@pytest.fixture(scope="module")
+def fs_frame(spark, sf_dir_small):
+    # The driver testdata's orderstatus is uncorrelated with every
+    # feature, so derive a target that genuinely depends on
+    # o_totalprice (plus hash noise) — signal the selector must find.
+    df = (
+        ml_train_table(spark, sf_dir_small)
+        .withColumn("noise", (fold_hash("key", 99) % 1000) / 1000.0)
+        .withColumn(
+            "target",
+            (
+                F.col("o_totalprice") + 50000.0 * ((fold_hash("key", 123) % 1000) / 1000.0)
+                > 175000.0
+            ).cast("int"),
+        )
+    )
+    return df.cache()
+
+
+def test_feature_selection_separates_signal_from_noise(fs_frame):
+    wrapper = ModelWrapper(
+        "random_forest",
+        "classification",
+        params={"numTrees": 20, "maxDepth": 5},
+    )
+    feats = ["o_totalprice", "c_acctbal", "order_year", "noise"]
+    actual = fs.actual_importances(wrapper, fs_frame, feats, "target")
+    null = fs.null_importances(
+        wrapper, fs_frame, "key", feats, "target", n_runs=5, seed=7, max_parallel=2
+    )
+    assert null.select("run").distinct().count() == 5
+    scores = fs.score_features(actual, null).cache()
+    assert scores.count() == len(feats)
+    by_feat = {r.feature: r for r in scores.collect()}
+    # the informative price feature must outscore pure noise
+    assert by_feat["o_totalprice"].score > by_feat["noise"].score
+    assert (
+        by_feat["o_totalprice"].pct_null_below >= by_feat["noise"].pct_null_below
+    )
+
+    chosen = fs.select_features(scores, by_feat["noise"].score + 1e-9)
+    assert "noise" not in chosen and "o_totalprice" in chosen
+
+
+def test_threshold_sweep_and_best_threshold(spark):
+    scores = spark.createDataFrame(
+        [("a", 2.0), ("b", 1.0), ("c", 0.0)], ["feature", "score"]
+    )
+
+    def cv_runner(feats):
+        # more features -> better score but higher std; best total rank
+        # lands on the middle threshold
+        if len(feats) == 3:
+            return 0.90, 0.05
+        if len(feats) == 2:
+            return 0.89, 0.01
+        return 0.70, 0.02
+
+    sweep = fs.threshold_sweep(scores, [0.0, 1.0, 2.0], cv_runner)
+    assert sweep.count() == 3
+    best = fs.best_threshold(sweep)
+    assert best == 1.0  # rank(score)+rank(-std) maximal
+
+
+@pytest.fixture(scope="module")
+def oof_tables(spark):
+    base = spark.range(0, 1000).select(
+        F.col("id").alias("key"),
+        (F.col("id") % 2).cast("int").alias("target"),
+        ((fold_hash("id", 5) % 1000) / 1000.0).alias("noise"),
+        ((fold_hash("id", 6) % 1000) / 1000.0).alias("noise2"),
+    )
+    good = base.select(
+        "key",
+        "target",
+        (0.75 * F.col("target") + 0.25 * F.col("noise")).alias("target_oof"),
+    )
+    bad = base.select("key", "target", F.col("noise2").alias("target_oof"))
+    return {"good": good, "bad": bad}
+
+
+def test_assemble_matrix_and_alignment_check(spark, oof_tables):
+    m = assemble_oof_matrix(oof_tables)
+    assert set(m.columns) == {"key", "target", "good_OOF", "bad_OOF"}
+    assert m.count() == 1000
+    with pytest.raises(ValueError, match="misaligned"):
+        assemble_oof_matrix(
+            {
+                "good": oof_tables["good"],
+                "bad": oof_tables["bad"].filter(F.col("key") < 500),
+            }
+        )
+
+
+def test_voting_detection(spark, oof_tables):
+    m = assemble_oof_matrix(oof_tables)
+    assert detect_voting_type(m, ["good_OOF", "bad_OOF"]) == "soft"
+    hard = m.select(
+        "key",
+        F.col("good_OOF").cast("int").alias("a_OOF"),
+        F.col("bad_OOF").cast("int").alias("b_OOF"),
+    )
+    assert detect_voting_type(hard, ["a_OOF", "b_OOF"]) == "hard"
+    mixed = m.select("key", "good_OOF", F.col("bad_OOF").cast("int").alias("b_OOF"))
+    with pytest.raises(ValueError, match="mixed"):
+        detect_voting_type(mixed, ["good_OOF", "b_OOF"])
+
+
+def test_normalize_weights():
+    w = normalize_weights([2.0, 1.0, 1.0])
+    assert math.isclose(sum(w), 1.0, abs_tol=1e-3)
+    assert w[0] == 0.5
+    with pytest.raises(ValueError):
+        normalize_weights([0.0, 0.0])
+
+
+def test_blender_prefers_informative_model(oof_tables):
+    blender = Blender(metric="roc_auc_score", k=2, seed=11, init_points=3, n_iter=6)
+    m = assemble_oof_matrix(oof_tables)
+    res = blender.run(m)
+    # blend must beat the bad model alone and be near the good model
+    assert res.score > 0.9
+    for weights in res.weights.values():
+        good_w, bad_w = weights  # order: pred_cols = [good_OOF, bad_OOF]
+        assert good_w > bad_w
+    assert res.oof_blend.count() == 1000
+
+
+def test_stacker_runs_meta_cv(oof_tables):
+    m = assemble_oof_matrix(oof_tables)
+    stacker = Stacker(
+        ModelWrapper("logistic_regression", "classification", params={"maxIter": 20}),
+        metric="roc_auc_score",
+        k=2,
+        seeds=(5,),
+        stratified=True,
+        predict_probability=True,
+    )
+    res = stacker.run(m)
+    assert res.oof.count() == 1000
+    assert res.cv_results[0]["cv_mean_score"] > 0.9

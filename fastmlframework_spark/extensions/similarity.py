@@ -1,0 +1,194 @@
+"""Similarity search over embedding columns (SURVEY.md §7.5):
+brute-force cosine top-k baseline, random-hyperplane LSH buckets, and
+an IVF (KMeans-partitioned) variant as the scale paths.
+
+Scale design: dot products are ``zip_with``/``aggregate`` higher-order
+expressions (JVM codegen, no Python).  Brute force broadcasts the
+(small) query set against the corpus — one scan, no corpus shuffle.
+LSH/IVF cut the candidate space: hyperplane signs or nearest-centroid
+assignment bucket the corpus so only same-bucket candidates are
+scored — the standard sub-quadratic ANN shapes at 100 TB.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)"
+_NORM = "transform({v}, x -> x / sqrt(aggregate({v}, 0.0D, (a, e) -> a + e * e)))"
+
+
+def normalize(df: DataFrame, vec_col: str, out_col: str = "nvec") -> DataFrame:
+    """L2-normalize so cosine == dot product."""
+    return df.withColumn(
+        out_col, F.expr(_NORM.format(v=vec_col)).cast("array<double>")
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_key_col: str = "query_id",
+) -> DataFrame:
+    """Brute-force exact top-k → [query_id, vec_id, cosine, rank].
+
+    The query side is broadcast; the corpus is scanned once; per-query
+    top-k runs as a partitioned window (rank ties broken by corpus
+    key for determinism).  Self-matches (same key) are excluded.
+    """
+    c = normalize(corpus, vec_col, "cv").select(key_col, "cv")
+    q = normalize(queries, vec_col, "qv").select(
+        F.col(key_col).alias(query_key_col), "qv"
+    )
+    scored = (
+        c.join(F.broadcast(q), on=F.col(key_col) != F.col(query_key_col))
+        .withColumn(
+            "cosine", F.round(F.expr(_DOT.format(a="cv", b="qv")), 6)
+        )
+    )
+    w = Window.partitionBy(query_key_col).orderBy(
+        F.desc("cosine"), F.asc(key_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_key_col, key_col, "cosine", "rank")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes for sign-LSH."""
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def with_lsh_bucket(
+    df: DataFrame,
+    vec_col: str,
+    planes: list[list[float]],
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Random-hyperplane signature: bucket = bits of sign(v·r_i).
+    Planes are literal arrays inside the expression — shipped once in
+    the plan, no join against a planes table."""
+    bits = []
+    for i, p in enumerate(planes):
+        arr = "array({})".format(", ".join(f"{x!r}D" for x in p))
+        bits.append(
+            f"CASE WHEN {_DOT.format(a=vec_col, b=arr)} >= 0 THEN {1 << i} ELSE 0 END"
+        )
+    return df.withColumn(out_col, F.expr(" + ".join(bits)).cast("long"))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 6,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_key_col: str = "query_id",
+    dim: int | None = None,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k: score only same-bucket candidates.
+    Recall < 1 by construction (single probe); multi-probe = union
+    over neighboring buckets, omitted for clarity."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes, seed)
+    c = with_lsh_bucket(
+        normalize(corpus, vec_col, "cv").select(key_col, "cv"), "cv", planes
+    )
+    q = with_lsh_bucket(
+        normalize(queries, vec_col, "qv").select(
+            F.col(key_col).alias(query_key_col), "qv"
+        ),
+        "qv",
+        planes,
+    )
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .filter(F.col(key_col) != F.col(query_key_col))
+        .withColumn("cosine", F.round(F.expr(_DOT.format(a="cv", b="qv")), 6))
+    )
+    w = Window.partitionBy(query_key_col).orderBy(F.desc("cosine"), F.asc(key_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_key_col, key_col, "cosine", "rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 8,
+    n_probe: int = 2,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_key_col: str = "query_id",
+    seed: int = 7,
+) -> DataFrame:
+    """IVF: KMeans-partition the corpus; probe the ``n_probe`` nearest
+    centroids per query; exact-score within probed cells.  n_probe =
+    n_clusters degrades to exact search (recall 1.0)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    c = normalize(corpus, vec_col, "cv").select(key_col, "cv")
+    cv = c.withColumn("features", array_to_vector("cv"))
+    km = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(cv)
+    assigned = km.transform(cv).select(
+        key_col, "cv", F.col("prediction").alias("cell")
+    )
+
+    centers = [list(map(float, ctr)) for ctr in km.clusterCenters()]
+    spark = corpus.sparkSession
+    centers_df = spark.createDataFrame(
+        [(i, c_) for i, c_ in enumerate(centers)], ["cell", "center"]
+    ).withColumn("center", F.col("center").cast("array<double>"))
+
+    q = normalize(queries, vec_col, "qv").select(
+        F.col(key_col).alias(query_key_col), "qv"
+    )
+    qcells = (
+        q.crossJoin(F.broadcast(centers_df))
+        .withColumn("dist", -F.expr(_DOT.format(a="qv", b="center")))
+        .withColumn(
+            "probe_rank",
+            F.row_number().over(
+                Window.partitionBy(query_key_col).orderBy("dist", "cell")
+            ),
+        )
+        .filter(F.col("probe_rank") <= n_probe)
+        .select(query_key_col, "qv", "cell")
+    )
+    scored = (
+        assigned.join(F.broadcast(qcells), on="cell")
+        .filter(F.col(key_col) != F.col(query_key_col))
+        .withColumn("cosine", F.round(F.expr(_DOT.format(a="cv", b="qv")), 6))
+    )
+    w = Window.partitionBy(query_key_col).orderBy(F.desc("cosine"), F.asc(key_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_key_col, key_col, "cosine", "rank")
+    )
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame, query_key_col: str = "query_id", key_col: str = "vec_id") -> float:
+    """Fraction of exact top-k recovered by the approximate result."""
+    hits = approx.join(exact, on=[query_key_col, key_col], how="inner").count()
+    total = exact.count()
+    return hits / total if total else math.nan

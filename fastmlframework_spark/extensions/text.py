@@ -1,0 +1,126 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md
+§7.5): per-document statistics, quality scoring, language ID,
+token counting, fingerprinting.
+
+Beyond-reference extensions (BASELINE.json north star) built on the
+same operator style as §2: everything is a JVM-side expression
+(regexp/length/aggregate higher-order functions) — no Python UDFs in
+the hot path, so a 100 TB documents table profiles in one scan with
+whole-stage codegen.
+
+Patterns match between Spark (Java regex) and DuckDB (RE2) for every
+pattern used here, which is what makes the oracle checks exact.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# Tiny per-language stopword alternations (language-ID heuristic).
+LANG_STOPWORDS = {
+    "en": r"\b(the|and|of|to|is)\b",
+    "de": r"\b(der|die|und|das|ist)\b",
+    "es": r"\b(el|la|que|los|una)\b",
+    "fr": r"\b(le|les|des|une|est)\b",
+    "zh": r"(的|是|了|在|我)",
+}
+
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+WORD_PATTERN = r"[A-Za-z]+"
+PUNCT_PATTERN = r"[^A-Za-z0-9\s]"
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document statistics: char/word/token counts, punctuation
+    ratio, average word length — the building blocks of quality
+    filters (C4-style corpus curation)."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_words = F.regexp_count(t, F.lit(WORD_PATTERN))
+    n_tokens = F.regexp_count(t, F.lit(TOKEN_PATTERN))
+    n_punct = F.regexp_count(t, F.lit(PUNCT_PATTERN))
+    return df.withColumns(
+        {
+            "n_chars": n_chars.cast("long"),
+            "n_words": n_words.cast("long"),
+            "n_tokens": n_tokens.cast("long"),
+            "punct_ratio": F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6),
+            "avg_word_len": F.round(
+                (n_chars - F.regexp_count(t, F.lit(r"\s"))) /
+                F.greatest(n_words, F.lit(1)),
+                6,
+            ),
+        }
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length/punctuation/stopword quality heuristic in [0,1]:
+    documents that are too short, all punctuation, or stopword-free
+    (non-linguistic) score low.  Deliberately simple and portable —
+    the shape of a production quality scorer, expressed as one
+    projection."""
+    t = F.col(text_col)
+    n_chars = F.greatest(F.length(t), F.lit(1))
+    n_words = F.regexp_count(t, F.lit(WORD_PATTERN))
+    punct_ratio = F.regexp_count(t, F.lit(PUNCT_PATTERN)) / n_chars
+    stop_hits = F.regexp_count(t, F.lit(LANG_STOPWORDS["en"]))
+    length_term = F.least(F.length(t) / F.lit(200.0), F.lit(1.0))
+    word_term = F.least(n_words / F.lit(30.0), F.lit(1.0))
+    stop_term = F.least(stop_hits / F.lit(3.0), F.lit(1.0))
+    score = (
+        0.4 * length_term + 0.4 * word_term + 0.2 * stop_term
+    ) * (1.0 - F.least(punct_ratio * 2.0, F.lit(1.0)))
+    return df.withColumn("quality", F.round(score, 6))
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """n-gram/stopword language ID: per-language stopword-hit counts,
+    argmax with deterministic (hits desc, lang asc) tie-break.
+    One scan, five regexp counters, no shuffle."""
+    t = F.col(text_col)
+    hit_cols = {
+        lang: F.regexp_count(t, F.lit(pat))
+        for lang, pat in LANG_STOPWORDS.items()
+    }
+    # argmax via array of (hits, lang) structs: max_by with lang asc
+    # tie-break == array_max over (hits, negated-lang) is awkward, so
+    # use a chained CASE over sorted langs (first maximal wins).
+    langs = sorted(LANG_STOPWORDS)
+    max_hits = F.greatest(*[hit_cols[lang] for lang in langs])
+    pred: Column = F.lit(None).cast("string")
+    for lang in reversed(langs):
+        pred = F.when(hit_cols[lang] == max_hits, F.lit(lang)).otherwise(pred)
+    out = df.withColumn("pred_lang", pred)
+    return out.withColumn(
+        "pred_lang",
+        F.when(max_hits == 0, F.lit("unknown")).otherwise(F.col("pred_lang")),
+    )
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count (letters /
+    digits / single punctuation as separate tokens)."""
+    t = F.col(text_col)
+    return df.withColumns(
+        {
+            "ws_tokens": F.regexp_count(t, F.lit(r"\S+")).cast("long"),
+            "bpe_tokens": F.regexp_count(t, F.lit(TOKEN_PATTERN)).cast("long"),
+        }
+    )
+
+
+def fingerprint(
+    df: DataFrame, text_col: str = "text", shingle_len: int = 5
+) -> DataFrame:
+    """Document fingerprint: min md5-hash over character shingles
+    (single-permutation minhash — the rolling-hash fingerprint).
+    Pure higher-order-function expression (transform + array_min over
+    a sequence), portable to the DuckDB oracle, zero Python."""
+    k = shingle_len
+    expr = (
+        f"array_min(transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)),"
+        f" i -> cast(conv(substring(md5(substring({text_col}, i, {k})), 1, 15), 16, 10) as bigint)))"
+    )
+    return df.withColumn("fingerprint", F.expr(expr))

@@ -1,0 +1,155 @@
+"""Oracle-checked queries for the dedup extensions (§7.5).
+
+The driver's documents table has NO duplicates (500 distinct texts),
+so these queries derive a corpus with known duplication structure:
+every doc_id % 5 == 0 gains an exact copy (+100000) and every
+doc_id % 7 == 0 a truncated near-copy (+200000) — deterministic in
+both engines, so exact/near-dup detection has real positives to find.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from fastmlframework_spark.core.tables import load_table
+from fastmlframework_spark.extensions import dedup as xdedup
+from fastmlframework_spark.queries.registry import query
+
+_CORPUS_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0
+UNION ALL
+SELECT doc_id + 200000,
+       substring(text, 1, CAST(FLOOR(LENGTH(text) * 0.8) AS INT))
+FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    near = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.expr(
+            "substring(text, 1, CAST(FLOOR(LENGTH(text) * 0.8) AS INT))"
+        ).alias("text"),
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+FROM ({_CORPUS_SQL}) corpus
+GROUP BY md5(text)
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the content digest: survivors carry their copy
+    count; groupBy(md5) keeps shuffle rows digest-sized at scale."""
+    return xdedup.exact_dedup(_corpus(spark, sf_dir))
+
+
+# Subset keeps the O(pairs) oracle tractable at sf0.01.
+_SUBSET_PRED = "doc_id % 500 < 60"
+
+_JACCARD_ORACLE = f"""
+WITH corpus AS (
+  SELECT * FROM ({_CORPUS_SQL}) c WHERE {_SUBSET_PRED}
+),
+toks AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM corpus
+),
+idx AS (
+  SELECT doc_id, w,
+         unnest(generate_series(1, GREATEST(len(w) - 2, 1))) AS i
+  FROM toks
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(w[CAST(i AS INT):CAST(i AS INT) + 2], ' ') AS shingle
+  FROM idx
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS key_a, b.doc_id AS key_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT key_a, key_b,
+       ROUND(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = key_a
+JOIN sizes sb ON sb.doc_id = key_b
+WHERE common * 1.0 / (sa.n_sh + sb.n_sh - common) >= 0.4
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-word-shingle Jaccard near-dup pairs via the inverted-index
+    self-join (no cross join) — finds the exact copies (j=1.0) and the
+    80%-truncated near-copies."""
+    corpus = _corpus(spark, sf_dir).filter(F.expr(_SUBSET_PRED))
+    return xdedup.ngram_jaccard_pairs(corpus, n=3, threshold=0.4)
+
+
+@query("dedup_minhash_lsh", bench=True)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8)+LSH(4 bands) candidate pairs with signature
+    verification ≥ 0.5 — the sub-quadratic near-dup path.  Rows-only
+    check (banding is engine-specific); pair-level correctness is
+    pinned against brute-force Jaccard in tests."""
+    return xdedup.minhash_lsh_pairs(
+        _corpus(spark, sf_dir),
+        n=3,
+        num_hashes=8,
+        bands=4,
+        verify_threshold=0.5,
+    )
+
+
+@query("dedup_simhash", bench=True)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(16-bit) near-dup pairs within 4-bit-prefix buckets,
+    hamming ≤ 3.  Rows-only check; invariants in tests."""
+    return xdedup.simhash_pairs(
+        _corpus(spark, sf_dir), bits=16, max_hamming=3, prefix_bits=4
+    )
+
+
+_EMBED_CORPUS_SQL = """
+SELECT vec_id, embedding FROM embeddings
+UNION ALL
+SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id % 10 = 0
+"""
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+WITH corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM ({_EMBED_CORPUS_SQL}) e
+)
+SELECT a.vec_id AS key_a, b.vec_id AS key_b,
+       ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.999
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (≥ 0.999) over a corpus with
+    planted exact copies — every vec_id%10 copy must pair with its
+    original at cosine 1.0."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.unionByName(
+        emb.filter(F.col("vec_id") % 10 == 0).select(
+            (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+        )
+    )
+    return xdedup.embedding_dup_pairs(corpus, threshold=0.999)

@@ -1,0 +1,79 @@
+"""Oracle-checked queries for time-window operators over events
+(SURVEY.md §2.10 extension; streaming variants tested in
+tests/test_streaming.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from fastmlframework_spark.core.tables import load_table
+from fastmlframework_spark.queries.registry import query
+from fastmlframework_spark.streaming.windows import (
+    sessionize_batch,
+    sliding_agg,
+    tumbling_agg,
+)
+
+
+@query(
+    "events_tumbling_hourly",
+    oracle="""
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 4) AS total
+FROM events GROUP BY 1, 2
+""",
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event type (F.window ≡ date_trunc
+    for tumbling windows)."""
+    return tumbling_agg(load_table(spark, sf_dir, "events"), "1 hour")
+
+
+@query(
+    "events_sliding_30m",
+    oracle="""
+WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+w AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, value FROM e
+  UNION ALL
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', value FROM e
+)
+SELECT window_start, COUNT(*) AS n, ROUND(SUM(value), 4) AS total
+FROM w GROUP BY 1
+""",
+)
+def events_sliding_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes: each event lands in
+    two windows (oracle = union of the two 30-minute grids)."""
+    return sliding_agg(
+        load_table(spark, sf_dir, "events"), "1 hour", "30 minutes"
+    )
+
+
+@query(
+    "events_sessionize",
+    oracle="""
+WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+f AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   <= INTERVAL '30 minutes'
+              THEN 0 ELSE 1 END AS new_s
+  FROM e
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM f
+)
+SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS session_start
+FROM s GROUP BY 1, 2
+""",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (30-minute inactivity gap) via lag +
+    cumulative-sum windows partitioned by user."""
+    return sessionize_batch(load_table(spark, sf_dir, "events"), "30 minutes")

@@ -1,0 +1,66 @@
+"""Oracle-checked queries for similarity search (§7.5) over the
+embeddings table."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from fastmlframework_spark.core.tables import load_table
+from fastmlframework_spark.extensions import similarity as xsim
+from fastmlframework_spark.queries.registry import query
+
+_BRUTE_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 10
+),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, vec_id,
+         ROUND(list_cosine_similarity(cv, qv), 6) AS cosine
+  FROM q, c WHERE vec_id <> query_id
+)
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+) t WHERE rank <= 3
+"""
+
+
+@query("ann_topk_bruteforce", oracle=_BRUTE_ORACLE)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-3 for 10 query vectors: broadcast queries ×
+    one corpus scan, per-query windowed top-k."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return xsim.cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=3
+    )
+
+
+@query("ann_topk_ivf", oracle=_BRUTE_ORACLE)
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (KMeans cells) with n_probe = n_clusters — probing every
+    cell makes IVF exact, so it shares the brute-force oracle; fewer
+    probes trade recall for candidate count (tested separately)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return xsim.ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=3,
+        n_clusters=4,
+        n_probe=4,
+    )
+
+
+@query("ann_topk_lsh", bench=True)
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed top-k (single probe, recall < 1 by
+    design) — rows-only check; recall is asserted against brute force
+    in tests."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return xsim.lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=3, n_planes=4
+    )

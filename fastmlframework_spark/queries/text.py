@@ -1,0 +1,161 @@
+"""Oracle-checked queries for the text-analysis extensions (§7.5) on
+the documents table."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from fastmlframework_spark.core.tables import load_table
+from fastmlframework_spark.extensions import text as xtext
+from fastmlframework_spark.queries.registry import query
+
+# DuckDB (RE2) versions of the patterns in extensions.text — identical
+# match semantics for these ASCII-only patterns.
+_RE = {
+    "word": "[A-Za-z]+",
+    "token": r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]",
+    "punct": r"[^A-Za-z0-9\s]",
+    "space": r"\s",
+    "nonspace": r"\S+",
+}
+
+
+def _rc(col: str, pat: str) -> str:
+    return f"len(regexp_extract_all({col}, '{pat}'))"
+
+
+@query(
+    "text_stats_per_doc",
+    oracle=f"""
+SELECT doc_id,
+       LENGTH(text) AS n_chars,
+       {_rc('text', _RE['word'])} AS n_words,
+       {_rc('text', _RE['token'])} AS n_tokens,
+       ROUND({_rc('text', _RE['punct'])} * 1.0 / GREATEST(LENGTH(text), 1), 6) AS punct_ratio,
+       ROUND((LENGTH(text) - {_rc('text', _RE['space'])}) * 1.0
+             / GREATEST({_rc('text', _RE['word'])}, 1), 6) AS avg_word_len
+FROM documents
+""",
+)
+def text_stats_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text statistics — one scan, regexp counters, no UDF."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return xtext.text_stats(docs).select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        "n_words",
+        "n_tokens",
+        "punct_ratio",
+        "avg_word_len",
+    )
+
+
+_QUALITY_SQL = """
+ROUND((0.4 * LEAST(LENGTH(text) / 200.0, 1.0)
+     + 0.4 * LEAST(len(regexp_extract_all(text, '[A-Za-z]+')) / 30.0, 1.0)
+     + 0.2 * LEAST(len(regexp_extract_all(text, '\\b(the|and|of|to|is)\\b')) / 3.0, 1.0))
+    * (1.0 - LEAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 2.0
+                   / GREATEST(LENGTH(text), 1), 1.0)), 6)
+"""
+
+
+@query(
+    "text_quality_by_lang",
+    oracle=f"""
+SELECT lang,
+       ROUND(AVG({_QUALITY_SQL}), 6) AS avg_quality,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY lang
+""",
+)
+def text_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring rolled up per language label."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return (
+        xtext.quality_score(docs)
+        .groupBy("lang")
+        .agg(
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def _langid_oracle() -> str:
+    # DuckDB string literals are backslash-literal, so the \b patterns
+    # pass through to RE2 unescaped.
+    hits = {
+        lang: f"len(regexp_extract_all(text, '{pat}'))"
+        for lang, pat in xtext.LANG_STOPWORDS.items()
+    }
+    langs = sorted(hits)
+    maxh = "GREATEST({})".format(", ".join(hits[lang] for lang in langs))
+    case = " ".join(
+        f"WHEN {hits[lang]} = __maxh THEN '{lang}'" for lang in langs
+    )
+    return f"""
+WITH scored AS (
+  SELECT lang, text, {maxh} AS __maxh FROM documents
+)
+SELECT lang,
+       CASE WHEN __maxh = 0 THEN 'unknown' {case} END AS pred_lang,
+       COUNT(*) AS n
+FROM scored GROUP BY 1, 2
+"""
+
+
+@query("lang_id_confusion", oracle=_langid_oracle())
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-heuristic language ID vs the labeled lang (confusion
+    counts).  The synthetic corpus shares one vocabulary, so the
+    heuristic's value here is determinism, not accuracy."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return (
+        xtext.language_id(docs)
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "token_counts_by_lang",
+    oracle=f"""
+SELECT lang,
+       ROUND(AVG({_rc('text', _RE['nonspace'])}), 4) AS avg_ws_tokens,
+       ROUND(AVG({_rc('text', _RE['token'])}), 4) AS avg_bpe_tokens
+FROM documents GROUP BY lang
+""",
+)
+def token_counts_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counting, averaged per language."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return (
+        xtext.token_count(docs)
+        .groupBy("lang")
+        .agg(
+            F.round(F.avg("ws_tokens"), 4).alias("avg_ws_tokens"),
+            F.round(F.avg("bpe_tokens"), 4).alias("avg_bpe_tokens"),
+        )
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+WITH idx AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, GREATEST(LENGTH(text) - 4, 1))) AS i
+  FROM documents
+)
+SELECT doc_id,
+       MIN(CAST(concat('0x', substring(md5(substring(text, CAST(i AS INT), 5)), 1, 15)) AS BIGINT)) AS fingerprint
+FROM idx
+GROUP BY doc_id
+""",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (min md5 over 5-char
+    shingles) — single-permutation minhash, engine-portable."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return xtext.fingerprint(docs).select("doc_id", "fingerprint")

@@ -1,0 +1,3 @@
+from fastmlframework_spark.streaming import windows
+
+__all__ = ["windows"]

@@ -1,0 +1,143 @@
+"""Time-window aggregations over the events table (SURVEY.md §2.10,
+§7.5).
+
+The reference is batch-only; these are the natural Structured
+Streaming extensions.  Every aggregation is defined ONCE as a
+DataFrame transformation and applied to either a batch frame or a
+``readStream`` frame — the Spark unification the rebuild leans on.
+The streaming entry points add watermarks for late data and run with
+``availableNow`` in tests (file source → memory sink).
+
+Scale notes: tumbling/sliding windows shuffle on (window, keys) —
+bounded state; sessionization uses session_window (streaming) or a
+lag/cumsum window (batch) partitioned by user, which distributes over
+the user space.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+from pyspark.sql.streaming import DataStreamWriter
+
+
+def tumbling_agg(
+    events: DataFrame,
+    window_len: str = "1 hour",
+    ts_col: str = "ts",
+    by: str | None = "event_type",
+) -> DataFrame:
+    """Tumbling-window counts/sums → [window_start, (by,) n, total]."""
+    keys = [F.window(ts_col, window_len).alias("w")]
+    if by:
+        keys.append(F.col(by))
+    out = events.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("total"),
+    )
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        *([by] if by else []),
+        "n",
+        "total",
+    )
+
+
+def sliding_agg(
+    events: DataFrame,
+    window_len: str = "1 hour",
+    slide: str = "30 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Sliding-window aggregate → [window_start, n, total]; each event
+    contributes to window_len/slide windows."""
+    return (
+        events.groupBy(F.window(ts_col, window_len, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n", "total")
+    )
+
+
+def sessionize_batch(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Batch sessionization: a session breaks when the gap to the
+    previous event of the same user exceeds ``gap`` →
+    [user_id, session_id, n_events, session_start].
+
+    lag + cumulative-sum windows partitioned by user — distributes
+    over users; no global sort."""
+    gap_s = _duration_seconds(gap)
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    flagged = events.withColumn(
+        "__new_session",
+        (
+            F.coalesce(
+                F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w),
+                F.lit(gap_s + 1),
+            )
+            > gap_s
+        ).cast("long"),
+    )
+    return (
+        flagged.withColumn(
+            "session_id",
+            F.sum("__new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy(user_col, "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("session_start"),
+        )
+    )
+
+
+def _duration_seconds(spec: str) -> int:
+    qty, unit = spec.split()
+    mult = {
+        "second": 1, "seconds": 1,
+        "minute": 60, "minutes": 60,
+        "hour": 3600, "hours": 3600,
+    }[unit]
+    return int(qty) * mult
+
+
+def stream_events(
+    spark, parquet_dir: str, schema, ts_col: str = "ts"
+) -> DataFrame:
+    """readStream over a parquet directory (file source)."""
+    return spark.readStream.schema(schema).parquet(parquet_dir)
+
+
+def streaming_tumbling_counts(
+    events_stream: DataFrame,
+    window_len: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming variant: watermarked tumbling counts — late rows
+    beyond the watermark are dropped, state is bounded."""
+    return tumbling_agg(
+        events_stream.withWatermark(ts_col, watermark), window_len, ts_col
+    )
+
+
+def run_available_now(stream_df: DataFrame, query_name: str) -> None:
+    """Drain a stream with availableNow into a memory sink (test/batch
+    catch-up harness); results readable as table ``query_name``."""
+    q: DataStreamWriter = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+    )
+    sq = q.start()
+    sq.awaitTermination()

@@ -1,0 +1,113 @@
+"""Minimal Luigi-compatible task engine.
+
+The reference orchestrates everything with Luigi (README.md:65-69;
+solution_pipeline/create_solution.py:32-819): tasks declare
+``requires()`` and file ``output()`` targets; a task whose target
+exists is skipped (target-based memoization, O8 — e.g.
+create_solution.py:67-69/:170-171).  ``luigi`` is not installed in
+this environment, so this module implements the same contract —
+``Task.requires() / output() / run()``, ``LocalTarget.exists()``,
+``build([...])`` — as ~100 lines of driver-side Python.  When real
+Luigi is importable the same Task subclasses can be ported 1:1 (the
+API surface is deliberately identical).
+
+This is pure driver-side control flow: each task body launches Spark
+jobs; the IR between tasks is files (Parquet dirs / JSON), exactly the
+reference's file-IR design (§3.1 step 4) with CSV/pickle swapped for
+Parquet/config-reconstruction (S5 note).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterable
+
+
+class LocalTarget:
+    """Luigi ``LocalTarget`` analogue.  For Parquet directories the
+    existence check is the ``_SUCCESS`` marker (atomic-commit
+    semantics of Spark's file sink), not the bare directory."""
+
+    def __init__(self, path: str, parquet_dir: bool = False):
+        self.path = path
+        self.parquet_dir = parquet_dir
+
+    def exists(self) -> bool:
+        if self.parquet_dir:
+            return os.path.exists(os.path.join(self.path, "_SUCCESS"))
+        return os.path.exists(self.path)
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"LocalTarget({self.path!r})"
+
+
+class Task:
+    """Luigi ``Task`` analogue.  Subclasses override ``requires()``
+    (upstream tasks), ``output()`` (one target or a list), ``run()``."""
+
+    def requires(self) -> "Task | Iterable[Task] | None":
+        return None
+
+    def output(self) -> LocalTarget | list[LocalTarget]:
+        raise NotImplementedError
+
+    def run(self) -> None:
+        raise NotImplementedError
+
+    # -- engine helpers -------------------------------------------------
+
+    def _outputs(self) -> list[LocalTarget]:
+        out = self.output()
+        return list(out) if isinstance(out, (list, tuple)) else [out]
+
+    def complete(self) -> bool:
+        """O8: a task is complete iff every output target exists."""
+        outs = self._outputs()
+        return bool(outs) and all(t.exists() for t in outs)
+
+    def _requires(self) -> list["Task"]:
+        req = self.requires()
+        if req is None:
+            return []
+        return list(req) if isinstance(req, (list, tuple)) else [req]
+
+    def task_id(self) -> str:
+        outs = ";".join(t.path for t in self._outputs())
+        return f"{type(self).__name__}[{outs}]"
+
+
+class DAGError(RuntimeError):
+    pass
+
+
+def build(tasks: Iterable[Task], *, force: bool = False) -> list[str]:
+    """Run the closure of ``tasks`` in dependency order, skipping
+    complete tasks (unless ``force``).  Returns the ids of tasks that
+    actually ran.  Equivalent of ``luigi.build(..., local_scheduler=
+    True)`` (create_solution.py:822-824)."""
+    ran: list[str] = []
+    done: set[str] = set()
+    in_progress: set[str] = set()
+
+    def visit(task: Task) -> None:
+        tid = task.task_id()
+        if tid in done:
+            return
+        if tid in in_progress:
+            raise DAGError(f"dependency cycle through {tid}")
+        in_progress.add(tid)
+        for dep in task._requires():
+            visit(dep)
+        if force or not task.complete():
+            task.run()
+            if not task.complete():
+                raise DAGError(
+                    f"{tid} ran but its output targets do not exist"
+                )
+            ran.append(tid)
+        in_progress.discard(tid)
+        done.add(tid)
+
+    for t in tasks:
+        visit(t)
+    return ran

@@ -1,0 +1,258 @@
+"""Sources layer (§2.1) + orchestration layer (§2.11) tests.
+
+The pipeline end-to-end test drives the full Luigi-style chain —
+ingestion → feature selection → HPO → CV prediction → stacking →
+blending — over a small CSV derived from the driver's testdata
+(a classification task: predict o_orderpriority==1-URGENT from order
+features), then re-runs to assert target memoization (O8).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from fastmlframework_spark.pipeline.solution import build_solution
+from fastmlframework_spark.pipeline.tasks import DAGError, LocalTarget, Task, build
+from fastmlframework_spark.sources import artifacts as art
+from fastmlframework_spark.sources.config import get_path, parse_hocon
+from fastmlframework_spark.sources.ingestion import (
+    ingest_csv,
+    mint_key,
+    narrow_schema,
+)
+
+
+# ---------------------------------------------------------------- sources
+
+
+@pytest.fixture(scope="module")
+def orders_csv(spark, sf_dir_small, tmp_path_factory):
+    """Small CSV written from driver testdata (orders, sf0.001)."""
+    out = str(tmp_path_factory.mktemp("csv") / "orders")
+    df = (
+        spark.read.parquet(os.path.join(sf_dir_small, "orders.parquet"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.dayofweek("o_orderdate").alias("o_orderdow"),
+            (F.col("o_orderpriority") == "1-URGENT")
+            .cast("int")
+            .alias("is_urgent"),
+        )
+    )
+    df.coalesce(1).write.option("header", True).mode("overwrite").csv(out)
+    return out
+
+
+def test_narrow_schema_picks_smallest_int(spark):
+    df = spark.createDataFrame(
+        [(1, 300, 2**40, 1.5)], "a long, b long, c long, d double"
+    )
+    narrowed, changed = narrow_schema(df)
+    got = dict(narrowed.dtypes)
+    assert got["a"] == "tinyint"
+    assert got["b"] == "smallint"
+    assert got["c"] == "bigint"
+    assert got["d"] == "double"  # floats untouched
+    assert changed == {"a": "tinyint", "b": "smallint"}
+    # Values survive the cast.
+    assert narrowed.first() == (1, 300, 2**40, 1.5)
+
+
+def test_mint_key_unique_and_stable(spark):
+    df = spark.range(1000).select(F.col("id").alias("v"))
+    keyed, minted = mint_key(df)
+    assert minted
+    assert keyed.select("row_key").distinct().count() == 1000
+    # Configured index column is used verbatim.
+    keyed2, minted2 = mint_key(df, index_column="v", key_col="v")
+    assert not minted2 and keyed2.columns == ["v"]
+
+
+def test_ingest_csv_roundtrip(spark, orders_csv):
+    df, report = ingest_csv(spark, orders_csv, index_column="o_orderkey",
+                            key_col="o_orderkey")
+    assert report.row_count == df.count() > 0
+    assert not report.key_minted
+    # shippriority (all zeros) and is_urgent narrow to tinyint
+    assert dict(df.dtypes)["is_urgent"] == "tinyint"
+    assert df.select("o_orderkey").distinct().count() == report.row_count
+
+
+def test_artifact_round_and_manifest(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, 0.123456789, 1.0), (2, 0.98765432, 0.0)],
+        "k long, target_oof double, target double",
+    )
+    d = str(tmp_path / "sol")
+    art.save_solution_artifacts(
+        d, model_name="m", key_col="k", target_col="target",
+        oof=df, target_decimals=3,
+    )
+    back = art.read_artifact(spark, os.path.join(d, "train_oof"))
+    vals = {r.k: r.target_oof for r in back.collect()}
+    assert vals == {1: 0.123, 2: 0.988}
+    m = art.read_json(os.path.join(d, art.MANIFEST))
+    assert m["model_name"] == "m" and m["bagged"] is False
+    loaded = art.load_oof_artifacts(spark, {"m": d})
+    assert set(loaded) == {"m"}
+    with pytest.raises(FileNotFoundError):
+        art.load_oof_artifacts(spark, {"m": d}, bagged_only=True)
+    art.check_oof_alignment(back, df, "k")
+    with pytest.raises(ValueError):
+        art.check_oof_alignment(back, df.filter("k = 1"), "k")
+
+
+def test_hocon_subset_parser():
+    cfg = parse_hocon(
+        """
+        # comment
+        project = my_project            // trailing comment
+        target_column = TARGET
+        index_column = null
+        modeling_settings {
+          models = [logistic_regression, random_forest]
+          cv_params { n_folds = 3, stratified = true }
+          run_fs = false
+          target_decimals = 6
+        }
+        hpo_settings.pbounds.regParam = [0.0, 0.5]
+        """
+    )
+    assert cfg["project"] == "my_project"
+    assert cfg["index_column"] is None
+    assert get_path(cfg, "modeling_settings.models") == [
+        "logistic_regression",
+        "random_forest",
+    ]
+    assert get_path(cfg, "modeling_settings.cv_params.n_folds") == 3
+    assert get_path(cfg, "modeling_settings.cv_params.stratified") is True
+    assert get_path(cfg, "modeling_settings.run_fs") is False
+    assert get_path(cfg, "hpo_settings.pbounds.regParam") == [0.0, 0.5]
+
+
+# ---------------------------------------------------------------- tasks
+
+
+def test_task_engine_memoization(tmp_path):
+    runs = []
+
+    class A(Task):
+        def output(self):
+            return LocalTarget(str(tmp_path / "a.json"))
+
+        def run(self):
+            runs.append("A")
+            art.write_json({}, self.output().path)
+
+    class B(Task):
+        def requires(self):
+            return A()
+
+        def output(self):
+            return LocalTarget(str(tmp_path / "b.json"))
+
+        def run(self):
+            runs.append("B")
+            art.write_json({}, self.output().path)
+
+    assert build([B()]) == ["A[%s]" % (tmp_path / "a.json"),
+                            "B[%s]" % (tmp_path / "b.json")]
+    assert runs == ["A", "B"]
+    assert build([B()]) == []  # O8: both targets exist -> skipped
+    assert runs == ["A", "B"]
+
+
+def test_task_engine_detects_cycle(tmp_path):
+    class C(Task):
+        def requires(self):
+            return D()
+
+        def output(self):
+            return LocalTarget(str(tmp_path / "c"))
+
+        def run(self):
+            pass
+
+    class D(Task):
+        def requires(self):
+            return C()
+
+        def output(self):
+            return LocalTarget(str(tmp_path / "d"))
+
+        def run(self):
+            pass
+
+    with pytest.raises(DAGError):
+        build([C()])
+
+
+# ---------------------------------------------------------------- solution
+
+
+def test_build_solution_end_to_end(spark, orders_csv, tmp_path):
+    project = str(tmp_path / "proj")
+    config = parse_hocon(
+        """
+        train_file = %s
+        test_file = %s
+        target_column = is_urgent
+        index_column = o_orderkey
+        modeling_settings {
+          task = classification
+          metric = roc_auc_score
+          models = [logistic_regression, random_forest]
+          model_seeds_list = [27]
+          run_fs = true
+          run_hpo = true
+          run_stacking = true
+          run_blending = true
+          predict_probability = true
+          cv_params { n_folds = 3, stratified = true }
+        }
+        fs_settings { nb_target_permutation_runs = 2, threshold = -1000.0 }
+        hpo_settings { init_points = 1, n_iter = 1 }
+        blending_settings { init_points = 1, n_iter = 1 }
+        """
+        % (orders_csv, orders_csv)
+    )
+    ran = build_solution(spark, config, project)
+    assert any(t.startswith("BuildSolution") for t in ran)
+
+    # All artifact surfaces exist and align.
+    train = art.read_artifact(spark, os.path.join(project, "data", "train"))
+    n = train.count()
+    for model in ("logistic_regression", "random_forest"):
+        mdir = os.path.join(
+            project, "results", model, "fs_permutation", "hpo_bayes",
+            "single_seed",
+        )
+        oof = art.read_artifact(spark, os.path.join(mdir, "train_oof"))
+        assert oof.count() == n  # exactly one OOF row per train key
+        assert oof.select("o_orderkey").distinct().count() == n
+        man = art.read_json(os.path.join(mdir, art.MANIFEST))
+        # Synthetic target is weak-signal; assert a computed AUC, not skill.
+        assert 0.2 < man["cv_results"][0]["cv_mean_score"] < 1.0
+    assert os.path.exists(
+        os.path.join(project, "results", "stacking", art.MANIFEST)
+    )
+    weights = art.read_json(
+        os.path.join(project, "results", "blending", "weights.json")
+    )
+    for ws in weights["fold_weights"].values():
+        assert abs(sum(ws) - 1.0) < 1e-6  # M18 normalization
+    # FS and HPO artifacts written.
+    assert os.path.exists(os.path.join(project, "fs", "optimal_features.json"))
+    assert os.path.exists(
+        os.path.join(
+            project, "hpo", "logistic_regression", "best_params.json"
+        )
+    )
+
+    # O8: a second build is a complete no-op.
+    assert build_solution(spark, config, project) == []

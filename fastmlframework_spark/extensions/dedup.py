@@ -16,8 +16,10 @@ Scale design: every method is join/aggregate-shaped —
 * embedding cosine: normalized dot products, either brute top-k for
   small query sets or bucketed via random hyperplanes (similarity.py).
 
-md5-based hashing keeps every stage reproducible in the DuckDB
-oracles (exact same candidate pairs cross-engine).
+Hashing: oracle-checked operators (exact dedup) use md5 so DuckDB
+reproduces the digests; the sketch operators (minhash, simhash) use
+JVM ``xxhash64`` — ~20× cheaper than md5-as-decimal and still fully
+deterministic (they carry rows-only oracle checks).
 """
 
 from __future__ import annotations
@@ -25,11 +27,13 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-_HASH64 = "cast(conv(substring(md5({x}), 1, 15), 16, 10) as bigint)"
-
-
-def _hash64(x: str) -> str:
-    return _HASH64.format(x=x)
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition across all cores.  Small parquet inputs arrive as
+    1-2 splits; the sketch computations (per-row hash arrays) are
+    CPU-bound, so an up-front round-robin shuffle of the (tiny) rows
+    buys full parallelism.  At real scale inputs already have
+    thousands of splits and this is a no-op knob callers can skip."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
 def exact_dedup(
@@ -69,8 +73,8 @@ def shingles(
             f"transform(sequence(1, greatest(length({text_col}) - {n - 1}, 1)),"
             f" i -> substring({text_col}, i, {n}))"
         )
-    return (
-        df.select(F.col(key_col), F.explode(F.array_distinct(arr)).alias("shingle"))
+    return _spread(df).select(
+        F.col(key_col), F.explode(F.array_distinct(arr)).alias("shingle")
     )
 
 
@@ -118,14 +122,20 @@ def ngram_jaccard_pairs(
     return out
 
 
-def minhash_signature_expr(text_col: str, n: int, seed: int) -> str:
-    """One minhash value: min over word shingles of md5(shingle|seed)."""
-    shingle_arr = (
-        f"transform(sequence(1, greatest(size(split({text_col}, '\\\\s+')) - {n - 1}, 1)),"
-        f" i -> concat_ws(' ', slice(split({text_col}, '\\\\s+'), i, {n})))"
-    )
-    hashed = _hash64(f"concat(s, '|', '{seed}')")
-    return f"array_min(transform({shingle_arr}, s -> {hashed}))"
+# Universal-hash constants: h_j(x) = a_j*x31 + b_j where x31 is the
+# base hash masked to 31 bits — products stay < 2^62, so the
+# arithmetic is ANSI-mode safe (Spark 4 throws on bigint overflow;
+# the driver's session runs ANSI on).  The a_j must be INDEPENDENT
+# random odd values: near-identical multipliers would give all hashes
+# the same argmin element and destroy the Jaccard-estimator property.
+def _mh_constants(seed: int, num_hashes: int) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(1_000_003 * seed + 7)
+    return [
+        (rng.randrange(1, 1 << 31) | 1, rng.randrange(0, 1 << 31))
+        for _ in range(num_hashes)
+    ]
 
 
 def minhash_signatures(
@@ -136,13 +146,35 @@ def minhash_signatures(
     num_hashes: int = 8,
     seed: int = 42,
 ) -> DataFrame:
-    """MinHash signatures → [key, mh_0..mh_{H-1}].  Each hash is a
-    seeded md5-min over the shingle set — a per-row JVM expression."""
+    """MinHash signatures → [key, mh_0..mh_{H-1}].
+
+    One ``xxhash64`` pass over the shingle array (materialized once),
+    then each of the ``num_hashes`` minhashes is an ``array_min`` over
+    a cheap universal rehash ``a_j*h + b_j`` of that SAME array — the
+    classic one-base-hash scheme.  Everything is a per-row JVM
+    expression: zero shuffles, zero Python, and the costly string hash
+    runs once per shingle instead of once per (shingle, hash)."""
+    shingle_arr = (
+        f"transform(sequence(1, greatest(size(split({text_col}, '\\\\s+')) - {n - 1}, 1)),"
+        f" i -> concat_ws(' ', slice(split({text_col}, '\\\\s+'), i, {n})))"
+    )
+    base = _spread(df).select(
+        key_col,
+        F.expr(
+            f"transform({shingle_arr}, s -> xxhash64(s, {seed}) & 2147483647L)"
+        ).alias("__h"),
+    )
+    consts = _mh_constants(seed, num_hashes)
+    # Carter-Wegman: (a*h + b) mod p, p = 2^31-1 (Mersenne prime).
+    # The mod is essential — without it the map is monotone in h and
+    # every hash would share one argmin.  Products stay < 2^62 (ANSI-safe).
     cols = {
-        f"mh_{j}": F.expr(minhash_signature_expr(text_col, n, seed + j))
-        for j in range(num_hashes)
+        f"mh_{j}": F.expr(
+            f"array_min(transform(__h, h -> pmod(h * {a}L + {b}L, 2147483647L)))"
+        )
+        for j, (a, b) in enumerate(consts)
     }
-    return df.select(key_col, text_col).withColumns(cols).drop(text_col)
+    return base.withColumns(cols).drop("__h")
 
 
 def minhash_lsh_pairs(
@@ -171,7 +203,7 @@ def minhash_lsh_pairs(
     band_frames = []
     for b in range(bands):
         slots = [f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)]
-        digest = F.md5(F.concat_ws("|", *[F.col(s).cast("string") for s in slots]))
+        digest = F.xxhash64(*[F.col(s) for s in slots])
         band_frames.append(
             sig.select(
                 F.col(key_col),
@@ -218,64 +250,102 @@ def simhash(
     df: DataFrame,
     key_col: str = "doc_id",
     text_col: str = "text",
-    bits: int = 16,
+    bits: int = 64,
 ) -> DataFrame:
     """SimHash → [key, simhash]: per-bit sign of the summed ±1
-    contributions of word hashes.  Expressed as one aggregate over the
-    exploded word list (shuffle on key), bit loop unrolled into
-    ``bits`` conditional sums — no Python.
+    contributions of word hashes.
 
-    16 bits default keeps the expression compact; production would use
-    64 via the same unrolling.
-    """
-    words = df.select(
+    Entirely per-row: the distinct-word ``xxhash64`` array is
+    materialized once, then each bit's ±1 sum is an ``aggregate`` over
+    that array — NO explode, NO shuffle, so the operator is a pure map
+    at any scale.  64 bits by default: at 64 bits random texts
+    essentially never land within small hamming distance, so pair
+    output stays proportional to true near-dups."""
+    if not 1 <= bits <= 64:
+        raise ValueError("bits must be in [1, 64]")
+    base = _spread(df).select(
         F.col(key_col),
-        F.explode(
-            F.array_distinct(F.split(F.col(text_col), r"\s+"))
-        ).alias("w"),
-    ).withColumn("h", F.expr(_hash64("w")))
-    bit_sums = [
-        F.sum(
-            F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
-        ).alias(f"s_{b}")
-        for b in range(bits)
-    ]
-    agg = words.groupBy(key_col).agg(*bit_sums)
+        F.expr(
+            f"transform(array_distinct(split({text_col}, '\\\\s+')),"
+            " w -> xxhash64(w))"
+        ).alias("__h"),
+    )
     sim = None
     for b in range(bits):
-        term = F.when(F.col(f"s_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        s_b = F.expr(
+            f"aggregate(__h, 0, (a, h) ->"
+            f" a + if((shiftright(h, {b}) & 1L) = 1L, 1, -1))"
+        )
+        # Bit 63 is the sign bit: 1<<63 as signed long is LONG_MIN;
+        # adding it to the (< 2^63) partial sum cannot overflow.
+        weight = F.lit(-(1 << 63) if b == 63 else (1 << b)).cast("long")
+        term = F.when(s_b > 0, weight).otherwise(F.lit(0).cast("long"))
         sim = term if sim is None else sim + term
-    return agg.select(F.col(key_col), sim.cast("long").alias("simhash"))
+    return base.select(F.col(key_col), sim.alias("simhash"))
 
 
 def simhash_pairs(
     df: DataFrame,
     key_col: str = "doc_id",
     text_col: str = "text",
-    bits: int = 16,
-    max_hamming: int = 2,
-    prefix_bits: int = 4,
+    bits: int = 64,
+    max_hamming: int = 3,
+    prefix_bits: int | None = None,  # kept for API compat; unused
 ) -> DataFrame:
-    """SimHash near-dup pairs within bit-prefix LSH buckets →
-    [key_a, key_b, hamming].  Bucket on the top ``prefix_bits`` so the
-    self-join is block-local; verify hamming ≤ max_hamming via
-    bit_count(xor)."""
-    sh = simhash(df, key_col, text_col, bits).withColumn(
-        "bucket", F.shiftright("simhash", bits - prefix_bits)
+    """SimHash near-dup pairs → [key_a, key_b, hamming], EXACT for
+    hamming ≤ ``max_hamming``.
+
+    Pigeonhole block-LSH: split the fingerprint into ``max_hamming+1``
+    bit blocks — any pair within the hamming budget must agree on at
+    least one whole block, so the self-join on (block_idx, block_value)
+    finds every qualifying pair while keeping the join block-local
+    (the sub-quadratic candidate structure at 100 TB).  Candidates are
+    verified with ``bit_count(xor)``."""
+    n_blocks = max_hamming + 1
+    block_bits = bits // n_blocks
+    # The fingerprint table is tiny (key + 8 bytes/row) but costly to
+    # compute — cache it so the n_blocks×2 join branches reuse one pass.
+    sh = simhash(df, key_col, text_col, bits).cache()
+    blocks = []
+    for i in range(n_blocks):
+        width = bits - i * block_bits if i == n_blocks - 1 else block_bits
+        mask = (1 << width) - 1
+        blocks.append(
+            sh.select(
+                F.col(key_col),
+                F.col("simhash"),
+                F.lit(i).alias("blk"),
+                F.expr(
+                    f"shiftright(simhash, {i * block_bits}) & {_s64(mask)}L"
+                ).alias("blk_val"),
+            )
+        )
+    from functools import reduce
+
+    banded = reduce(lambda x, y: x.unionByName(y), blocks)
+    a = banded.select(
+        F.col(key_col).alias("key_a"), F.col("simhash").alias("ha"),
+        "blk", "blk_val",
     )
-    a = sh.select(
-        F.col(key_col).alias("key_a"), F.col("simhash").alias("ha"), "bucket"
-    )
-    b = sh.select(
-        F.col(key_col).alias("key_b"), F.col("simhash").alias("hb"), "bucket"
+    b = banded.select(
+        F.col(key_col).alias("key_b"), F.col("simhash").alias("hb"),
+        "blk", "blk_val",
     )
     return (
-        a.join(b, on="bucket")
+        a.join(b, on=["blk", "blk_val"])
         .filter(F.col("key_a") < F.col("key_b"))
-        .withColumn("hamming", F.bit_count(F.expr("ha ^ hb")))
+        .select("key_a", "key_b", F.expr("ha ^ hb").alias("__x"))
+        .distinct()
+        .withColumn("hamming", F.bit_count("__x"))
         .filter(F.col("hamming") <= max_hamming)
         .select("key_a", "key_b", "hamming")
     )
+
+
+def _s64(v: int) -> int:
+    """Two's-complement signed view of a 64-bit value (legal literal)."""
+    v &= (1 << 64) - 1
+    return v - (1 << 64) if v >= 1 << 63 else v
 
 
 def embedding_dup_pairs(
@@ -286,27 +356,55 @@ def embedding_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs → [key_a, key_b, cosine].
 
-    Exact all-pairs via a self-join — correct at test scale; the
-    sub-quadratic path for 100 TB is the hyperplane-bucketed variant
-    in similarity.lsh_bucket_pairs (same verify expression)."""
-    normed = df.select(
-        F.col(key_col),
-        F.expr(
-            f"transform({vec_col}, x -> x / sqrt(aggregate({vec_col}, 0.0D, (a, v) -> a + v * v)))"
-        ).alias("__nv"),
+    Exact all-pairs self-join, engineered for the nested-loop scan:
+
+    * cosine = dot/(|a||b|) with per-row scalar norms (arrays stay the
+      parquet-primitive floats — no boxed transform arrays in the hot
+      loop);
+    * an exact-safe Cauchy-Schwarz prefilter: partial_dot(prefix) +
+      |a_tail|*|b_tail| >= t*|a||b| is NECESSARY for cosine >= t, so
+      the full-width dot only runs on survivors (no false negatives);
+    * streamed side repartitioned over all cores (small inputs arrive
+      as 1-2 parquet splits).
+
+    The sub-quadratic path for 100 TB is the hyperplane-bucketed
+    variant in similarity.lsh_topk (same verify expression)."""
+    from fastmlframework_spark.extensions.similarity import vec_dim
+
+    dim = vec_dim(df, vec_col)
+    prefix = min(16, dim)
+    norm = (
+        f"sqrt(aggregate({vec_col}, 0.0D, (a, v) -> a + cast(v as double)*v))"
     )
-    a = normed.select(F.col(key_col).alias("key_a"), F.col("__nv").alias("va"))
-    b = normed.select(F.col(key_col).alias("key_b"), F.col("__nv").alias("vb"))
+    tail = (
+        f"sqrt(aggregate(slice({vec_col}, {prefix + 1}, {dim - prefix}),"
+        " 0.0D, (a, v) -> a + cast(v as double)*v))"
+        if prefix < dim
+        else "0.0D"
+    )
+
+    def side(tag: str, key_alias: str) -> DataFrame:
+        return df.select(
+            F.col(key_col).alias(key_alias),
+            F.col(vec_col).alias(f"e{tag}"),
+            F.expr(norm).alias(f"n{tag}"),
+            F.expr(tail).alias(f"t{tag}"),
+        )
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    a = side("a", "key_a").repartition(par)
+    b = side("b", "key_b")
+    pdot = " + ".join(
+        f"cast(ea[{i}] as double) * eb[{i}]" for i in range(prefix)
+    )
+    fdot = " + ".join(
+        f"cast(ea[{i}] as double) * eb[{i}]" for i in range(dim)
+    )
     return (
         a.crossJoin(b)
         .filter(F.col("key_a") < F.col("key_b"))
-        .withColumn(
-            "cosine",
-            F.round(
-                F.expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0.0D, (a, v) -> a + v)"),
-                6,
-            ),
-        )
+        .filter(F.expr(f"({pdot}) + ta * tb >= {threshold!r}D * na * nb"))
+        .withColumn("cosine", F.round(F.expr(f"({fdot}) / (na * nb)"), 6))
         .filter(F.col("cosine") >= threshold)
         .select("key_a", "key_b", "cosine")
     )

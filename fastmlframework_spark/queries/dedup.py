@@ -116,11 +116,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_simhash", bench=True)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(16-bit) near-dup pairs within 4-bit-prefix buckets,
-    hamming ≤ 3.  Rows-only check; invariants in tests."""
-    return xdedup.simhash_pairs(
-        _corpus(spark, sf_dir), bits=16, max_hamming=3, prefix_bits=4
-    )
+    """SimHash(64-bit) near-dup pairs, hamming ≤ 3, via exact
+    pigeonhole block-LSH (4×16-bit blocks).  Rows-only check;
+    invariants in tests."""
+    return xdedup.simhash_pairs(_corpus(spark, sf_dir), bits=64, max_hamming=3)
 
 
 _EMBED_CORPUS_SQL = """

@@ -36,15 +36,20 @@ def test_minhash_lsh_catches_exact_copies(corpus):
     pairs = xdedup.minhash_lsh_pairs(
         corpus, n=3, num_hashes=8, bands=4, verify_threshold=0.5
     ).cache()
-    exact_pairs = pairs.filter(
-        (F.col("key_b") - F.col("key_a") == 100000)
-        & (F.col("sig_agreement") == 1.0)
-    )
-    expected = corpus.filter(
+    # Identical texts have identical signatures → every planted
+    # (x, x+100000) copy pair MUST surface with agreement 1.0.
+    # (Other high-jaccard pairs may also reach 1.0 — an unbiased
+    # estimator occasionally fully agrees at J≈0.8 — so we assert
+    # no-miss, not exact-count.)
+    planted = corpus.filter(
         (F.col("doc_id") >= 100000) & (F.col("doc_id") < 200000)
-    ).count()
-    # identical texts have identical signatures -> every copy pair found
-    assert exact_pairs.count() == expected
+    ).select(
+        (F.col("doc_id") - 100000).alias("key_a"),
+        F.col("doc_id").alias("key_b"),
+    )
+    found = pairs.filter(F.col("sig_agreement") == 1.0)
+    missing = planted.join(found, on=["key_a", "key_b"], how="left_anti")
+    assert missing.count() == 0
 
 
 def test_minhash_agreement_tracks_jaccard(corpus):

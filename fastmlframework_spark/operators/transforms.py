@@ -59,6 +59,45 @@ def round_predictions(df: DataFrame, cols: Sequence[str], decimals: int) -> Data
     return out
 
 
+def one_hot_columns(
+    df: DataFrame,
+    cols: Sequence[str],
+    uppercase: bool = True,
+    max_categories: int = 100,
+) -> DataFrame:
+    """``pd.get_dummies`` equivalent (preprocessing.py:84-86/:136-150):
+    one 0/1 indicator column per observed category value.
+
+    The (small) category domain is collected per column, then encoding
+    is a pure projection of equality flags — no shuffle of the main
+    table, scale-independent.  F6 note: the reference uppercases ALL
+    column names after OHE (a documented over-reach,
+    preprocessing.py:147-148 / SURVEY §7.4); here only the new
+    indicator columns are uppercased."""
+    import re
+
+    out = df
+    for c in cols:
+        vals = sorted(
+            r[0]
+            for r in df.select(c).distinct().collect()
+            if r[0] is not None
+        )
+        if len(vals) > max_categories:
+            raise ValueError(
+                f"{c}: {len(vals)} categories exceeds max_categories="
+                f"{max_categories} (OHE on high-cardinality columns "
+                "explodes the schema; use StringIndexer instead)"
+            )
+        for v in vals:
+            name = re.sub(r"[^0-9a-zA-Z_]", "_", f"{c}_{v}")
+            out = out.withColumn(
+                name.upper() if uppercase else name,
+                (F.col(c) == v).cast("int"),
+            )
+    return out
+
+
 def rename_upper(df: DataFrame) -> DataFrame:
     """F6: uppercase every column name (reference does this to ALL
     columns after OHE, preprocessing.py:147-148)."""

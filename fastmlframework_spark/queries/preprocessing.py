@@ -209,3 +209,78 @@ def transform_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("double").alias("uid"),
     )
     return transforms.select_skew_transforms(base, _SKEW_COLS, skew_threshold=0.5)
+
+
+# TPC-H market segments are a fixed 5-value domain (dbgen), so the
+# oracle can enumerate the indicator columns statically.
+_SEGMENTS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+
+@query(
+    "ohe_mktsegment",
+    oracle="SELECT c_custkey, "
+    + ", ".join(
+        f"CASE WHEN c_mktsegment = '{s}' THEN 1 ELSE 0 END"
+        f" AS C_MKTSEGMENT_{s}"
+        for s in _SEGMENTS
+    )
+    + " FROM customer",
+)
+def ohe_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHE (pd.get_dummies shape, preprocessing.py:136-150): indicator
+    columns per category; the category domain is collected once
+    (5 values) and the encoding is a pure projection — no shuffle."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return transforms.one_hot_columns(cust, ["c_mktsegment"]).drop(
+        "c_mktsegment"
+    )
+
+
+@query(
+    "percentile_quantity",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_quantity, 0.25), 4) AS p25,
+       ROUND(quantile_cont(l_quantity, 0.50), 4) AS p50,
+       ROUND(quantile_cont(l_quantity, 0.75), 4) AS p75
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def percentile_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13: EXACT linear-interpolated percentiles per group
+    (np.percentile semantics, feature_selection.py:221) — Spark
+    ``percentile``, not ``percentile_approx``, for oracle parity."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(l_quantity, 0.50)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_quantity, 0.75)"), 4).alias("p75"),
+    )
+
+
+@query(
+    "sample_deterministic",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem
+WHERE substring(md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+                    CAST(l_linenumber AS VARCHAR)), 1, 1) = 'a'
+""",
+)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1: seeded row sampling (preprocessing.py:170-171) made
+    cross-engine reproducible: hash-mod on the row key (~1/16 rate)
+    instead of an engine-private RNG stream.  Same shape Spark uses
+    for df.sample, but deterministic under any partitioning — the
+    property that matters for repeatable pipelines at scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.concat_ws(
+        "-",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    return li.filter(F.substring(F.md5(key), 1, 1) == "a").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )

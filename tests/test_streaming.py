@@ -46,3 +46,74 @@ def test_watermark_bounds_state(spark, sf_dir_small, tmp_path):
     total_events = events.count()
     got = spark.table("tumbling_wm").agg(F.sum("n")).first()[0]
     assert got == total_events
+
+
+def test_stateful_running_totals_across_batches(spark, sf_dir_small, tmp_path):
+    """applyInPandasWithState: state must carry across micro-batches —
+    final running totals == batch groupBy totals.  maxFilesPerTrigger=1
+    over multiple files forces multiple batches."""
+    events = load_table(spark, sf_dir_small, "events")
+    src = str(tmp_path / "events_state")
+    # several files -> several micro-batches
+    events.repartition(4).write.mode("overwrite").parquet(src)
+
+    from fastmlframework_spark.streaming.stateful import running_user_totals
+
+    stream_df = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = running_user_totals(stream_df)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("running_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # memory sink in update mode appends every emitted update; the
+    # LAST row per user is the final running total.
+    got = (
+        spark.table("running_totals")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("total_value").alias("total_value"),
+        )
+    )
+    expected = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.coalesce("value", F.lit(0.0))), 4).alias("total_value"),
+    )
+    assert got.count() == expected.count()
+    joined = got.alias("g").join(expected.alias("e"), on="user_id")
+    bad = joined.filter(
+        (F.col("g.n_events") != F.col("e.n_events"))
+        | (F.abs(F.col("g.total_value") - F.col("e.total_value")) > 1e-6)
+    )
+    assert bad.count() == 0
+
+
+def test_streaming_sessions_runs(spark, sf_dir_small, tmp_path):
+    events = load_table(spark, sf_dir_small, "events")
+    src = str(tmp_path / "events_sess")
+    events.write.mode("overwrite").parquet(src)
+
+    from fastmlframework_spark.streaming.stateful import streaming_sessions
+
+    stream_df = spark.readStream.schema(events.schema).parquet(src)
+    out = streaming_sessions(stream_df, gap="30 minutes", watermark="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("sessions_stream")
+    assert got.count() > 0
+    # every session has >= 1 event and end >= start
+    assert got.filter("n_events < 1 OR session_end < session_start").count() == 0

@@ -123,4 +123,7 @@ def fingerprint(
         f"array_min(transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)),"
         f" i -> cast(conv(substring(md5(substring({text_col}, i, {k})), 1, 15), 16, 10) as bigint)))"
     )
-    return df.withColumn("fingerprint", F.expr(expr))
+    # ~length(text) md5 calls per row: spread small single-split inputs
+    # over all cores before the CPU-bound projection.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(par).withColumn("fingerprint", F.expr(expr))

@@ -1,0 +1,97 @@
+"""Physical-plan hygiene (SURVEY.md §4 / the 100 TB design contract).
+
+Correctness tests prove WHAT a query computes; these prove the plan is
+the one you'd WANT on a 1000-executor cluster reading 100 TB:
+
+* filters reach the parquet scan (``PushedFilters``),
+* scans read only the projected columns (``ReadSchema``),
+* small dimension sides broadcast (no full-fact shuffle),
+* single-pass profiling (one aggregate over all columns, not N scans),
+* hot expression paths stay inside WholeStageCodegen.
+
+If a refactor silently regresses one of these, this file fails even
+though results stay correct.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+from fastmlframework_spark.queries.registry import all_queries
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = all_queries()[name](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_filter_pushdown_and_pruning(spark, sf_dir_small):
+    plan = _plan(spark, sf_dir_small, "q1_pricing_summary")
+    # Ship-date predicate pushed into the scan.
+    assert re.search(r"PushedFilters: \[.*l_shipdate.*\]", plan), plan
+    # Scan reads only the 7 needed columns — never l_comment-style blobs.
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert read_cols <= {
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "l_shipdate",
+    }, read_cols
+    # Partial aggregation before the exchange (map-side combine).
+    assert "HashAggregate" in plan and "Exchange" in plan
+
+
+def test_q1_whole_stage_codegen(spark, sf_dir_small):
+    """After AQE finalizes, the scan→filter→partial-agg pipeline must
+    sit inside WholeStageCodegen stages (codegen ids in the plan)."""
+    df = all_queries()["q1_pricing_summary"](spark, sf_dir_small)
+    df.collect()  # finalize the adaptive plan
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "isFinalPlan=true" in plan, plan[:300]
+    assert "codegen id" in plan, plan
+
+
+def test_q5_dimensions_broadcast(spark, sf_dir_small):
+    plan = _plan(spark, sf_dir_small, "q5_region_revenue")
+    # region/nation (tiny dims) must broadcast — the fact table is
+    # never shuffled for them.
+    assert "BroadcastHashJoin" in plan, plan
+    # no cartesian anywhere
+    assert "CartesianProduct" not in plan
+
+
+def test_q3_mktsegment_pushdown(spark, sf_dir_small):
+    plan = _plan(spark, sf_dir_small, "q3_top_orders")
+    assert re.search(
+        r"PushedFilters: \[[^\]]*EqualTo\(c_mktsegment,BUILDING\)", plan
+    ), plan
+
+
+def test_profile_minmax_single_scan(spark, sf_dir_small):
+    """A1: per-column min/max must be ONE aggregate pass (the
+    reference's per-column driver loop, preprocessing.py:24-28,
+    collapsed into a single job)."""
+    plan = _plan(spark, sf_dir_small, "profile_minmax")
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
+    assert n_scans == 1, plan
+
+
+def test_horizontal_mean_no_shuffle(spark, sf_dir_small):
+    """A9 is a pure projection — a bagged row-mean must not shuffle."""
+    plan = _plan(spark, sf_dir_small, "horizontal_mean_rows")
+    assert "Exchange" not in plan, plan
+
+
+def test_fold_assignment_no_global_sort(spark, sf_dir_small):
+    """C3: deterministic hash-mod folds — no whole-table window, no
+    global sort, no exchange beyond the scan."""
+    plan = _plan(spark, sf_dir_small, "fold_assignment_hash")
+    assert "Sort " not in plan or "SortMergeJoin" in plan, plan

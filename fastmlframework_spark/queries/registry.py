@@ -36,6 +36,7 @@ _QUERY_MODULES = (
     "fastmlframework_spark.queries.similarity",
     "fastmlframework_spark.queries.events",
     "fastmlframework_spark.queries.mlflow",
+    "fastmlframework_spark.queries.multimodal",
 )
 
 

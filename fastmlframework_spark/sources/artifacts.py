@@ -52,9 +52,23 @@ def round_for_artifact(
     return out
 
 
-def write_artifact(df: DataFrame, path: str, mode: str = "overwrite") -> None:
-    """S2: Parquet sink (snappy default; splittable at scale)."""
-    df.write.mode(mode).parquet(path)
+def write_artifact(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+) -> None:
+    """S2: Parquet sink (snappy default; splittable at scale).
+
+    ``partition_by`` writes hive-style partition directories — at
+    100 TB, partitioning facts by a pruning-friendly column (date,
+    event type) turns selective scans into reads of a few directories
+    (PartitionFilters in the plan), complementing bucketing
+    (``sources/bucketing.py``) which co-locates by join key."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
 
 
 def read_artifact(spark: SparkSession, path: str) -> DataFrame:

@@ -94,3 +94,26 @@ def test_bucketed_groupby_no_exchange(spark, bucketed_tables):
         )
         plan = _final_plan(agg)
     assert "Exchange" not in plan, plan
+
+
+def test_partitioned_artifact_prunes(spark, sf_dir_small, tmp_path):
+    """Hive-partitioned artifacts: a filter on the partition column
+    must show up as PartitionFilters (directory pruning), not a
+    post-scan filter over all files."""
+    from fastmlframework_spark.sources.artifacts import write_artifact
+
+    events = load_table(spark, sf_dir_small, "events")
+    out = str(tmp_path / "events_by_type")
+    write_artifact(events, out, partition_by=["event_type"])
+
+    df = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "click" in plan.split(
+        "PartitionFilters"
+    )[1].split("\n")[0], plan
+    # values survive the round-trip
+    expected = events.filter(F.col("event_type") == "click").count()
+    assert df.count() == expected

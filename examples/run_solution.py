@@ -60,6 +60,12 @@ def main() -> None:
     ap.add_argument("--config", required=True)
     ap.add_argument("--make-demo-data", action="store_true")
     ap.add_argument(
+        "--workers",
+        type=int,
+        default=1,
+        help="run independent tasks (one per model) concurrently",
+    )
+    ap.add_argument(
         "--sf-dir",
         default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"),
     )
@@ -72,7 +78,7 @@ def main() -> None:
         make_demo_data(spark, args.project, args.sf_dir)
 
     config = load_config(args.config)
-    ran = build_solution(spark, config, args.project)
+    ran = build_solution(spark, config, args.project, workers=args.workers)
     print("tasks run:" if ran else "everything up-to-date (targets exist):")
     for tid in ran:
         print(" ", tid)

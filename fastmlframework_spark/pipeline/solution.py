@@ -532,9 +532,11 @@ class BuildSolution(Task):
 
 
 def build_solution(
-    spark: SparkSession, config: dict, project_dir: str
+    spark: SparkSession, config: dict, project_dir: str, workers: int = 1
 ) -> list[str]:
     """``luigi.build([BuildSolution(...)])`` equivalent
-    (create_solution.py:822-824).  Returns ids of tasks that ran."""
+    (create_solution.py:822-824).  Returns ids of tasks that ran.
+    ``workers > 1``: independent per-model tasks (O4 fan-out) run
+    concurrently as parallel Spark job chains."""
     ctx = SolutionContext(spark, config, project_dir)
-    return build([BuildSolution(ctx)])
+    return build([BuildSolution(ctx)], workers=workers)

@@ -80,34 +80,69 @@ class DAGError(RuntimeError):
     pass
 
 
-def build(tasks: Iterable[Task], *, force: bool = False) -> list[str]:
+def build(
+    tasks: Iterable[Task], *, force: bool = False, workers: int = 1
+) -> list[str]:
     """Run the closure of ``tasks`` in dependency order, skipping
     complete tasks (unless ``force``).  Returns the ids of tasks that
     actually ran.  Equivalent of ``luigi.build(..., local_scheduler=
-    True)`` (create_solution.py:822-824)."""
-    ran: list[str] = []
-    done: set[str] = set()
+    True)`` (create_solution.py:822-824).
+
+    ``workers > 1`` runs independent tasks of the same topological
+    level concurrently on a thread pool — Luigi's ``workers=N`` fan-out
+    (O4: one prediction task per model).  Spark job submission is
+    thread-safe; concurrent tasks become concurrently-scheduled job
+    chains on the shared session, which is exactly how independent
+    model fits should share a cluster."""
+    # Discover the closure + dependency edges (cycle-checked).
+    nodes: dict[str, Task] = {}
+    deps: dict[str, list[str]] = {}
     in_progress: set[str] = set()
 
     def visit(task: Task) -> None:
         tid = task.task_id()
-        if tid in done:
+        if tid in nodes:
             return
         if tid in in_progress:
             raise DAGError(f"dependency cycle through {tid}")
         in_progress.add(tid)
-        for dep in task._requires():
+        req = task._requires()
+        for dep in req:
             visit(dep)
-        if force or not task.complete():
-            task.run()
-            if not task.complete():
-                raise DAGError(
-                    f"{tid} ran but its output targets do not exist"
-                )
-            ran.append(tid)
+        nodes[tid] = task
+        deps[tid] = [d.task_id() for d in req]
         in_progress.discard(tid)
-        done.add(tid)
 
     for t in tasks:
         visit(t)
+
+    ran: list[str] = []
+    done: set[str] = set()
+
+    def run_one(tid: str) -> str | None:
+        task = nodes[tid]
+        if not force and task.complete():
+            return None
+        task.run()
+        if not task.complete():
+            raise DAGError(f"{tid} ran but its output targets do not exist")
+        return tid
+
+    while len(done) < len(nodes):
+        ready = [
+            tid
+            for tid in nodes
+            if tid not in done and all(d in done for d in deps[tid])
+        ]
+        if not ready:  # pragma: no cover - cycle guard above prevents this
+            raise DAGError("no runnable tasks but DAG incomplete")
+        if workers > 1 and len(ready) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                results = list(pool.map(run_one, ready))
+        else:
+            results = [run_one(tid) for tid in ready]
+        ran.extend(r for r in results if r is not None)
+        done.update(ready)
     return ran

@@ -256,3 +256,34 @@ def test_build_solution_end_to_end(spark, orders_csv, tmp_path):
 
     # O8: a second build is a complete no-op.
     assert build_solution(spark, config, project) == []
+
+
+def test_build_solution_parallel_workers(spark, orders_csv, tmp_path):
+    """O4 fan-out with workers=2: same artifacts, independent model
+    tasks run concurrently as parallel Spark job chains."""
+    project = str(tmp_path / "proj_par")
+    config = parse_hocon(
+        """
+        train_file = %s
+        test_file = %s
+        target_column = is_urgent
+        index_column = o_orderkey
+        modeling_settings {
+          task = classification
+          metric = roc_auc_score
+          models = [logistic_regression, random_forest]
+          model_seeds_list = [27]
+          predict_probability = true
+          cv_params { n_folds = 2, stratified = true }
+        }
+        """
+        % (orders_csv, orders_csv)
+    )
+    ran = build_solution(spark, config, project, workers=2)
+    assert any(t.startswith("BuildSolution") for t in ran)
+    for model in ("logistic_regression", "random_forest"):
+        mdir = os.path.join(
+            project, "results", model, "fs_none", "hpo_none", "single_seed"
+        )
+        assert os.path.exists(os.path.join(mdir, art.MANIFEST))
+    assert build_solution(spark, config, project, workers=2) == []

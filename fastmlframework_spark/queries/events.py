@@ -4,6 +4,7 @@ tests/test_streaming.py)."""
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from fastmlframework_spark.core.tables import load_table
@@ -77,3 +78,27 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization (30-minute inactivity gap) via lag +
     cumulative-sum windows partitioned by user."""
     return sessionize_batch(load_table(spark, sf_dir, "events"), "30 minutes")
+
+
+@query(
+    "json_props_extract",
+    oracle="""
+SELECT event_type,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+""",
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props: JSON path extraction + typed aggregate
+    (get_json_object stays JVM-side — the scan-plus-parse pattern for
+    nested event payloads at scale; for repeated access a real
+    pipeline would parse once with from_json into a struct column)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -41,18 +41,35 @@ MEDIA_FEATURE_SCHEMA = StructType(
 )
 
 
-def fake_decode(data: bytes) -> dict:
-    """Deterministic stand-in for a codec: derives stable pseudo
-    width/height/checksum from the bytes.  Replace with a real decoder
-    (PIL.Image.open etc.) when the codec libraries are available."""
-    checksum = 0
-    for i, b in enumerate(data[:4096]):
-        checksum = (checksum * 131 + b) % (1 << 40)
-    return {
-        "width": 16 + checksum % 1024,
-        "height": 16 + (checksum >> 10) % 1024,
-        "checksum": checksum,
-    }
+def _make_fake_decode():
+    """Factory returning a FRESH closure per call.
+
+    The decoder crosses the driver→executor boundary inside the
+    mapInPandas closure; cloudpickle serializes module-level functions
+    BY REFERENCE, which breaks when executor Python workers cannot
+    import this package (driver launched from another cwd with only a
+    driver-side sys.path insert).  A closure instance that is not a
+    module attribute is pickled BY VALUE and always deserializes."""
+
+    def fake_decode(data: bytes) -> dict:
+        # Deterministic stand-in for a codec: stable pseudo
+        # width/height/checksum from the bytes.  Replace with a real
+        # decoder (PIL.Image.open etc.) when codec libraries exist.
+        checksum = 0
+        for b in data[:4096]:
+            checksum = (checksum * 131 + b) % (1 << 40)
+        return {
+            "width": 16 + checksum % 1024,
+            "height": 16 + (checksum >> 10) % 1024,
+            "checksum": checksum,
+        }
+
+    return fake_decode
+
+
+# Direct-call convenience (tests, driver-side use); NOT what the UDF
+# captures — see _make_fake_decode.
+fake_decode = _make_fake_decode()
 
 
 def real_decode(data: bytes) -> dict:  # pragma: no cover
@@ -75,13 +92,18 @@ def extract_media_features(
     executors; bytes never collect to the driver."""
     import pandas as pd
 
-    decoder = (
-        fake_decode
-        if decode == "fake"
-        else real_decode
-        if decode == "real"
-        else decode
-    )
+    if decode == "fake":
+        decoder = _make_fake_decode()  # by-value pickling (see factory)
+    elif decode == "real":
+
+        def decoder(data: bytes) -> dict:
+            raise NotImplementedError(
+                "real media decoding requires codec libraries "
+                "(PIL/ffmpeg) not present in this environment"
+            )
+
+    else:
+        decoder = decode
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:

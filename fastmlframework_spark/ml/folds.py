@@ -92,6 +92,58 @@ def fold_split(
     )
 
 
+def global_positions(
+    df: DataFrame,
+    order_col: Column,
+    pos_col: str = "__pos",
+    n_buckets: int | None = None,
+    hash_bits: int = 60,
+) -> DataFrame:
+    """Distributed global row_number over a UNIFORM HASH column
+    (``fold_hash`` output): bucket rows by fixed arithmetic ranges of
+    the hash value, rank within buckets, then add cumulative bucket
+    offsets (a tiny broadcast of per-bucket counts).
+
+    Equivalent to ``row_number().over(Window.orderBy(order_col))``
+    WITHOUT the single-partition window that serializes the table
+    through one task at scale.  Buckets come from the VALUE
+    (``floor(hash / width)``), never from sampling or partition ids —
+    ``repartitionByRange`` would re-sample per evaluation and give the
+    offsets subquery different boundaries than the ranking pass.
+    Uniform hashes make the fixed-width buckets balanced."""
+    spark = df.sparkSession
+    n_buckets = n_buckets or spark.sparkContext.defaultParallelism * 4
+    width = (1 << hash_bits) // n_buckets + 1
+    bucketed = df.withColumn("__ord", order_col).withColumn(
+        "__bkt", F.floor(F.col("__ord") / F.lit(width))
+    )
+    local = bucketed.withColumn(
+        "__ln",
+        F.row_number().over(Window.partitionBy("__bkt").orderBy("__ord")),
+    )
+    offsets = (
+        bucketed.groupBy("__bkt")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__n").over(
+                    Window.orderBy("__bkt").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__bkt", "__off")
+    )
+    return (
+        local.join(F.broadcast(offsets), on="__bkt")
+        .withColumn(pos_col, F.col("__off") + F.col("__ln"))
+        .drop("__bkt", "__ln", "__off", "__ord")
+    )
+
+
 def permute_labels(
     df: DataFrame,
     key_col: str,
@@ -105,25 +157,19 @@ def permute_labels(
     Two independent md5 orderings of the same key set are joined by
     row position: position i of ordering A receives the target at
     position i of ordering B.  The target multiset is exactly
-    preserved.  Uses global row_number windows (single-partition
-    sort) — fine for the train-table scale feature selection runs at;
-    for 100 TB use a sampled subset first (the reference's own
-    null-importance protocol fits ~80-100 sampled refits, not the full
-    corpus).
+    preserved.  Positions come from ``global_positions`` (range
+    partition + local rank + offsets), so no single-partition window
+    exists anywhere on the path — the permutation distributes at any
+    scale.
     """
     out_col = out_col or target_col
-    a = df.select(
-        F.col(key_col),
-        F.row_number()
-        .over(Window.orderBy(fold_hash(key_col, seed)))
-        .alias("__pos"),
+    a = global_positions(
+        df.select(F.col(key_col)), fold_hash(key_col, seed)
     )
-    b = df.select(
-        F.col(target_col).alias("__permuted"),
-        F.row_number()
-        .over(Window.orderBy(fold_hash(key_col, seed + 1)))
-        .alias("__pos"),
-    )
+    b = global_positions(
+        df.select(F.col(key_col), F.col(target_col).alias("__permuted")),
+        fold_hash(key_col, seed + 1),
+    ).select("__permuted", "__pos")
     permuted = a.join(b, on="__pos").drop("__pos")
     base = df.drop(out_col) if out_col in df.columns else df
     return base.join(

@@ -32,6 +32,8 @@ the driver's DuckDB oracle computes the identical fold column.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
@@ -70,12 +72,33 @@ def with_fold_column(
     if method == "hash":
         return df.withColumn(fold_col, h % k)
     if method == "ntile":
-        w = (
-            Window.partitionBy(stratify_col).orderBy(h)
-            if stratify_col
-            else Window.orderBy(h)
+        # NTILE(k) over the (per-stratum) hash order, computed with
+        # distributed positions instead of a global / per-class window
+        # (which pulls a whole class through one task at scale).
+        # Exact NTILE semantics: the first (n mod k) tiles get
+        # ceil(n/k) rows, contiguously — NOT floor((pos-1)k/n), which
+        # spreads the larger tiles.  Bit-identical to ntile(k)-1
+        # (tie-free total order + same piecewise tile formula).
+        strata = [stratify_col] if stratify_col else []
+        pos = global_positions(df, h, "__pos", partition_cols=strata)
+        if strata:
+            counts = df.groupBy(*strata).agg(F.count(F.lit(1)).alias("__n"))
+            pos = pos.join(F.broadcast(counts), on=strata)
+        else:
+            pos = pos.crossJoin(
+                F.broadcast(df.agg(F.count(F.lit(1)).alias("__n")))
+            )
+        n = F.col("__n")
+        p0 = F.col("__pos") - 1  # 0-based position
+        big = F.floor((n + k - 1) / k)  # ceil(n/k)
+        small = F.greatest(F.floor(n / k), F.lit(1))
+        r = n % k  # number of big tiles
+        fold = F.when(
+            F.col("__pos") <= r * big, F.floor(p0 / big)
+        ).otherwise(r + F.floor((p0 - r * big) / small))
+        return pos.withColumn(fold_col, fold.cast("int")).drop(
+            "__pos", "__n"
         )
-        return df.withColumn(fold_col, F.ntile(k).over(w) - 1)
     raise ValueError(f"unknown method {method!r}; use 'hash' or 'ntile'")
 
 
@@ -98,6 +121,7 @@ def global_positions(
     pos_col: str = "__pos",
     n_buckets: int | None = None,
     hash_bits: int = 60,
+    partition_cols: "Sequence[str]" = (),
 ) -> DataFrame:
     """Distributed global row_number over a UNIFORM HASH column
     (``fold_hash`` output): bucket rows by fixed arithmetic ranges of
@@ -112,6 +136,7 @@ def global_positions(
     offsets subquery different boundaries than the ranking pass.
     Uniform hashes make the fixed-width buckets balanced."""
     spark = df.sparkSession
+    strata = list(partition_cols)
     n_buckets = n_buckets or spark.sparkContext.defaultParallelism * 4
     width = (1 << hash_bits) // n_buckets + 1
     bucketed = df.withColumn("__ord", order_col).withColumn(
@@ -119,26 +144,28 @@ def global_positions(
     )
     local = bucketed.withColumn(
         "__ln",
-        F.row_number().over(Window.partitionBy("__bkt").orderBy("__ord")),
+        F.row_number().over(
+            Window.partitionBy(*strata, "__bkt").orderBy("__ord")
+        ),
     )
     offsets = (
-        bucketed.groupBy("__bkt")
+        bucketed.groupBy(*strata, "__bkt")
         .agg(F.count(F.lit(1)).alias("__n"))
         .withColumn(
             "__off",
             F.coalesce(
                 F.sum("__n").over(
-                    Window.orderBy("__bkt").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
+                    Window.partitionBy(*strata)
+                    .orderBy("__bkt")
+                    .rowsBetween(Window.unboundedPreceding, -1)
                 ),
                 F.lit(0),
             ),
         )
-        .select("__bkt", "__off")
+        .select(*strata, "__bkt", "__off")
     )
     return (
-        local.join(F.broadcast(offsets), on="__bkt")
+        local.join(F.broadcast(offsets), on=strata + ["__bkt"])
         .withColumn(pos_col, F.col("__off") + F.col("__ln"))
         .drop("__bkt", "__ln", "__off", "__ord")
     )

@@ -348,6 +348,57 @@ def _s64(v: int) -> int:
     return v - (1 << 64) if v >= 1 << 63 else v
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "key_a",
+    dst: str = "key_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected edge list →
+    [node, component] where component = min node id of the component.
+
+    Iterative min-label propagation: every node starts labeled with
+    itself; each round pulls the minimum label across neighbors; stop
+    when no label changes.  Each round is one join + one groupBy —
+    all-distributed, converging in O(component diameter) rounds
+    (duplicate clusters are near-cliques: 2-3 rounds).  This is the
+    dedup-clustering step that turns near-dup PAIRS into groups with
+    one canonical survivor each.
+    """
+    both = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).unionByName(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    nodes = both.select(F.col("u").alias("node")).distinct()
+    labels = nodes.withColumn("component", F.col("node"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            labels.join(both, labels["node"] == both["u"])
+            .select(F.col("v").alias("node"), "component")
+            .groupBy("node")
+            .agg(F.min("component").alias("__nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, on="node", how="left")
+            .withColumn(
+                "__new", F.least(F.col("component"), F.col("__nmin"))
+            )
+            .select(
+                "node",
+                F.coalesce("__new", "component").alias("component"),
+                (F.coalesce("__new", "component") != F.col("component"))
+                .cast("int")
+                .alias("__chg"),
+            )
+        ).cache()
+        changed = updated.agg(F.sum("__chg")).first()[0] or 0
+        labels = updated.drop("__chg")
+        if changed == 0:
+            break
+    return labels
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     key_col: str = "vec_id",

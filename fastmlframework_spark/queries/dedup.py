@@ -152,3 +152,45 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return xdedup.embedding_dup_pairs(corpus, threshold=0.999)
+
+
+@query(
+    "dedup_components",
+    oracle=f"""
+WITH RECURSIVE
+corpus AS ({_CORPUS_SQL}),
+dg AS (SELECT doc_id, md5(text) AS g FROM corpus),
+pairs AS (
+  SELECT a.doc_id AS key_a, b.doc_id AS key_b
+  FROM dg a JOIN dg b ON a.g = b.g AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT key_a AS u, key_b AS v FROM pairs
+  UNION ALL
+  SELECT key_b, key_a FROM pairs
+),
+walk(node, label) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.node
+)
+SELECT node, MIN(label) AS component FROM walk GROUP BY node
+""",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clustering: exact-dup pairs → connected components →
+    [node, component] (component = min doc_id = canonical survivor).
+
+    Spark side is iterative min-label propagation (join + groupBy per
+    round, O(diameter) rounds); the oracle is the same fixpoint via a
+    recursive CTE.  The iterative-algorithm class of the engine."""
+    corpus = _corpus(spark, sf_dir)
+    d = corpus.select("doc_id", F.md5("text").alias("g"))
+    a = d.select(F.col("doc_id").alias("key_a"), "g")
+    b = d.select(F.col("doc_id").alias("key_b"), "g")
+    pairs = (
+        a.join(b, on="g")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b")
+    )
+    return xdedup.connected_components(pairs)

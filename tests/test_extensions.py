@@ -155,3 +155,20 @@ def test_frame_sampling_plan(spark):
     out = xmm.sample_frames(df, every=30)
     got = {(r.doc_id, r.frame_idx) for r in out.collect()}
     assert got == {(1, 0), (1, 30), (1, 60), (1, 90), (2, 0), (3, 0)}
+
+
+def test_connected_components_chain_and_clique(spark):
+    """Min-label propagation must cross multi-hop chains (diameter >
+    1), not just dup cliques: chain 1-2-3-4-5 plus clique {10,11,12}
+    plus isolated pair {20,21}."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),
+         (10, 11), (11, 12), (10, 12),
+         (20, 21)],
+        "key_a long, key_b long",
+    )
+    cc = {r.node: r.component for r in
+          xdedup.connected_components(edges).collect()}
+    assert {cc[n] for n in (1, 2, 3, 4, 5)} == {1}
+    assert {cc[n] for n in (10, 11, 12)} == {10}
+    assert {cc[n] for n in (20, 21)} == {20}

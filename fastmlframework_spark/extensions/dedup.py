@@ -369,9 +369,10 @@ def connected_components(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).unionByName(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-    )
+    ).cache()
     nodes = both.select(F.col("u").alias("node")).distinct()
     labels = nodes.withColumn("component", F.col("node"))
+    prev = None
     for _ in range(max_iter):
         neighbor_min = (
             labels.join(both, labels["node"] == both["u"])
@@ -393,9 +394,13 @@ def connected_components(
             )
         ).cache()
         changed = updated.agg(F.sum("__chg")).first()[0] or 0
+        if prev is not None:
+            prev.unpersist()  # keep at most one cached iteration live
+        prev = updated
         labels = updated.drop("__chg")
         if changed == 0:
             break
+    both.unpersist()
     return labels
 
 

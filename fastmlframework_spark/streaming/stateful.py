@@ -111,3 +111,21 @@ def streaming_sessions(
             "n_events",
         )
     )
+
+
+def streaming_dedup(
+    events_stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "24 hours",
+) -> DataFrame:
+    """Streaming exact dedup on ``keys``: keeps the first arrival of
+    each key, dropping replays/duplicates that arrive within the
+    watermark horizon.  State stores one entry per key and is EVICTED
+    once the watermark passes — the bounded-state form of ingest-time
+    dedup (plain ``dropDuplicates`` on a stream retains state
+    forever).  The batch analogue is ``extensions.dedup.exact_dedup``.
+    """
+    return events_stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )

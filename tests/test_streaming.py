@@ -117,3 +117,36 @@ def test_streaming_sessions_runs(spark, sf_dir_small, tmp_path):
     assert got.count() > 0
     # every session has >= 1 event and end >= start
     assert got.filter("n_events < 1 OR session_end < session_start").count() == 0
+
+
+def test_streaming_dedup_drops_cross_batch_replays(spark, sf_dir_small, tmp_path):
+    """Duplicates planted in DIFFERENT micro-batches must still be
+    dropped (keyed state carries across batches within the watermark)."""
+    events = load_table(spark, sf_dir_small, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    src = str(tmp_path / "events_dup")
+    # batch 1: original events; batch 2: full replay (same event_ids)
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+    events.coalesce(1).write.mode("append").parquet(src)
+
+    from fastmlframework_spark.streaming.stateful import streaming_dedup
+
+    stream_df = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_dedup(stream_df, ["event_id"], watermark="48 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("dedup_stream")
+    n_unique = events.select("event_id").distinct().count()
+    assert got.count() == n_unique
+    assert got.select("event_id").distinct().count() == n_unique

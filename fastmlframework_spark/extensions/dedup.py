@@ -464,3 +464,62 @@ def embedding_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("key_a", "key_b", "cosine")
     )
+
+
+def lsh_dup_pairs(
+    df: DataFrame,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 6,
+    seed: int = 7,
+) -> DataFrame:
+    """Sub-quadratic embedding near-dup pairs → [key_a, key_b, cosine]:
+    hyperplane-sign buckets shard the pair space (same-bucket join
+    only), exact cosine verification inside buckets.  The 100 TB path
+    that ``embedding_dup_pairs`` (exact all-pairs) is the oracle for:
+    identical vectors always share a bucket (recall 1.0 on true
+    duplicates); near-dups below cosine 1.0 may straddle a plane —
+    raise recall with fewer planes or multi-probe unions."""
+    from fastmlframework_spark.extensions.similarity import (
+        hyperplanes,
+        vec_dim,
+        with_lsh_bucket,
+    )
+
+    dim = vec_dim(df, vec_col)
+    planes = hyperplanes(dim, n_planes, seed)
+    norm = (
+        f"sqrt(aggregate({vec_col}, 0.0D, (a, v) -> a + cast(v as double)*v))"
+    )
+    base = with_lsh_bucket(
+        df.select(
+            key_col,
+            F.col(vec_col),
+            F.expr(norm).alias("__norm"),
+        ),
+        vec_col,
+        planes,
+    )
+    a = base.select(
+        F.col(key_col).alias("key_a"),
+        F.col(vec_col).alias("ea"),
+        F.col("__norm").alias("na"),
+        "bucket",
+    )
+    b = base.select(
+        F.col(key_col).alias("key_b"),
+        F.col(vec_col).alias("eb"),
+        F.col("__norm").alias("nb"),
+        "bucket",
+    )
+    dot = " + ".join(
+        f"cast(ea[{i}] as double) * eb[{i}]" for i in range(dim)
+    )
+    return (
+        a.join(b, on="bucket")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("cosine", F.round(F.expr(f"({dot}) / (na * nb)"), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("key_a", "key_b", "cosine")
+    )

@@ -124,3 +124,62 @@ def category_drift(
         F.lit(atol) + F.lit(rtol) * F.abs(F.col("pct_b"))
     )
     return joined.withColumn("is_close", close)
+
+
+def psi(
+    df_expected: DataFrame,
+    df_actual: DataFrame,
+    col: str,
+    n_bins: int = 10,
+    eps: float = 1e-4,
+) -> DataFrame:
+    """Population Stability Index (beyond-reference drift screen — the
+    numeric counterpart of category_drift/F9) → one row
+    [column, psi, n_bins].
+
+    Fixed-width bins over the EXPECTED side's [min, max] (left-closed,
+    matching A17's binning; actual-side outliers clamp into the edge
+    bins), per-bin shares with ``eps`` smoothing so empty bins don't
+    produce infinities, PSI = Σ (p−q)·ln(p/q).  Two aggregate passes +
+    one tiny bin-level join — no data collected, any scale."""
+    lo, hi = df_expected.agg(F.min(col), F.max(col)).first()
+    if lo is None or lo == hi:
+        raise ValueError(f"{col}: empty or constant on the expected side")
+    width = (float(hi) - float(lo)) / n_bins
+
+    def shares(df: DataFrame, name: str) -> DataFrame:
+        binned = df.filter(F.col(col).isNotNull()).withColumn(
+            "__bin",
+            F.least(
+                F.greatest(
+                    F.floor((F.col(col) - F.lit(float(lo))) / F.lit(width)),
+                    F.lit(0),
+                ),
+                F.lit(n_bins - 1),
+            ).cast("int"),
+        )
+        counts = binned.groupBy("__bin").agg(F.count(F.lit(1)).alias("__n"))
+        total = binned.count()
+        return counts.withColumn(name, F.col("__n") / F.lit(total)).select(
+            "__bin", name
+        )
+
+    p = shares(df_expected, "__p")
+    q = shares(df_actual, "__q")
+    joined = (
+        p.join(q, on="__bin", how="full")
+        .na.fill({"__p": 0.0, "__q": 0.0})
+        .withColumn("__ps", F.col("__p") + eps)
+        .withColumn("__qs", F.col("__q") + eps)
+    )
+    return joined.agg(
+        F.lit(col).alias("column"),
+        F.round(
+            F.sum(
+                (F.col("__ps") - F.col("__qs"))
+                * F.log(F.col("__ps") / F.col("__qs"))
+            ),
+            6,
+        ).alias("psi"),
+        F.lit(n_bins).alias("n_bins"),
+    )

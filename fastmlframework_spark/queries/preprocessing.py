@@ -284,3 +284,38 @@ def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.filter(F.substring(F.md5(key), 1, 1) == "a").select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
+
+
+@query(
+    "drift_psi",
+    oracle="""
+WITH ex AS (SELECT o_totalprice AS v FROM orders WHERE o_orderkey % 2 = 0),
+ac AS (SELECT o_totalprice AS v FROM orders WHERE o_orderkey % 2 = 1),
+rng AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM ex),
+pb AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR((v - lo) / ((hi - lo) / 10)) AS INT), 0), 9) AS bin,
+         COUNT(*) * 1.0 / (SELECT COUNT(*) FROM ex) AS p
+  FROM ex, rng GROUP BY 1
+),
+qb AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR((v - lo) / ((hi - lo) / 10)) AS INT), 0), 9) AS bin,
+         COUNT(*) * 1.0 / (SELECT COUNT(*) FROM ac) AS q
+  FROM ac, rng GROUP BY 1
+)
+SELECT 'o_totalprice' AS "column",
+       ROUND(SUM((COALESCE(p, 0) + 0.0001 - COALESCE(q, 0) - 0.0001)
+                 * LN((COALESCE(p, 0) + 0.0001) / (COALESCE(q, 0) + 0.0001))), 6) AS psi,
+       10 AS n_bins
+FROM pb FULL JOIN qb USING (bin)
+""",
+)
+def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two halves of orders — the
+    numeric drift screen (beyond-reference; category drift is F9)."""
+    o = load_table(spark, sf_dir, "orders")
+    return screening.psi(
+        o.filter(F.col("o_orderkey") % 2 == 0).select("o_totalprice"),
+        o.filter(F.col("o_orderkey") % 2 == 1).select("o_totalprice"),
+        "o_totalprice",
+        n_bins=10,
+    )

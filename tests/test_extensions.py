@@ -172,3 +172,28 @@ def test_connected_components_chain_and_clique(spark):
     assert {cc[n] for n in (1, 2, 3, 4, 5)} == {1}
     assert {cc[n] for n in (10, 11, 12)} == {10}
     assert {cc[n] for n in (20, 21)} == {20}
+
+
+def test_lsh_dup_pairs_full_recall_on_exact_copies(spark, sf_dir_small):
+    """Identical vectors share every hyperplane sign → the bucketed
+    path must find ALL planted exact-copy pairs that the exact
+    all-pairs scan finds at cosine >= 0.999."""
+    emb = load_table(spark, sf_dir_small, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.unionByName(
+        emb.filter(F.col("vec_id") % 10 == 0).select(
+            (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+        )
+    )
+    planted = corpus.filter(F.col("vec_id") >= 10000).select(
+        (F.col("vec_id") - 10000).alias("key_a"),
+        F.col("vec_id").alias("key_b"),
+    )
+    found = xdedup.lsh_dup_pairs(corpus, threshold=0.999)
+    missing = planted.join(found, on=["key_a", "key_b"], how="left_anti")
+    assert missing.count() == 0
+    # bucketed candidates are a SUBSET of the exact pair scan
+    exact = xdedup.embedding_dup_pairs(corpus, threshold=0.999)
+    extra = found.join(exact, on=["key_a", "key_b"], how="left_anti")
+    assert extra.count() == 0

@@ -194,3 +194,18 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("key_a", "key_b")
     )
     return xdedup.connected_components(pairs)
+
+
+@query("dedup_embedding_lsh", bench=True)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-bucketed embedding near-dup pairs (≥ 0.999) — the
+    sub-quadratic scale path whose exact twin is
+    ``dedup_embedding_cosine``.  Rows-only check; full recall on
+    planted exact copies is pinned in tests."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.unionByName(
+        emb.filter(F.col("vec_id") % 10 == 0).select(
+            (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+        )
+    )
+    return xdedup.lsh_dup_pairs(corpus, threshold=0.999)

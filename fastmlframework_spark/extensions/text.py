@@ -127,3 +127,44 @@ def fingerprint(
     # over all cores before the CPU-bound projection.
     par = df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(par).withColumn("fingerprint", F.expr(expr))
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document → [key, term, score, rank].
+
+    Exact term-level TF-IDF (tf · ln((N+1)/(df+1)), smoothed) over the
+    exploded word list — term identity is preserved (unlike the
+    HashingTF trick), every stage is a grouped aggregate or a
+    per-document window, and the document-frequency table is a
+    broadcastable vocabulary aggregate.  Ties break on the term for
+    determinism."""
+    from pyspark.sql import Window
+
+    words = df.select(
+        F.col(key_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = words.groupBy(key_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(key_col).distinct().count()
+    docfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    scored = tf.join(F.broadcast(docfreq), on="term").withColumn(
+        "score",
+        F.round(
+            F.col("tf")
+            * F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)),
+            6,
+        ),
+    )
+    w = Window.partitionBy(key_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(key_col, "term", "score", "rank")
+    )

@@ -159,3 +159,36 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles) — single-permutation minhash, engine-portable."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return xtext.fingerprint(docs).select("doc_id", "fingerprint")
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM words
+  WHERE term <> '' GROUP BY doc_id, term
+),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+docfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT doc_id, tf.term,
+         ROUND(tf * LN((n_docs + 1.0) / (df + 1)), 6) AS score
+  FROM tf JOIN docfreq ON tf.term = docfreq.term, n
+)
+SELECT doc_id, term, score, rank FROM (
+  SELECT doc_id, term, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+) t WHERE rank <= 3
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact TF-IDF keyword extraction: top-3 terms per document
+    (broadcast vocabulary join + per-doc window)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return xtext.tfidf_top_terms(docs, k=3)

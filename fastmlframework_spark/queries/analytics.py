@@ -195,3 +195,79 @@ def ml_train_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 def flagship(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     """Driver smoke entry: q1 at sf0.001 unless overridden."""
     return q1_pricing_summary(spark, sf_dir or "/root/testdata/sf0.001")
+
+
+@query(
+    "q18_large_orders",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(l_quantity) > 150
+)
+SELECT c_name, o_orderkey, o_orderdate, o_totalprice,
+       ROUND(SUM(l_quantity), 2) AS total_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+""",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18 shape: group-by-HAVING derived key set semi-joined
+    back into a multi-join aggregate, then top-k.  The HAVING set is a
+    small aggregate — Catalyst broadcasts it as a semi-join filter on
+    the fact scan instead of shuffling lineitem twice."""
+    cust, orders, li = (
+        load_table(spark, sf_dir, t) for t in ("customer", "orders", "lineitem")
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(big), on="l_orderkey", how="left_semi")
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+WITH avg_q AS (
+  SELECT l_partkey, AVG(l_quantity) AS aq FROM lineitem GROUP BY l_partkey
+)
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN avg_q ON avg_q.l_partkey = lineitem.l_partkey
+WHERE p_brand = 'Brand#1' AND l_quantity < 0.2 * aq
+""",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17 shape: the correlated per-group average subquery
+    de-correlated into an aggregate + equi-join (what Catalyst's
+    subquery rewrite produces); brand filter pushes to the part scan
+    and the avg table broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#1"
+    )
+    avg_q = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("aq"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(avg_q, on="l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("aq"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+        )
+    )

@@ -188,3 +188,63 @@ def hard_vote_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["m1", "m2", "m3"],
         [5, 3, 2],
     )
+
+
+@query(
+    "events_moving_avg",
+    oracle="""
+SELECT event_id, user_id,
+       ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+           AS mov_avg
+FROM events WHERE value IS NOT NULL
+""",
+)
+def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 3-row moving average over event time — the rows-frame
+    window family (distributes over users; deterministic (ts,
+    event_id) ordering)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 4).alias("mov_avg"),
+    )
+
+
+@query(
+    "rollup_revenue",
+    oracle="""
+SELECT COALESCE(CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR), 'ALL') AS order_year,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       ROUND(SUM(o_totalprice), 2) AS revenue,
+       COUNT(*) AS n
+FROM orders
+GROUP BY ROLLUP (EXTRACT(year FROM o_orderdate), o_orderpriority)
+""",
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy (year → priority → grand total) in ONE pass —
+    the multi-level aggregate the reference would need three separate
+    groupbys for; partial aggregation applies per grouping set."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate").cast("string")
+    )
+    return (
+        o.rollup("order_year", "o_orderpriority")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("order_year", F.lit("ALL")).alias("order_year"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "revenue",
+            "n",
+        )
+    )

@@ -8,6 +8,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from fastmlframework_spark.core.tables import load_table
+from fastmlframework_spark.operators.asof import asof_join
 from fastmlframework_spark.queries.registry import query
 from fastmlframework_spark.streaming.windows import (
     sessionize_batch,
@@ -101,4 +102,45 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).alias("sum_k"),
         F.round(F.avg(k), 4).alias("avg_k"),
         F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "asof_latest_order",
+    oracle="""
+WITH ordagg AS (
+  SELECT o_custkey AS user_id, o_orderdate,
+         MAX(o_totalprice) AS px, MAX(o_orderkey) AS ref_order
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id,
+       ROUND(o.px, 2) AS px_asof, o.ref_order AS ref_order_asof
+FROM events e
+ASOF LEFT JOIN ordagg o
+  ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
+""",
+)
+def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) join: each event picks its user's most
+    recent order at-or-before the event time — the feature-store
+    lookup pattern.  Spark composition: union + last-non-null running
+    window per key (operators/asof.py); oracle is DuckDB's native
+    ASOF JOIN.  The right side is pre-aggregated to one row per
+    (user, date) so tie-breaking is deterministic in both engines."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders")
+    ordagg = orders.groupBy(
+        F.col("o_custkey").alias("user_id"), "o_orderdate"
+    ).agg(
+        F.max("o_totalprice").alias("px"),
+        F.max("o_orderkey").alias("ref_order"),
+    )
+    out = asof_join(
+        ev, ordagg, on=["user_id"], left_ts="ts", right_ts="o_orderdate"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("px_asof", 2).alias("px_asof"),
+        "ref_order_asof",
     )

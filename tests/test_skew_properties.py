@@ -128,3 +128,26 @@ def _session():
     from fastmlframework_spark.core.session import get_spark
 
     return get_spark(app_name="fastml-tests")
+
+
+def test_asof_join_semantics(spark):
+    """Tie matches (right_ts == left_ts), latest-preceding wins,
+    no-preceding-row yields nulls, keys don't leak across."""
+    from fastmlframework_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "e1"), (1, 20, "e2"), (1, 5, "e0"), (2, 10, "e3")],
+        "k long, ts long, ev string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "r10"), (1, 15, "r15"), (2, 99, "r99")],
+        "k long, rts long, pay string",
+    )
+    out = {
+        (r.k, r.ts): r.pay_asof
+        for r in asof_join(left, right, ["k"], "ts", "rts").collect()
+    }
+    assert out[(1, 10)] == "r10"   # tie matches
+    assert out[(1, 20)] == "r15"   # latest preceding
+    assert out[(1, 5)] is None     # nothing precedes
+    assert out[(2, 10)] is None    # r99 is later; r10/r15 are key 1

@@ -75,3 +75,65 @@ def asof_join(
         .withColumnRenamed("__ts", left_ts)
         .drop("__is_right")
     )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    lower: int,
+    upper: int,
+    suffixes: tuple[str, str] = ("_l", "_r"),
+) -> DataFrame:
+    """Range (interval) join: pairs where
+    ``lower <= right_ts - left_ts <= upper`` (epoch seconds), sharing
+    the equi-keys ``on``.
+
+    A naive theta-join degenerates to per-key cross products; here the
+    time axis is sharded into buckets of width (upper - lower + 1):
+    the left side lands in one bucket, the right side EXPLODES into
+    the (at most two) buckets its admissible window overlaps, and the
+    pair space reduces to an equi-join on (keys, bucket) + the exact
+    range predicate.  Shuffle volume is O(rows), never O(pairs).
+    """
+    if upper < lower:
+        raise ValueError("upper must be >= lower")
+    width = max(upper - lower + 1, 1)
+    keys = list(on)
+
+    lsec = F.unix_timestamp(F.col(left_ts))
+    rsec = F.unix_timestamp(F.col(right_ts))
+
+    lren = [
+        F.col(c).alias(f"{c}{suffixes[0]}")
+        for c in left.columns
+        if c not in keys
+    ]
+    rren = [
+        F.col(c).alias(f"{c}{suffixes[1]}")
+        for c in right.columns
+        if c not in keys
+    ]
+    l = left.select(  # noqa: E741
+        *keys, *lren, F.floor(lsec / width).alias("__bkt"),
+        lsec.alias("__lsec"),
+    )
+    r = right.select(
+        *keys,
+        *rren,
+        F.explode(
+            F.sequence(
+                F.floor((rsec - upper) / width),
+                F.floor((rsec - lower) / width),
+            )
+        ).alias("__bkt"),
+        rsec.alias("__rsec"),
+    )
+    delta = F.col("__rsec") - F.col("__lsec")
+    return (
+        l.join(r, on=keys + ["__bkt"])
+        .filter((delta >= lower) & (delta <= upper))
+        .drop("__bkt", "__lsec", "__rsec")
+    )

@@ -8,7 +8,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from fastmlframework_spark.core.tables import load_table
-from fastmlframework_spark.operators.asof import asof_join
+from fastmlframework_spark.operators.asof import asof_join, range_join
 from fastmlframework_spark.queries.registry import query
 from fastmlframework_spark.streaming.windows import (
     sessionize_batch,
@@ -144,3 +144,30 @@ def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("px_asof", 2).alias("px_asof"),
         "ref_order_asof",
     )
+
+
+@query(
+    "events_range_pairs",
+    oracle="""
+SELECT a.user_id, COUNT(*) AS n_pairs
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND epoch(b.ts) - epoch(a.ts) BETWEEN 1 AND 1800
+GROUP BY a.user_id
+""",
+)
+def events_range_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: per-user count of ordered event pairs within 30
+    minutes — bucket-sharded interval join (operators/asof.py
+    range_join), O(rows) shuffle instead of per-user cross products."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    pairs = range_join(
+        ev,
+        ev,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        lower=1,
+        upper=1800,
+    )
+    return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))

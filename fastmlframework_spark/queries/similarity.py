@@ -64,3 +64,32 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return xsim.lsh_topk(
         emb, emb.filter(F.col("vec_id") < 10), k=3, n_planes=4
     )
+
+
+@query(
+    "embedding_norm_stats",
+    oracle="""
+SELECT label,
+       ROUND(AVG(sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+                                                    x -> x * x), 'sum'))), 6)
+           AS avg_norm,
+       ROUND(AVG(list_aggregate(CAST(embedding AS DOUBLE[]), 'max')), 6)
+           AS avg_max_component,
+       COUNT(*) AS n
+FROM embeddings GROUP BY label
+""",
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions as aggregation inputs: per-label
+    mean L2 norm and mean max-component of the embedding vectors —
+    one scan, per-row lambda expressions feeding a grouped aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = F.expr(
+        "sqrt(aggregate(embedding, 0.0D, (a, v) -> a + cast(v as double) * v))"
+    )
+    vmax = F.expr("cast(array_max(embedding) as double)")
+    return emb.groupBy("label").agg(
+        F.round(F.avg(norm), 6).alias("avg_norm"),
+        F.round(F.avg(vmax), 6).alias("avg_max_component"),
+        F.count(F.lit(1)).alias("n"),
+    )

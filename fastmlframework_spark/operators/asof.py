@@ -103,8 +103,11 @@ def range_join(
     width = max(upper - lower + 1, 1)
     keys = list(on)
 
-    lsec = F.unix_timestamp(F.col(left_ts))
-    rsec = F.unix_timestamp(F.col(right_ts))
+    # Fractional epoch seconds (cast keeps sub-second precision;
+    # unix_timestamp would TRUNCATE and silently shift range
+    # boundaries for sub-second timestamps).
+    lsec = F.col(left_ts).cast("double")
+    rsec = F.col(right_ts).cast("double")
 
     lren = [
         F.col(c).alias(f"{c}{suffixes[0]}")

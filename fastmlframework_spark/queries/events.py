@@ -152,7 +152,8 @@ def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT a.user_id, COUNT(*) AS n_pairs
 FROM events a JOIN events b
   ON a.user_id = b.user_id
- AND epoch(b.ts) - epoch(a.ts) BETWEEN 1 AND 1800
+ AND epoch(CAST(b.ts AS TIMESTAMP)) - epoch(CAST(a.ts AS TIMESTAMP))
+     BETWEEN 1 AND 1800
 GROUP BY a.user_id
 """,
 )

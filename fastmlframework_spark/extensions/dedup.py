@@ -110,14 +110,16 @@ def ngram_jaccard_pairs(
             sizes.select(F.col(key_col).alias("key_b"), F.col("n_sh").alias("nb")),
             on="key_b",
         )
+        # Threshold the UNROUNDED ratio (matching the SQL oracle);
+        # rounding only in the final projection.  Filtering the rounded
+        # value would keep pairs that round up across the threshold
+        # (e.g. true jaccard 0.5999996 at threshold 0.6).
         .withColumn(
-            "jaccard",
-            F.round(
-                F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6
-            ),
+            "__jacc",
+            F.col("common") / (F.col("na") + F.col("nb") - F.col("common")),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("key_a", "key_b", "jaccard")
+        .filter(F.col("__jacc") >= threshold)
+        .select("key_a", "key_b", F.round("__jacc", 6).alias("jaccard"))
     )
     return out
 
@@ -400,8 +402,21 @@ def connected_components(
         labels = updated.drop("__chg")
         if changed == 0:
             break
+    else:
+        # Silent non-convergence would hand back wrong component ids
+        # for any component with diameter > max_iter.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"iterations ({changed} labels still changing); raise "
+            "max_iter (rounds needed = component diameter)"
+        )
     both.unpersist()
     return labels
+
+
+#: Hard ceiling for the exact all-pairs path.  Above this the O(n²)
+#: cross join is a cartesian scale-killer; use ``lsh_dup_pairs``.
+MAX_EXACT_ROWS = 100_000
 
 
 def embedding_dup_pairs(
@@ -409,6 +424,7 @@ def embedding_dup_pairs(
     key_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    max_rows: int | None = MAX_EXACT_ROWS,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs → [key_a, key_b, cosine].
 
@@ -423,9 +439,22 @@ def embedding_dup_pairs(
     * streamed side repartitioned over all cores (small inputs arrive
       as 1-2 parquet splits).
 
-    The sub-quadratic path for 100 TB is the hyperplane-bucketed
-    variant in similarity.lsh_topk (same verify expression)."""
+    This is the ORACLE path only (recall ground truth for the LSH
+    variant) and is size-guarded: above ``max_rows`` rows it raises
+    instead of launching a cartesian join that cannot finish at scale.
+    The sub-quadratic path for 100 TB is ``lsh_dup_pairs`` /
+    similarity.lsh_topk (same verify expression); pass
+    ``max_rows=None`` to bypass the guard deliberately."""
     from fastmlframework_spark.extensions.similarity import vec_dim
+
+    if max_rows is not None:
+        n = df.count()
+        if n > max_rows:
+            raise ValueError(
+                f"embedding_dup_pairs is the exact O(n²) oracle path; "
+                f"input has {n} rows > max_rows={max_rows}. Use "
+                "lsh_dup_pairs (sub-quadratic) or pass max_rows=None."
+            )
 
     dim = vec_dim(df, vec_col)
     prefix = min(16, dim)

@@ -38,7 +38,10 @@ def asof_join(
         right_cols
         or [c for c in right.columns if c not in keys and c != right_ts]
     )
-    left_payload = [c for c in left.columns if c not in keys]
+    # left_ts must NOT be in the payload: __ts is renamed back to
+    # left_ts at the end, so carrying it twice would leave a duplicate,
+    # ambiguous timestamp column in the output.
+    left_payload = [c for c in left.columns if c not in keys and c != left_ts]
 
     r = right.select(
         *keys,

@@ -68,26 +68,36 @@ def one_hot_columns(
     """``pd.get_dummies`` equivalent (preprocessing.py:84-86/:136-150):
     one 0/1 indicator column per observed category value.
 
-    The (small) category domain is collected per column, then encoding
-    is a pure projection of equality flags — no shuffle of the main
-    table, scale-independent.  F6 note: the reference uppercases ALL
-    column names after OHE (a documented over-reach,
-    preprocessing.py:147-148 / SURVEY §7.4); here only the new
-    indicator columns are uppercased."""
+    All category domains are collected in ONE aggregate job (a single
+    ``collect_set`` per column — not a per-column ``distinct``
+    round-trip), then encoding is a pure projection of equality flags:
+    no shuffle of the main table, scale-independent.  Each
+    ``collect_set`` is capped JVM-side at ``max_categories + 1``
+    elements, so a runaway high-cardinality column is detected and
+    raises without the full domain ever reaching the driver.  F6 note:
+    the reference uppercases ALL column names after OHE (a documented
+    over-reach, preprocessing.py:147-148 / SURVEY §7.4); here only the
+    new indicator columns are uppercased."""
     import re
 
+    if not cols:
+        return df
+    domains_row = df.agg(
+        *[
+            F.expr(
+                f"slice(array_sort(collect_set(`{c}`)), 1, {max_categories + 1})"
+            ).alias(c)
+            for c in cols
+        ]
+    ).collect()[0]
     out = df
     for c in cols:
-        vals = sorted(
-            r[0]
-            for r in df.select(c).distinct().collect()
-            if r[0] is not None
-        )
+        vals = sorted(v for v in (domains_row[c] or []) if v is not None)
         if len(vals) > max_categories:
             raise ValueError(
-                f"{c}: {len(vals)} categories exceeds max_categories="
-                f"{max_categories} (OHE on high-cardinality columns "
-                "explodes the schema; use StringIndexer instead)"
+                f"{c}: more than max_categories={max_categories} "
+                "categories (OHE on high-cardinality columns explodes "
+                "the schema; use StringIndexer instead)"
             )
         for v in vals:
             name = re.sub(r"[^0-9a-zA-Z_]", "_", f"{c}_{v}")

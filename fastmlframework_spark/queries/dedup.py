@@ -131,6 +131,9 @@ SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id % 10 = 0
 
 @query(
     "dedup_embedding_cosine",
+    bench=False,  # oracle-only: exact O(n²) recall ground truth for
+    # dedup_embedding_lsh — size-guarded in embedding_dup_pairs and
+    # never the benched/production path.
     oracle=f"""
 WITH corpus AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM ({_EMBED_CORPUS_SQL}) e

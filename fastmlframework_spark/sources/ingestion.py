@@ -148,6 +148,13 @@ def ingest_csv(
     if narrow:
         df, narrowed = narrow_schema(df)
     df, minted = mint_key(df, index_column, key_col)
+    if minted and nrows is not None:
+        # `limit(n)` over a multi-split scan may pick different rows on
+        # each re-evaluation, so a key minted on top of it would not be
+        # a stable key→row mapping.  Materialize once (debug path only:
+        # nrows-sized, tiny) so every downstream action sees the same
+        # rows with the same minted keys.
+        df = df.localCheckpoint(eager=True)
     report = IngestReport(
         row_count=df.count(),
         narrowed=narrowed,

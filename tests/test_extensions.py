@@ -190,10 +190,71 @@ def test_lsh_dup_pairs_full_recall_on_exact_copies(spark, sf_dir_small):
         (F.col("vec_id") - 10000).alias("key_a"),
         F.col("vec_id").alias("key_b"),
     )
-    found = xdedup.lsh_dup_pairs(corpus, threshold=0.999)
+    found = xdedup.lsh_dup_pairs(corpus, threshold=0.999).cache()
     missing = planted.join(found, on=["key_a", "key_b"], how="left_anti")
     assert missing.count() == 0
-    # bucketed candidates are a SUBSET of the exact pair scan
-    exact = xdedup.embedding_dup_pairs(corpus, threshold=0.999)
+    # bucketed candidates are a SUBSET of the exact pair scan, and
+    # recall vs the exact oracle clears the 0.9 bar (near-identical
+    # vectors share every hyperplane sign with high probability)
+    exact = xdedup.embedding_dup_pairs(corpus, threshold=0.999).cache()
     extra = found.join(exact, on=["key_a", "key_b"], how="left_anti")
     assert extra.count() == 0
+    n_exact = exact.count()
+    n_hit = exact.join(found, on=["key_a", "key_b"], how="left_semi").count()
+    assert n_exact > 0 and n_hit / n_exact >= 0.9
+
+
+def test_embedding_dup_pairs_guards_quadratic_blowup(spark, sf_dir_small):
+    """The exact all-pairs path is the oracle only: above max_rows it
+    must refuse to launch the cartesian join."""
+    emb = load_table(spark, sf_dir_small, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    with pytest.raises(ValueError, match="max_rows"):
+        xdedup.embedding_dup_pairs(emb, threshold=0.999, max_rows=10)
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    """Diameter > max_iter must raise, never silently return wrong
+    component ids (a path graph of 6 nodes has diameter 5)."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)], "key_a long, key_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        xdedup.connected_components(edges, max_iter=2)
+
+
+def test_one_hot_single_collect_job(spark, monkeypatch):
+    """OHE over N columns must issue exactly ONE driver round-trip
+    (a single combined collect_set agg), not one distinct() per column."""
+    from fastmlframework_spark.operators.transforms import one_hot_columns
+
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y"), (3, "a", "z")], "id long, c1 string, c2 string"
+    )
+    # Patch the CONCRETE DataFrame class (Spark 4 classic mode
+    # subclasses pyspark.sql.DataFrame, which would not intercept).
+    cls = type(df)
+    calls = {"n": 0}
+    orig = cls.collect
+
+    def counting(self):
+        calls["n"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(cls, "collect", counting)
+    out = one_hot_columns(df, ["c1", "c2"])
+    cols = set(out.columns)
+    assert {"C1_A", "C1_B", "C2_X", "C2_Y", "C2_Z"} <= cols
+    assert calls["n"] == 1
+    monkeypatch.undo()
+    row = {r.id: r for r in out.collect()}
+    assert (row[1].C1_A, row[1].C1_B, row[3].C2_Z) == (1, 0, 1)
+
+
+def test_one_hot_max_categories_guard(spark):
+    from fastmlframework_spark.operators.transforms import one_hot_columns
+
+    df = spark.range(50).withColumn("c", F.concat(F.lit("v"), F.col("id")))
+    with pytest.raises(ValueError, match="max_categories"):
+        one_hot_columns(df, ["c"], max_categories=10)

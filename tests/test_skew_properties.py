@@ -143,10 +143,12 @@ def test_asof_join_semantics(spark):
         [(1, 10, "r10"), (1, 15, "r15"), (2, 99, "r99")],
         "k long, rts long, pay string",
     )
-    out = {
-        (r.k, r.ts): r.pay_asof
-        for r in asof_join(left, right, ["k"], "ts", "rts").collect()
-    }
+    res = asof_join(left, right, ["k"], "ts", "rts")
+    # Output schema carries each column exactly once (a duplicate ts
+    # would make every select of it AMBIGUOUS_REFERENCE).
+    assert sorted(res.columns) == ["ev", "k", "pay_asof", "ts"]
+    assert res.select("ts").count() == 4  # selectable, not ambiguous
+    out = {(r.k, r.ts): r.pay_asof for r in res.collect()}
     assert out[(1, 10)] == "r10"   # tie matches
     assert out[(1, 20)] == "r15"   # latest preceding
     assert out[(1, 5)] is None     # nothing precedes

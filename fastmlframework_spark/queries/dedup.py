@@ -122,6 +122,61 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return xdedup.simhash_pairs(_corpus(spark, sf_dir), bits=64, max_hamming=3)
 
 
+# --- Invariant oracles for the sketch paths (VERDICT r1 #5) -------------
+# Banding/bit layouts are engine-specific, so the sketch outputs have no
+# literal SQL twin — but their RECALL contract does: identical texts have
+# identical minhash signatures (every band agrees) and identical simhash
+# fingerprints (hamming 0), so the candidate sets MUST cover every
+# exact-duplicate pair.  The Spark side semi-joins the exact-dup pairs
+# against the sketch candidates; the oracle is ALL exact-dup pairs.  Any
+# missed pair ⇒ row-count/hash mismatch ⇒ red driver row.
+
+_EXACT_PAIRS_SQL = f"""
+WITH corpus AS ({_CORPUS_SQL}),
+dg AS (SELECT doc_id, md5(text) AS g FROM corpus)
+SELECT a.doc_id AS key_a, b.doc_id AS key_b
+FROM dg a JOIN dg b ON a.g = b.g AND a.doc_id < b.doc_id
+"""
+
+
+def _exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _corpus(spark, sf_dir).select("doc_id", F.md5("text").alias("g"))
+    a = d.select(F.col("doc_id").alias("key_a"), "g")
+    b = d.select(F.col("doc_id").alias("key_b"), "g")
+    return (
+        a.join(b, on="g")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b")
+    )
+
+
+@query("dedup_minhash_covers_exact", oracle=_EXACT_PAIRS_SQL, bench=False)
+def dedup_minhash_covers_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall invariant: exact-dup pairs found by the MinHash+LSH
+    candidate join.  Must equal the full exact-dup pair set (identical
+    signatures agree in every band), turning the sketch's rows-only
+    status into a hard driver-checked oracle."""
+    cands = xdedup.minhash_lsh_pairs(
+        _corpus(spark, sf_dir), n=3, num_hashes=8, bands=4, verify_threshold=0.5
+    ).select("key_a", "key_b")
+    return _exact_pairs(spark, sf_dir).join(
+        cands, on=["key_a", "key_b"], how="left_semi"
+    )
+
+
+@query("dedup_simhash_covers_exact", oracle=_EXACT_PAIRS_SQL, bench=False)
+def dedup_simhash_covers_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall invariant: exact-dup pairs found by the SimHash
+    block-LSH join (identical texts ⇒ hamming 0 ≤ budget) — driver-
+    checked twin of ``dedup_simhash``'s recall contract."""
+    cands = xdedup.simhash_pairs(
+        _corpus(spark, sf_dir), bits=64, max_hamming=3
+    ).select("key_a", "key_b")
+    return _exact_pairs(spark, sf_dir).join(
+        cands, on=["key_a", "key_b"], how="left_semi"
+    )
+
+
 _EMBED_CORPUS_SQL = """
 SELECT vec_id, embedding FROM embeddings
 UNION ALL

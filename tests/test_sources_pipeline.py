@@ -135,6 +135,94 @@ def test_hocon_subset_parser():
     assert get_path(cfg, "hpo_settings.pbounds.regParam") == [0.0, 0.5]
 
 
+def test_hocon_substitutions_and_concat():
+    cfg = parse_hocon(
+        """
+        dirs { root = /data }
+        a = 10
+        b = ${a}
+        path = ${dirs.root}/out
+        maybe = ${?nope}
+        merged { x = 1 }
+        merged { y = ${a} }
+        lists = [1, 2] [3]
+        deep { metric = ${modeling.eval_metric} }
+        modeling { eval_metric = auc }
+        """
+    )
+    assert cfg["b"] == 10
+    assert cfg["path"] == "/data/out"
+    assert "maybe" not in cfg  # optional substitution with no target vanishes
+    assert cfg["merged"] == {"x": 1, "y": 10}
+    assert cfg["lists"] == [1, 2, 3]
+    assert get_path(cfg, "deep.metric") == "auc"  # forward reference
+
+
+def test_hocon_required_substitution_raises():
+    from fastmlframework_spark.sources.config import ConfigError
+
+    with pytest.raises(ConfigError, match="unresolved substitution"):
+        parse_hocon("a = ${does.not.exist}")
+    with pytest.raises(ConfigError, match="cycle"):
+        parse_hocon("a = ${b}\nb = ${a}")
+
+
+def test_hocon_include(tmp_path):
+    (tmp_path / "base.conf").write_text("shared { seed = 7 }\nname = base\n")
+    main = tmp_path / "main.conf"
+    main.write_text(
+        'include "base.conf"\nname = main\nseed2 = ${shared.seed}\n'
+    )
+    from fastmlframework_spark.sources.config import load_config
+
+    cfg = load_config(str(main))
+    assert cfg["name"] == "main"  # including file overrides include
+    assert cfg["shared"]["seed"] == 7
+    assert cfg["seed2"] == 7
+
+
+@pytest.mark.parametrize(
+    "conf",
+    [
+        "/root/reference/examples/classification/multiclass/iris/configs/solution.conf",
+        "/root/reference/examples/classification/binary/credit_scoring/configs/solution.conf",
+    ],
+)
+def test_hocon_parses_reference_solution_confs(conf):
+    """Full-parity check on the reference's REAL configs (heavy
+    ${path} substitution users — generic_tools/config_parser.py:29-43
+    semantics)."""
+    import os
+
+    if not os.path.exists(conf):
+        pytest.skip("reference tree not present")
+    cfg = parse_hocon(open(conf).read(), base_dir=os.path.dirname(conf))
+    # every ${...} must be resolved to its target's literal value
+    assert get_path(cfg, "raw_data_settings.target_column") == "TARGET"
+    em = get_path(cfg, "modeling_settings.lightgbm.eval_metric")
+    assert isinstance(em, str) and "${" not in em
+    assert (
+        get_path(
+            cfg,
+            "features_selection.target_permutation.lgbm_params.feats_exploration.metric",
+        )
+        == em
+    )
+    assert get_path(cfg, "stacker.lightgbm.eval_metric") == em
+    assert get_path(cfg, "stacker.lightgbm.metrics_decimals") == get_path(
+        cfg, "modeling_settings.cv_params.metrics_decimals"
+    )
+    # no unresolved markers anywhere in the tree
+    def walk(v):
+        if isinstance(v, dict):
+            return all(walk(x) for x in v.values())
+        if isinstance(v, list):
+            return all(walk(x) for x in v)
+        return not (isinstance(v, str) and "${" in v)
+
+    assert walk(cfg)
+
+
 # ---------------------------------------------------------------- tasks
 
 

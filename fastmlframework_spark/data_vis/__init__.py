@@ -8,7 +8,14 @@ every data-preparation function remains fully usable and tested."""
 
 from fastmlframework_spark.data_vis.plots import (  # noqa: F401
     HAVE_MATPLOTLIB,
+    prepare_confusion,
+    prepare_correlation_heatmap,
+    prepare_cv_scores,
     prepare_feature_histogram,
+    prepare_feature_train_vs_test,
+    prepare_feature_vs_target,
+    prepare_importance_topk,
+    prepare_missing_values,
     prepare_target_crosstab,
     save_figure,
 )

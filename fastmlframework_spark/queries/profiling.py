@@ -164,3 +164,93 @@ def profile_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def profile_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A19: distinct label values (class-label discovery)."""
     return profiling.distinct_values(load_table(spark, sf_dir, "orders"), "o_orderstatus")
+
+
+# ---------------- data_vis preps (visualization.py:30-183) ----------------
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+def _corr_heatmap_oracle() -> str:
+    pairs = [
+        (a, b)
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1 :]
+    ]
+    parts = [
+        f"SELECT '{a}' AS col_x, '{b}' AS col_y,"
+        f" ROUND(CORR({a}, {b}), 6) AS corr FROM lineitem"
+        for a, b in pairs
+    ] + [
+        f"SELECT '{b}', '{a}', ROUND(CORR({a}, {b}), 6) FROM lineitem"
+        for a, b in pairs
+    ] + [f"SELECT '{c}', '{c}', 1.0" for c in _CORR_COLS]
+    return " UNION ALL ".join(parts)
+
+
+@query("vis_corr_heatmap", oracle=_corr_heatmap_oracle())
+def vis_corr_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation-heatmap prep: full symmetric matrix (mirror + unit
+    diagonal) in long form, all correlations from ONE scan."""
+    from fastmlframework_spark.data_vis.plots import prepare_correlation_heatmap
+
+    return prepare_correlation_heatmap(
+        load_table(spark, sf_dir, "lineitem"), _CORR_COLS
+    )
+
+
+@query(
+    "vis_feature_vs_target",
+    oracle="""
+SELECT CAST(FLOOR(o_totalprice / 50000.0) AS INT) * 50000.0 AS bin_start,
+       (CAST(FLOOR(o_totalprice / 50000.0) AS INT) + 1) * 50000.0 AS bin_end,
+       o_orderstatus AS target_value,
+       COUNT(*) AS n
+FROM orders
+WHERE o_totalprice >= 0 AND o_totalprice < 500000
+GROUP BY 1, 2, 3
+""",
+)
+def vis_feature_vs_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned feature-vs-target prep (plot_numerical_feature_vs_target):
+    left-closed pd.cut bins, out-of-range rows dropped, counts stacked
+    per target class."""
+    from fastmlframework_spark.data_vis.plots import prepare_feature_vs_target
+
+    return prepare_feature_vs_target(
+        load_table(spark, sf_dir, "orders"),
+        "o_totalprice",
+        "o_orderstatus",
+        val_min=0.0,
+        val_max=500000.0,
+        bin_size=50000.0,
+    )
+
+
+@query(
+    "vis_missing_split",
+    oracle=f"""
+WITH base AS ({_EVENTS_NULLS}),
+train AS (SELECT * FROM base WHERE value IS NOT NULL),
+test AS (SELECT event_id, user_id, props FROM base WHERE value IS NULL),
+stats AS (
+  SELECT 'train' AS split, 'props' AS "column",
+         COUNT(*) FILTER (props IS NULL) AS n_missing,
+         ROUND(100.0 * COUNT(*) FILTER (props IS NULL) / COUNT(*), 4) AS pct_missing
+  FROM train
+  UNION ALL
+  SELECT 'test', 'props',
+         COUNT(*) FILTER (props IS NULL),
+         ROUND(100.0 * COUNT(*) FILTER (props IS NULL) / COUNT(*), 4)
+  FROM test
+)
+SELECT split, "column", n_missing, pct_missing FROM stats WHERE n_missing > 0
+""",
+)
+def vis_missing_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-data plot prep (plot_missing_values_stats): the
+    concatenated frame splits on target null-ness, per-split missing
+    stats, features with missing values only."""
+    from fastmlframework_spark.data_vis.plots import prepare_missing_values
+
+    return prepare_missing_values(_events_with_nulls(spark, sf_dir), "value")

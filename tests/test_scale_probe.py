@@ -1,0 +1,52 @@
+"""Scaling-law certification for the dedup/ANN family (VERDICT r1 #7).
+
+tools/scale_probe.py --exponents fits t = a * sf^b per query over the
+sf0.001 → 0.01 → 0.1 testdata (100× data range) and commits the JSON;
+this test pins the contract: every bucketed/banded path must stay well
+sub-quadratic (b < 1.5) — a cartesian or per-key-cross-product
+regression would show b → 2 immediately.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+_JSON = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tools",
+    "scale_probe_exponents.json",
+)
+
+_BUCKETED = (
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_lsh",
+    "dedup_components",
+    "ann_topk_bruteforce",
+    "ann_topk_lsh",
+)
+
+
+@pytest.fixture(scope="module")
+def probe():
+    if not os.path.exists(_JSON):
+        pytest.skip("probe artifact not generated yet")
+    with open(_JSON) as fh:
+        return json.load(fh)
+
+
+@pytest.mark.parametrize("name", _BUCKETED)
+def test_bucketed_paths_are_subquadratic(probe, name):
+    q = probe["queries"].get(name)
+    assert q is not None, f"{name} missing from probe artifact"
+    assert q["exponent"] < 1.5, f"{name} scaling exponent {q['exponent']}"
+
+
+def test_probe_covers_three_scales(probe):
+    for name, q in probe["queries"].items():
+        assert len(q["sf"]) == 3 and len(q["sec"]) == 3, name
+        assert q["sf"] == sorted(q["sf"]), name

@@ -62,16 +62,98 @@ def replicate(spark, src: str, out: str, factor: int) -> None:
         df.write.mode("overwrite").parquet(os.path.join(out, f"{t}.parquet"))
 
 
+# Queries whose scaling law we certify each round: the dedup/ANN family
+# (the paths DESIGNED to be sub-quadratic) plus two grouped-agg controls.
+EXPONENT_QUERIES = (
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_lsh",
+    "dedup_components",
+    "ann_topk_bruteforce",
+    "ann_topk_lsh",
+    "q1_pricing_summary",
+    "window_topk_per_group",
+)
+
+
+def probe_exponents(
+    spark,
+    sf_dirs: list[str],
+    queries: list[str],
+    repeats: int = 2,
+) -> dict:
+    """Time each query at each scale factor and fit the scaling
+    exponent b of t = a * sf^b (least-squares in log-log space).
+
+    b ≈ 1 is linear, b ≈ 2 quadratic.  Fixed overhead (session, plan
+    compile, codegen) deflates the estimate at small scales, so this is
+    a smoke alarm for super-linear blowups, not a precision fit —
+    exactly what we need: the bucketed dedup/ANN paths must stay well
+    under 1.5 over a 100× data range.
+    """
+    import math
+
+    qs = all_queries()
+    sfs = [float(os.path.basename(d.rstrip("/")).replace("sf", "")) for d in sf_dirs]
+    out: dict = {"sf_dirs": sf_dirs, "queries": {}}
+    for name in queries:
+        fn = qs[name]
+        fn(spark, sf_dirs[0]).write.format("noop").mode("overwrite").save()  # warm-up
+        times = []
+        for d in sf_dirs:
+            best = min(
+                _timed(lambda: fn(spark, d).write.format("noop").mode("overwrite").save())
+                for _ in range(repeats)
+            )
+            times.append(round(best, 4))
+        xs = [math.log(s) for s in sfs]
+        ys = [math.log(t) for t in times]
+        n = len(xs)
+        xbar, ybar = sum(xs) / n, sum(ys) / n
+        slope = sum((x - xbar) * (y - ybar) for x, y in zip(xs, ys)) / sum(
+            (x - xbar) ** 2 for x in xs
+        )
+        out["queries"][name] = {"sf": sfs, "sec": times, "exponent": round(slope, 4)}
+        print(f"{name:28s} exponent={slope:+.3f}  times={times}")
+    return out
+
+
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="/tmp/scale_probe")
     ap.add_argument("--queries", default=DEFAULT_QUERIES)
+    ap.add_argument(
+        "--exponents",
+        action="store_true",
+        help="fit scaling exponents over the sf0.001/0.01/0.1 testdata "
+        "instead of replicating data",
+    )
+    ap.add_argument("--json-out", default="tools/scale_probe_exponents.json")
     args = ap.parse_args()
 
     spark = get_spark(app_name="scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.exponents:
+        import json
+
+        base = os.path.dirname(args.src.rstrip("/"))
+        sf_dirs = [os.path.join(base, f"sf{s}") for s in ("0.001", "0.01", "0.1")]
+        result = probe_exponents(spark, sf_dirs, list(EXPONENT_QUERIES))
+        with open(args.json_out, "w") as fh:
+            json.dump(result, fh, indent=1, sort_keys=True)
+        print(f"wrote {args.json_out}")
+        return
+
     replicate(spark, args.src, args.out, args.factor)
     qs = all_queries()
     for name in args.queries.split(","):

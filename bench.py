@@ -61,6 +61,7 @@ def main() -> None:
             timings[name] = -1.0
 
     ok = {k: v for k, v in timings.items() if v >= 0}
+    _write_regression_report(timings, sf)
     print(
         json.dumps(
             {
@@ -72,6 +73,41 @@ def main() -> None:
             }
         )
     )
+
+
+def _write_regression_report(timings: dict[str, float], sf: float) -> None:
+    """Compare against the round-1 baseline (BENCH_r01.json) and write
+    BENCH_COMPARE.json flagging any query >2× its baseline time.
+    Never interferes with the stdout contract: file + stderr only."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    base_path = os.path.join(here, "BENCH_r01.json")
+    if not os.path.exists(base_path):
+        return
+    try:
+        with open(base_path) as fh:
+            raw = json.load(fh)
+        baseline = json.loads(raw["tail"].strip().split("\r")[-1])
+        if baseline.get("sf") != sf:
+            return  # only comparable at the same scale factor
+        base_q = baseline.get("queries", {})
+    except (KeyError, ValueError, json.JSONDecodeError):
+        return
+    report: dict = {"baseline": "BENCH_r01", "sf": sf, "queries": {}, "regressions": []}
+    for name, t in sorted(timings.items()):
+        b = base_q.get(name)
+        entry = {"sec": t, "baseline_sec": b}
+        if b is not None and b > 0 and t > 0:
+            entry["ratio"] = round(t / b, 3)
+            if t > 2.0 * b:
+                report["regressions"].append(name)
+                print(
+                    f"bench: REGRESSION {name}: {t:.2f}s vs baseline "
+                    f"{b:.2f}s ({t / b:.1f}x)",
+                    file=sys.stderr,
+                )
+        report["queries"][name] = entry
+    with open(os.path.join(here, "BENCH_COMPARE.json"), "w") as fh:
+        json.dump(report, fh, indent=1, sort_keys=True)
 
 
 def _run(df) -> None:

@@ -91,6 +91,11 @@ class FittedModel:
         if hasattr(m, "featureImportances"):
             vec = m.featureImportances
             vals = vec.toArray().tolist()
+        elif getattr(m, "numClasses", 2) > 2 and hasattr(m, "coefficientMatrix"):
+            # Multinomial LR: |coef| summed over classes per feature
+            # (accessing .coefficients raises on multinomial models).
+            mat = m.coefficientMatrix.toArray()
+            vals = [float(sum(abs(x) for x in col)) for col in zip(*mat)]
         elif hasattr(m, "coefficients"):
             vals = [abs(x) for x in m.coefficients.toArray().tolist()]
         else:  # pragma: no cover

@@ -95,3 +95,43 @@ def test_fold_assignment_no_global_sort(spark, sf_dir_small):
     global sort, no exchange beyond the scan."""
     plan = _plan(spark, sf_dir_small, "fold_assignment_hash")
     assert "Sort " not in plan or "SortMergeJoin" in plan, plan
+
+
+def test_q6_fully_pushed_scan(spark, sf_dir_small):
+    """Q6 is a zero-join scan: every predicate must reach PushedFilters
+    and the scan reads only the 4 touched columns."""
+    plan = _plan(spark, sf_dir_small, "q6_forecast_revenue")
+    assert re.search(r"PushedFilters: \[.*l_shipdate.*\]", plan), plan
+    assert re.search(r"PushedFilters: \[.*l_discount.*\]", plan), plan
+    assert re.search(r"PushedFilters: \[.*l_quantity.*\]", plan), plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert read_cols <= {
+        "l_shipdate", "l_discount", "l_quantity", "l_extendedprice"
+    }, read_cols
+    assert "Join" not in plan
+
+
+def test_q4_semi_join_shape(spark, sf_dir_small):
+    """EXISTS must compile to a LeftSemi join (dedup inside the join),
+    with the date filter pushed to the orders scan."""
+    plan = _plan(spark, sf_dir_small, "q4_priority_with_returns")
+    assert "LeftSemi" in plan, plan
+    assert re.search(r"PushedFilters: \[.*o_orderdate.*\]", plan), plan
+    assert re.search(r"PushedFilters: \[.*l_returnflag.*\]", plan), plan
+
+
+def test_q16_broadcast_anti_join(spark, sf_dir_small):
+    """The NOT-IN supplier exclusion must be a broadcast LeftAnti —
+    never a shuffled anti-join of the fact table."""
+    plan = _plan(spark, sf_dir_small, "q16_part_supplier_counts")
+    assert re.search(r"Broadcast.*Join.*LeftAnti|LeftAnti.*Broadcast", plan, re.S), plan
+
+
+def test_q22_no_collect_threshold(spark, sf_dir_small):
+    """The scalar avg-balance threshold crosses in as a broadcast
+    nested-loop cross join of a 1-row aggregate (plan-side, no driver
+    round-trip), and the recent-customer set anti-joins broadcast."""
+    plan = _plan(spark, sf_dir_small, "q22_idle_rich_customers")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "LeftAnti" in plan, plan

@@ -254,6 +254,41 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return xdedup.connected_components(pairs)
 
 
+@query(
+    "dedup_embedding_lsh_covers_planted",
+    bench=False,
+    oracle=f"""
+SELECT vec_id AS key_a, vec_id + 10000 AS key_b
+FROM ({_EMBED_CORPUS_SQL}) e
+WHERE vec_id % 10 = 0 AND vec_id < 10000
+""",
+)
+def dedup_embedding_lsh_covers_planted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Recall invariant for the hyperplane-bucketed path: identical
+    vectors share every hyperplane sign, so the LSH join MUST find
+    every planted (v, v+10000) exact-copy pair — driver-checked twin
+    of ``dedup_embedding_lsh``'s recall contract (same pattern as the
+    minhash/simhash covers_exact oracles)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.unionByName(
+        emb.filter(F.col("vec_id") % 10 == 0).select(
+            (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+        )
+    )
+    planted = corpus.filter(
+        (F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 10000)
+    ).select(
+        F.col("vec_id").alias("key_a"),
+        (F.col("vec_id") + 10000).alias("key_b"),
+    )
+    found = xdedup.lsh_dup_pairs(corpus, threshold=0.999).select(
+        "key_a", "key_b"
+    )
+    return planted.join(found, on=["key_a", "key_b"], how="left_semi")
+
+
 @query("dedup_embedding_lsh", bench=True)
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-bucketed embedding near-dup pairs (≥ 0.999) — the

@@ -4,10 +4,13 @@ The driver testdata has no binary media columns, so the query derives
 an opaque ``binary`` column from the documents table (utf-8 bytes as
 stand-in media payloads — same schema/partitioning/batch shape as real
 image bytes).  The decode step is the deterministic fake from
-``extensions.multimodal`` (codec libraries absent in this container),
-so the check is rows-only: the Spark-side contract — binary column →
-``mapInPandas`` feature extraction → typed aggregate — is exactly what
-a real decoder would run through.
+``extensions.multimodal`` (codec libraries absent in this container) —
+but the fake is a pure polynomial byte hash, so the WHOLE pipeline
+(binary column → Arrow-batched ``mapInPandas`` feature extraction →
+typed aggregate) has an exact DuckDB twin via ``list_reduce`` over the
+character codes (documents are ASCII; byte == char code).  This
+upgrades the check from rows-only to a full driver-verified oracle:
+the Pandas-UDF path itself is hash-checked cross-engine.
 """
 
 from __future__ import annotations
@@ -20,7 +23,30 @@ from fastmlframework_spark.extensions.multimodal import extract_media_features
 from fastmlframework_spark.queries.registry import query
 
 
-@query("multimodal_features", bench=True)
+_MM_ORACLE = """
+WITH f AS (
+  SELECT doc_id,
+         'fake/' || lang AS media_format,
+         octet_length(encode(text)) AS n_bytes,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(split(substring(text, 1, 4096), ''),
+                            c -> CAST(ascii(c) AS BIGINT))),
+           (acc, x) -> (acc * 131 + x) % 1099511627776) AS checksum
+  FROM documents
+)
+SELECT media_format,
+       COUNT(*) AS n_items,
+       ROUND(AVG(n_bytes), 4) AS avg_bytes,
+       ROUND(AVG(16 + checksum % 1024), 4) AS avg_width,
+       ROUND(AVG(16 + (checksum // 1024) % 1024), 4) AS avg_height
+FROM f
+GROUP BY media_format
+ORDER BY media_format
+"""
+
+
+@query("multimodal_features", oracle=_MM_ORACLE, bench=True)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column → per-format feature aggregate:
     [media_format, n_items, avg_bytes, avg_width, avg_height]."""

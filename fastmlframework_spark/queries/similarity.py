@@ -67,6 +67,39 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_lsh_planted_top1",
+    bench=False,
+    oracle="""
+SELECT vec_id AS query_id, vec_id + 10000 AS vec_id,
+       CAST(1.0 AS DOUBLE) AS cosine, CAST(1 AS INTEGER) AS rank
+FROM embeddings WHERE vec_id < 10
+""",
+)
+def ann_lsh_planted_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall invariant for the LSH top-k path (same pattern as the
+    dedup covers_* oracles): plant an exact copy (+10000) of every
+    query vector into the corpus — identical vectors share every
+    hyperplane sign, so each query's rank-1 neighbor MUST be its copy
+    at cosine 1.0.  Turns ``ann_topk_lsh``'s rows-only status into a
+    driver-checked contract."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.unionByName(
+        queries.select((F.col("vec_id") + 10000).alias("vec_id"), "embedding")
+    )
+    return (
+        xsim.lsh_topk(corpus, queries, k=1, n_planes=4)
+        .filter(F.col("rank") == 1)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round("cosine", 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+@query(
     "embedding_norm_stats",
     oracle="""
 SELECT label,

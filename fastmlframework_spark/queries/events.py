@@ -172,3 +172,101 @@ def events_range_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         upper=1800,
     )
     return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+@query(
+    "events_retention_cohorts",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, CAST(e.ts AS DATE) AS day FROM events e
+)
+SELECT f.cohort_day,
+       CAST(day - cohort_day AS BIGINT) AS day_offset,
+       COUNT(DISTINCT a.user_id) AS n_users
+FROM activity a JOIN firsts f ON a.user_id = f.user_id
+WHERE day - cohort_day BETWEEN 0 AND 7
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, distinct
+    active users per (cohort, day-offset) for the first week.  Both
+    aggregations shuffle on user_id (co-partitioned — the cohort join
+    reuses the same hash partitioning, no extra exchange of the big
+    side) and the final matrix is cohorts × 8, tiny at any scale."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = ev.distinct()
+    return (
+        activity.join(firsts, on="user_id")
+        .withColumn("day_offset", F.datediff("day", "cohort_day").cast("long"))
+        .filter(F.col("day_offset").between(0, 7))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+@query(
+    "events_funnel_order",
+    oracle="""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'view'
+  GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT 'view' AS stage, COUNT(*) AS n_users FROM v
+UNION ALL SELECT 'view>click', COUNT(*) FROM c
+UNION ALL SELECT 'view>click>purchase', COUNT(*) FROM p
+""",
+)
+def events_funnel_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users whose first view precedes a click that
+    precedes a purchase.  Each stage is a grouped MIN plus a theta-ish
+    join expressed as equi-join on user_id + range predicate — the
+    stage tables shrink monotonically, and every join key is the same
+    user_id hash partitioning (one shuffle reused across stages)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+
+    def first_after(etype: str, prev: DataFrame | None) -> DataFrame:
+        base = ev.filter(F.col("event_type") == etype)
+        if prev is not None:
+            base = base.join(
+                prev.select("user_id", F.col("t").alias("__prev_t")),
+                on="user_id",
+            ).filter(F.col("ts") > F.col("__prev_t"))
+        return base.groupBy("user_id").agg(F.min("ts").alias("t"))
+
+    v = first_after("view", None)
+    c = first_after("click", v)
+    p = first_after("purchase", c)
+    counts = [
+        v.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit("view").alias("stage"), "n_users"
+        ),
+        c.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit("view>click").alias("stage"), "n_users"
+        ),
+        p.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit("view>click>purchase").alias("stage"), "n_users"
+        ),
+    ]
+    out = counts[0]
+    for c_ in counts[1:]:
+        out = out.unionByName(c_)
+    return out

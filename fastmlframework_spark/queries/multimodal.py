@@ -71,3 +71,32 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_format")
     )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+WITH vids AS (
+  SELECT doc_id, CAST(n_chars % 200 AS BIGINT) AS n_frames
+  FROM documents WHERE doc_id % 10 = 0
+)
+SELECT doc_id, CAST(unnest(range(0, GREATEST(n_frames - 1, 0) + 1, 30)) AS BIGINT) AS frame_idx
+FROM vids
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan (every-30th frame index per media row,
+    always including frame 0): pure explode-of-sequence expression —
+    the candidate list a frame decoder would join against the binary
+    column.  Frame counts derive deterministically from documents so
+    both engines see identical inputs."""
+    from fastmlframework_spark.extensions.multimodal import sample_frames
+
+    vids = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", (F.col("n_chars") % 200).cast("long").alias("n_frames"))
+    )
+    return sample_frames(vids, every=30).select(
+        "doc_id", F.col("frame_idx").cast("long").alias("frame_idx")
+    )

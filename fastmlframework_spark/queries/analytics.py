@@ -569,3 +569,54 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "skew_salted_revenue",
+    oracle="""
+WITH li AS (
+  SELECT CASE WHEN l_orderkey % 10 < 6 THEN 1
+              ELSE l_orderkey % 1000 END          AS cust_id,
+         l_extendedprice * (1 - l_discount)       AS rev
+  FROM lineitem
+),
+dim AS (
+  SELECT CAST(range AS BIGINT) AS cust_id,
+         CAST(range % 5 AS BIGINT) AS tier
+  FROM range(0, 1000)
+)
+SELECT tier, ROUND(SUM(rev), 2) AS revenue, COUNT(*) AS n_rows
+FROM li JOIN dim USING (cust_id)
+GROUP BY tier
+ORDER BY tier
+""",
+)
+def skew_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe join + two-stage aggregation, driver-verified
+    (operators/skew.py): 60% of lineitem rows map to ONE hot customer
+    key — the classic straggler shape at 100 TB.  ``salted_join``
+    spreads the hot key over 8 salts (small side replicated),
+    ``salted_groupby`` merges algebraic partials on the true key; the
+    oracle is the PLAIN join/groupBy, proving exact equivalence of the
+    salted plan."""
+    from fastmlframework_spark.operators.skew import salted_groupby, salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 10 < 6, F.lit(1).cast("long"))
+        .otherwise(F.col("l_orderkey") % 1000)
+        .alias("cust_id"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    dim = spark.range(0, 1000).select(
+        F.col("id").alias("cust_id"), (F.col("id") % 5).alias("tier")
+    )
+    joined = salted_join(li, dim, on=["cust_id"], n_salts=8)
+    out = salted_groupby(
+        joined,
+        keys=["tier"],
+        aggs=[("rev", "sum", "revenue"), ("rev", "count", "n_rows")],
+        n_salts=8,
+    )
+    return out.select(
+        "tier", F.round("revenue", 2).alias("revenue"), "n_rows"
+    ).orderBy("tier")

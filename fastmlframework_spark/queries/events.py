@@ -5,7 +5,7 @@ tests/test_streaming.py)."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from fastmlframework_spark.core.tables import load_table
 from fastmlframework_spark.operators.asof import asof_join, range_join
@@ -270,3 +270,46 @@ def events_funnel_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c_ in counts[1:]:
         out = out.unionByName(c_)
     return out
+
+
+@query(
+    "events_interarrival_gaps",
+    oracle="""
+WITH gaps AS (
+  SELECT event_type,
+         EXTRACT(EPOCH FROM ts - LAG(ts) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id)) AS gap_sec
+  FROM events
+)
+SELECT event_type,
+       COUNT(gap_sec) AS n_gaps,
+       ROUND(AVG(gap_sec), 4) AS avg_gap_sec,
+       ROUND(MAX(gap_sec), 4) AS max_gap_sec
+FROM gaps
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def events_interarrival_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG-window inter-arrival analysis: per-user event stream sorted
+    by time, gap to the previous event, aggregated per event type.
+    One shuffle on user_id for the window (deterministic tie-break on
+    event_id), then a tiny grouped aggregate — LAG/LEAD are the
+    windowed primitives a sessionization/monitoring pipeline leans on."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (
+            F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+        ).alias("gap_sec"),
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count("gap_sec").alias("n_gaps"),
+            F.round(F.avg("gap_sec"), 4).alias("avg_gap_sec"),
+            F.round(F.max("gap_sec"), 4).alias("max_gap_sec"),
+        )
+        .orderBy("event_type")
+    )

@@ -27,6 +27,7 @@ _NO_BENCH: set[str] = set()
 # Modules that register queries at import time.
 _QUERY_MODULES = (
     "fastmlframework_spark.queries.analytics",
+    "fastmlframework_spark.queries.tpch_extra",
     "fastmlframework_spark.queries.profiling",
     "fastmlframework_spark.queries.preprocessing",
     "fastmlframework_spark.queries.windows",
@@ -37,6 +38,7 @@ _QUERY_MODULES = (
     "fastmlframework_spark.queries.events",
     "fastmlframework_spark.queries.mlflow",
     "fastmlframework_spark.queries.multimodal",
+    "fastmlframework_spark.queries.llmprep",
 )
 
 

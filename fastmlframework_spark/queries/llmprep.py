@@ -1,0 +1,153 @@
+"""LLM-training-data preparation queries (SURVEY.md §7.5): document
+chunking, stratified corpus sampling, and sketch-accuracy invariants
+for the approximate operators a 100 TB pipeline leans on.
+
+Sketch queries (``approx_*``) use INVARIANT oracles: the Spark side
+computes both the sketch estimate and the exact value and emits the
+exact value plus a within-tolerance boolean; the oracle emits the
+exact value plus ``TRUE``.  A hash match therefore proves the sketch
+landed inside its advertised error bound — the strongest
+SQL-expressible statement about a non-deterministic-looking estimator
+(HLL++ and KLL are in fact deterministic for fixed input, but their
+values are engine-private, so parity on the *bound* is the portable
+contract).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from fastmlframework_spark.core.tables import load_table
+from fastmlframework_spark.extensions import chunking
+from fastmlframework_spark.extensions.text import TOKEN_PATTERN
+from fastmlframework_spark.queries.registry import query
+
+_CHUNK_SIZE = 40
+_OVERLAP = 10
+_STEP = _CHUNK_SIZE - _OVERLAP
+
+
+@query(
+    "doc_chunk_tokens",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         regexp_extract_all(text, '{TOKEN_PATTERN}') AS tokens
+  FROM documents
+),
+expanded AS (
+  SELECT doc_id, lang, tokens,
+         unnest(generate_series(0, greatest(len(tokens) - 1, 0), {_STEP})) AS start
+  FROM toks
+)
+SELECT doc_id, lang, source, n_chars,
+       CAST(start / {_STEP} AS BIGINT) AS chunk_idx,
+       CAST(len(tokens[start + 1 : start + {_CHUNK_SIZE}]) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(tokens[start + 1 : start + {_CHUNK_SIZE}], ' ')) AS chunk_digest
+FROM expanded JOIN documents USING (doc_id, lang)
+ORDER BY doc_id, chunk_idx
+""",
+)
+def doc_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking over the documents corpus
+    (size=40, overlap=10): the pre-tokenization step of an LLM data
+    pipeline.  One narrow scan, no shuffle — the explode stays inside
+    the source partition; chunk identity travels as an md5 digest so
+    the output is chunk-count-sized, not text-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    return chunking.chunk_by_tokens(
+        docs, text_col="text", chunk_size=_CHUNK_SIZE, overlap=_OVERLAP
+    ).orderBy("doc_id", "chunk_idx")
+
+
+@query(
+    "sample_stratified_hash",
+    oracle="""
+SELECT doc_id, lang, source
+FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':strat'), 1, 1)
+      <= CASE WHEN lang = 'en' THEN '3' ELSE '7' END
+ORDER BY doc_id
+""",
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling (C1 family, extended): keep
+    ~4/16 of English documents and ~8/16 of every other language —
+    the rebalancing step of corpus curation (downsample the dominant
+    language).  Hash-prefix thresholding instead of an RNG stream:
+    reproducible under any partitioning, re-execution, or engine, and
+    pushes down to the scan as a pure filter (no sampleBy state)."""
+    docs = load_table(spark, sf_dir, "documents")
+    digit = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":strat"))), 1, 1
+    )
+    cutoff = F.when(F.col("lang") == "en", F.lit("3")).otherwise(F.lit("7"))
+    return (
+        docs.filter(digit <= cutoff)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "approx_distinct_ok",
+    oracle="""
+SELECT COUNT(DISTINCT l_partkey) AS exact_cnt,
+       TRUE AS within_tol
+FROM lineitem
+""",
+)
+def approx_distinct_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ cardinality invariant: `approx_count_distinct`
+    (rsd=1%) must land within 5% of the exact distinct count.  At
+    100 TB the HLL sketch is the only viable distinct counter (fixed
+    ~kB state, map-side combinable, no shuffle of distinct values);
+    this query pins its accuracy contract against the exact answer
+    while the data is still small enough to compute one."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count_distinct("l_partkey").alias("exact_cnt"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey", 0.01)
+                - F.count_distinct("l_partkey")
+            )
+            <= 0.05 * F.count_distinct("l_partkey")
+        ).alias("within_tol"),
+    )
+
+
+@query(
+    "approx_quantile_ok",
+    oracle="""
+SELECT ROUND(quantile_cont(o_totalprice, 0.50), 4) AS exact_p50,
+       ROUND(quantile_cont(o_totalprice, 0.90), 4) AS exact_p90,
+       TRUE AS p50_ok,
+       TRUE AS p90_ok
+FROM orders
+""",
+)
+def approx_quantile_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-quantile invariant: `percentile_approx`
+    (accuracy=10000) must land within 1% of the exact interpolated
+    percentile.  Same contract-pinning pattern as the HLL query — the
+    sketch (GK/KLL-style, mergeable, bounded memory) is the scale
+    path for histogram binning and drift scoring; the exact
+    `percentile` is the small-data oracle."""
+    o = load_table(spark, sf_dir, "orders")
+    approx = F.expr("percentile_approx(o_totalprice, array(0.5, 0.9), 10000)")
+    exact = F.expr("percentile(o_totalprice, array(0.5, 0.9))")
+    return (
+        o.agg(approx.alias("ap"), exact.alias("ex"))
+        .select(
+            F.round(F.col("ex")[0], 4).alias("exact_p50"),
+            F.round(F.col("ex")[1], 4).alias("exact_p90"),
+            (F.abs(F.col("ap")[0] - F.col("ex")[0]) <= 0.01 * F.col("ex")[0]).alias(
+                "p50_ok"
+            ),
+            (F.abs(F.col("ap")[1] - F.col("ex")[1]) <= 0.01 * F.col("ex")[1]).alias(
+                "p90_ok"
+            ),
+        )
+    )

@@ -49,16 +49,36 @@ def main() -> None:
             _run(fn(spark, warm_dir))
         except Exception as exc:
             print(f"bench: warm-up {name} failed: {exc}", file=sys.stderr)
+    spark.catalog.clearCache()
 
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
     for name in sorted(queries):
-        start = time.perf_counter()
-        try:
-            _run(queries[name](spark, sf_dir))
-            timings[name] = round(time.perf_counter() - start, 4)
-        except Exception as exc:  # keep the bench line well-formed
-            print(f"bench: query {name} failed: {exc}", file=sys.stderr)
-            timings[name] = -1.0
+        best = None
+        for _ in range(runs):
+            start = time.perf_counter()
+            try:
+                _run(queries[name](spark, sf_dir))
+                took = round(time.perf_counter() - start, 4)
+                # Steady-state latency: min over passes discards GC /
+                # scheduling noise from the shared-machine harness.
+                best = took if best is None else min(best, took)
+            except Exception as exc:  # keep the bench line well-formed
+                print(f"bench: query {name} failed: {exc}", file=sys.stderr)
+                best = -1.0
+            # Operators may cache intermediates reused inside ONE
+            # query (shingle/signature frames on both sides of a
+            # self-join).  Those blocks are dead weight once the query
+            # finishes; left in place, ~90 queries' worth of cached
+            # partitions crowd the unified memory pool and execution
+            # degrades as the session ages.  Clearing between passes
+            # (not just queries) also keeps each pass a cold-cache
+            # measurement instead of a re-read of the previous pass's
+            # cache.
+            spark.catalog.clearCache()
+            if best is not None and best < 0:
+                break
+        timings[name] = best
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     _write_regression_report(timings, sf)

@@ -333,14 +333,19 @@ def simhash_pairs(
         F.col(key_col).alias("key_b"), F.col("simhash").alias("hb"),
         "blk", "blk_val",
     )
+    # Verify (bit_count on the xor — pure codegen, no state) BEFORE
+    # deduplicating across blocks: template-heavy corpora make block
+    # collisions far denser than true near-dups, and running distinct
+    # on raw candidates shuffles the whole candidate volume.  Filtering
+    # first means the distinct only carries pairs that actually pass
+    # the hamming budget.
     return (
         a.join(b, on=["blk", "blk_val"])
         .filter(F.col("key_a") < F.col("key_b"))
-        .select("key_a", "key_b", F.expr("ha ^ hb").alias("__x"))
-        .distinct()
-        .withColumn("hamming", F.bit_count("__x"))
+        .withColumn("hamming", F.bit_count(F.expr("ha ^ hb")))
         .filter(F.col("hamming") <= max_hamming)
         .select("key_a", "key_b", "hamming")
+        .distinct()
     )
 
 

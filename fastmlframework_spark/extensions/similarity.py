@@ -157,10 +157,21 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_key_col: str = "query_id",
     seed: int = 7,
+    fit_fraction: float = 1.0,
 ) -> DataFrame:
     """IVF: KMeans-partition the corpus; probe the ``n_probe`` nearest
     centroids per query; exact-score within probed cells.  n_probe =
-    n_clusters degrades to exact search (recall 1.0)."""
+    n_clusters degrades to exact search (recall 1.0).
+
+    The KMeans fit is a *coarse quantizer*: centroid polish buys
+    nothing once cells merely bucket the search, so the fit runs with
+    random init (k-means|| costs several extra passes for quality that
+    n_probe, not the centroids, governs) on a few coalesced partitions
+    (each Lloyd iteration is a full job — tiny-partition scheduling
+    overhead dominates otherwise).  At 100 TB pass ``fit_fraction`` to
+    fit on a deterministic hash-sample of the corpus; assignment still
+    covers every row, and with n_probe = n_clusters the result stays
+    exact regardless of where the centroids landed."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
@@ -168,11 +179,17 @@ def ivf_topk(
     par = corpus.sparkSession.sparkContext.defaultParallelism
     c = normalize(corpus, vec_col, "cv").select(key_col, "cv").repartition(par)
     cv = c.withColumn("features", array_to_vector("cv")).cache()
-    # Coarse cells only bucket the search; 5 Lloyd iterations are
-    # plenty (recall is governed by n_probe, not centroid polish).
+    fit_df = cv
+    if fit_fraction < 1.0:
+        pct = max(1, int(fit_fraction * 100))
+        fit_df = cv.filter(F.crc32(F.col(key_col).cast("string")) % 100 < pct)
     km = KMeans(
-        k=n_clusters, seed=seed, featuresCol="features", maxIter=5
-    ).fit(cv)
+        k=n_clusters,
+        seed=seed,
+        featuresCol="features",
+        maxIter=5,
+        initMode="random",
+    ).fit(fit_df.coalesce(max(2, min(8, par))))
     assigned = (
         km.transform(cv)
         .select(key_col, "cv", F.col("prediction").alias("cell"))

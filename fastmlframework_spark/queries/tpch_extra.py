@@ -449,3 +449,198 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
+
+
+@query(
+    "q12_late_priority_counts",
+    oracle="""
+SELECT l_returnflag,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def q12_late_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q12 shape: priority mix of LATE line items per category.
+    The testdata has no ``l_shipmode``/``l_commitdate``/``l_receiptdate``,
+    so ``l_returnflag`` stands in for the mode grouping and "late" is
+    ship > order date + 60 days — the plan shape (fact⋈fact-dimension
+    join with a cross-table predicate, then conditional counts) is the
+    point.  The shipdate-window filter is pushed to the lineitem scan;
+    the join predicate on two tables' columns evaluates post-join, and
+    the group-by key has tiny cardinality so the final shuffle carries
+    a handful of rows."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q20_dominant_widget_suppliers",
+    oracle="""
+WITH shipped AS (
+  SELECT l_suppkey, l_partkey, SUM(l_quantity) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-01-01'
+  GROUP BY l_suppkey, l_partkey
+),
+part_total AS (
+  SELECT l_partkey, SUM(qty) AS total_qty
+  FROM shipped
+  GROUP BY l_partkey
+),
+dominant AS (
+  SELECT DISTINCT s.l_suppkey
+  FROM shipped s
+  JOIN part_total t ON s.l_partkey = t.l_partkey
+  JOIN part ON p_partkey = s.l_partkey
+  WHERE p_name LIKE '%widget%'
+    AND s.qty > 0.3 * t.total_qty
+)
+SELECT s_name, ROUND(s_acctbal, 2) AS s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_1'
+  AND s_suppkey IN (SELECT l_suppkey FROM dominant)
+ORDER BY s_name
+""",
+)
+def q20_dominant_widget_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q20 shape: suppliers qualified by a doubly-nested
+    aggregate condition, consumed as a semi-join.  Without ``partsupp``
+    the "excess availability" test becomes dominance: a supplier
+    qualifies when its year-shipped quantity of some widget part
+    exceeds 30% of that part's total shipped quantity.  Scale plan:
+    both aggregation levels reuse ONE shuffle on (supp, part) — the
+    part_total re-agg groups the already-shuffled frame by its prefix
+    key; part is filter-pruned then broadcast; the qualifying supplier
+    id set (≤ |supplier| rows) broadcasts into a left-semi join so the
+    supplier table is never shuffled."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    shipped = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum("l_quantity").alias("qty")
+    )
+    part_total = shipped.groupBy("l_partkey").agg(
+        F.sum("qty").alias("total_qty")
+    )
+    widget = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey")
+    )
+    dominant = (
+        shipped.join(part_total, on="l_partkey")
+        .join(F.broadcast(widget), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .filter(F.col("qty") > 0.3 * F.col("total_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    nat = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(dominant), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+WITH per_supp AS (
+  SELECT l_orderkey, l_suppkey,
+         MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END) AS is_late
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY l_orderkey, l_suppkey
+),
+per_order AS (
+  SELECT l_orderkey,
+         COUNT(*) AS n_supp,
+         SUM(is_late) AS n_late
+  FROM per_supp
+  GROUP BY l_orderkey
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM per_supp
+JOIN per_order USING (l_orderkey)
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE is_late = 1 AND n_supp > 1 AND n_late = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+""",
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21 shape: suppliers who were the SOLE late supplier on a
+    multi-supplier finished order (EXISTS + NOT EXISTS self-joins on
+    the fact table).  Without ``l_receiptdate``/``l_commitdate``,
+    "late" is ship > order date + 60 days.  The correlated EXISTS pair
+    de-correlates into two stacked aggregates that both reuse the SAME
+    (orderkey, suppkey) shuffle — per-order supplier/late counts join
+    back to the per-supplier rows on orderkey, so the fact table
+    shuffles once on its natural key and never self-joins row-to-row.
+    Supplier names arrive via broadcast at the end, after the
+    aggregate has shrunk the frame to qualifying (order, supplier)
+    pairs."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"), 1
+    ).otherwise(0)
+    per_supp = (
+        li.join(orders, li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("is_late"))
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("is_late").alias("n_late")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_supp.join(per_order, on="l_orderkey")
+        .filter(
+            (F.col("is_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1)
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )

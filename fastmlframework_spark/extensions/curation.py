@@ -1,0 +1,191 @@
+"""Corpus-curation operators for LLM training-data pipelines
+(SURVEY.md §7.5 extension layer): benchmark-contamination detection,
+repetition/diversity quality stats, sequence packing, domain-mixture
+reweighting, and deterministic global shuffle order.
+
+Scale design notes (100 TB):
+
+* contamination: the eval/benchmark side is always SMALL (a few
+  thousand documents); its shingle index broadcasts, so the train
+  corpus is scanned once and never shuffled on text — the inverted
+  index shards the candidate space exactly like the n-gram dedup path
+  (`extensions/dedup.py`).
+* packing: a single global token stream would serialize; packing is
+  SHARD-LOCAL (hash-sharded), each shard packing its own stream with
+  one window over (shard, key) — embarrassingly parallel, one shuffle.
+* shuffle order: a global permutation is inherently a total sort, but
+  Spark's range-partitioned sort distributes it; the global rank is
+  recovered from per-partition counts (a partition-count-sized driver
+  exchange, not a data collect).
+* mixture weights: aggregate-sized — per-domain counts cross a 1-row
+  total, everything past the first groupBy is broadcast.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from fastmlframework_spark.extensions.dedup import shingles
+from fastmlframework_spark.extensions.text import TOKEN_PATTERN
+
+
+def eval_contamination(
+    train: DataFrame,
+    evals: DataFrame,
+    key_col: str = "doc_id",
+    eval_key_col: str = "eval_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_containment: float = 0.5,
+) -> DataFrame:
+    """Benchmark-contamination check → [key, eval_key, n_common,
+    containment]: training documents that contain ≥ ``min_containment``
+    of an eval document's distinct word ``n``-grams.
+
+    Containment (|T∩E| / |E|), not Jaccard: an eval item is
+    contaminated when it appears INSIDE a (much longer) train doc, so
+    normalizing by the train side would wash out exactly the hits that
+    matter.  The eval shingle index and per-eval sizes broadcast; the
+    train corpus streams through one shingle scan."""
+    tr = shingles(train, key_col, text_col, n).withColumnRenamed(
+        key_col, "__train_key"
+    )
+    ev = shingles(evals, eval_key_col, text_col, n)
+    ev_sizes = ev.groupBy(eval_key_col).agg(
+        F.count(F.lit(1)).alias("n_eval_sh")
+    )
+    common = (
+        tr.join(F.broadcast(ev), on="shingle")
+        .groupBy("__train_key", eval_key_col)
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(F.broadcast(ev_sizes), on=eval_key_col)
+        .withColumn("containment", F.col("n_common") / F.col("n_eval_sh"))
+        .filter(F.col("containment") >= min_containment)
+        .select(
+            F.col("__train_key").alias(key_col),
+            eval_key_col,
+            "n_common",
+            F.round("containment", 6).alias("containment"),
+        )
+    )
+
+
+def repetition_stats(
+    df: DataFrame, key_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Token-diversity stats per document → [key, n_tokens,
+    n_distinct, distinct_ratio].  Low distinct/total ratio flags
+    boilerplate/template/spam documents (the cheap repetition filter
+    of corpus curation).  Pure per-row expressions — a map-only scan
+    at any scale."""
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_PATTERN), F.lit(0))
+    return (
+        df.select(
+            F.col(key_col),
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .withColumn(
+            "distinct_ratio", F.col("n_distinct") / F.col("n_tokens")
+        )
+    )
+
+
+def pack_streams(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    ctx: int = 512,
+    shards: int = 8,
+) -> DataFrame:
+    """Concat-then-chunk sequence packing → per-document [key, shard,
+    n_tokens, pack_id]: documents are concatenated in key order inside
+    each hash shard and the token stream is cut every ``ctx`` tokens;
+    a document belongs to the pack its first token lands in.
+
+    Shard-local on purpose: one global stream would funnel the corpus
+    through a single sort; ``shards`` independent streams pack in
+    parallel with one window each, and training consumes packs in any
+    shard order."""
+    n_tok = F.regexp_count(F.col(text_col), F.lit(TOKEN_PATTERN)).cast("long")
+    base = df.select(
+        F.col(key_col),
+        (F.col(key_col) % shards).alias("shard"),
+        n_tok.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(key_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return base.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    ).withColumn("pack_id", F.floor(F.col("cum_before") / ctx)).drop(
+        "cum_before"
+    )
+
+
+def mixture_weights(df: DataFrame, by: str = "source") -> DataFrame:
+    """Domain-mixture reweighting → [group, n_docs, share, weight]:
+    sampling weight per domain that moves the observed mixture to the
+    UNIFORM target (weight = target_share / observed_share; rows with
+    weight > 1 get upsampled, < 1 downsampled).  Aggregate-sized:
+    per-domain counts cross-join a broadcast 1-row total."""
+    counts = df.groupBy(by).agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(
+        F.sum("n_docs").alias("__total"),
+        F.count(F.lit(1)).alias("__n_groups"),
+    )
+    share = F.col("n_docs") / F.col("__total")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            by,
+            "n_docs",
+            F.round(share, 6).alias("share"),
+            F.round((F.lit(1.0) / F.col("__n_groups")) / share, 6).alias(
+                "weight"
+            ),
+        )
+    )
+
+
+def shuffle_order(
+    df: DataFrame, key_col: str = "doc_id", salt: str = "shuf7"
+) -> DataFrame:
+    """Deterministic global shuffle for training order → [key, rank]:
+    rank 1..N in md5(key||salt) order — reproducible across engines,
+    partitionings and re-runs (no RNG stream).
+
+    NOT a single-partition window: the frame is range-partitioned and
+    sorted on the hash (Spark's distributed sort), then the global
+    rank = within-partition row_number + the partition's offset,
+    where offsets come from per-partition counts — a
+    #partitions-sized driver exchange, never a data collect."""
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(":" + salt)))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sorted_df = (
+        df.select(F.col(key_col), h.alias("__h"))
+        .repartitionByRange(par, "__h", key_col)
+        .sortWithinPartitions("__h", key_col)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    sizes = sorted_df.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    woff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "__pid", F.coalesce(F.sum("__n").over(woff), F.lit(0)).alias("__off")
+    )
+    wrank = Window.partitionBy("__pid").orderBy("__h", key_col)
+    return (
+        sorted_df.join(F.broadcast(offsets), on="__pid")
+        .select(
+            key_col,
+            (F.row_number().over(wrank) + F.col("__off"))
+            .cast("long")
+            .alias("rank"),
+        )
+    )

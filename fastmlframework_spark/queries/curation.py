@@ -1,0 +1,236 @@
+"""Oracle-checked queries for the corpus-curation extensions
+(§7.5): contamination, repetition filtering, sequence packing,
+mixture reweighting, shuffle order, and k-NN graph density.
+
+The documents table has no planted contamination, so the
+contamination query derives an eval set as mid-document excerpts
+(40% of chars starting at 30%) of every ``doc_id % 37 == 0``
+document — deterministic in both engines, guaranteeing true hits
+whose containment the oracle reproduces exactly.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from fastmlframework_spark.core.tables import load_table
+from fastmlframework_spark.extensions import curation as xcur
+from fastmlframework_spark.extensions import similarity as xsim
+from fastmlframework_spark.extensions.text import TOKEN_PATTERN
+from fastmlframework_spark.queries.registry import query
+
+_EXCERPT = (
+    "substring(text, CAST(FLOOR(LENGTH(text) * 0.3) AS INT) + 1,"
+    " CAST(FLOOR(LENGTH(text) * 0.4) AS INT))"
+)
+
+
+@query(
+    "contamination_eval_overlap",
+    oracle=f"""
+WITH ev AS (
+  SELECT doc_id AS eval_id, {_EXCERPT} AS text
+  FROM documents WHERE doc_id % 37 = 0
+),
+twk AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents),
+tidx AS (
+  SELECT doc_id, w,
+         unnest(generate_series(1, GREATEST(len(w) - 4, 1))) AS i
+  FROM twk
+),
+tsh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(w[CAST(i AS INT):CAST(i AS INT) + 4], ' ') AS shingle
+  FROM tidx
+),
+ewk AS (SELECT eval_id, string_split_regex(text, '\\s+') AS w FROM ev),
+eidx AS (
+  SELECT eval_id, w,
+         unnest(generate_series(1, GREATEST(len(w) - 4, 1))) AS i
+  FROM ewk
+),
+esh AS (
+  SELECT DISTINCT eval_id,
+         array_to_string(w[CAST(i AS INT):CAST(i AS INT) + 4], ' ') AS shingle
+  FROM eidx
+),
+esizes AS (SELECT eval_id, COUNT(*) AS n_eval_sh FROM esh GROUP BY eval_id),
+common AS (
+  SELECT t.doc_id, e.eval_id, COUNT(*) AS n_common
+  FROM tsh t JOIN esh e ON t.shingle = e.shingle
+  GROUP BY 1, 2
+)
+SELECT doc_id, eval_id, n_common,
+       ROUND(n_common * 1.0 / n_eval_sh, 6) AS containment
+FROM common JOIN esizes USING (eval_id)
+WHERE n_common * 1.0 / n_eval_sh >= 0.5
+""",
+)
+def contamination_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: training docs containing
+    ≥ 50% of an eval excerpt's distinct 5-gram shingles.  The planted
+    excerpts guarantee every eval item flags (at least) its source
+    document; the broadcast inverted index keeps the corpus
+    scan-only."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    evals = docs.filter(F.col("doc_id") % 37 == 0).select(
+        F.col("doc_id").alias("eval_id"), F.expr(_EXCERPT).alias("text")
+    )
+    return xcur.eval_contamination(
+        docs, evals, n=5, min_containment=0.5
+    )
+
+
+@query(
+    "quality_repetition_filter",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '{TOKEN_PATTERN}') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+       ROUND(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS distinct_ratio
+FROM t
+WHERE len(toks) > 0
+  AND len(list_distinct(toks)) * 1.0 / len(toks) < 0.4
+""",
+)
+def quality_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality filter: documents whose distinct-token ratio
+    falls below 0.4 — the cheap boilerplate/template screen of corpus
+    curation.  Map-only scan; the ratio is a per-row expression."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = xcur.repetition_stats(docs)
+    return stats.filter(F.col("distinct_ratio") < 0.4).select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.round("distinct_ratio", 6).alias("distinct_ratio"),
+    )
+
+
+@query(
+    "pack_sequences_sharded",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS BIGINT)
+             AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM t
+)
+SELECT shard, CAST(FLOOR(cum_before / 512) AS BIGINT) AS pack_id,
+       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+FROM c GROUP BY shard, pack_id
+ORDER BY shard, pack_id
+""",
+)
+def pack_sequences_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing summary: per (shard, pack) document and token
+    counts for concat-then-chunk packing into 512-token contexts over
+    8 hash shards — the pre-training batch-assembly step, kept
+    shard-parallel (no global stream)."""
+    docs = load_table(spark, sf_dir, "documents")
+    packed = xcur.pack_streams(docs, ctx=512, shards=8)
+    return (
+        packed.groupBy("shard", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+        )
+        .orderBy("shard", "pack_id")
+    )
+
+
+@query(
+    "corpus_mixture_weights",
+    oracle="""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+),
+tot AS (SELECT SUM(n_docs) AS total, COUNT(*) AS n_groups FROM counts)
+SELECT source, n_docs,
+       ROUND(n_docs * 1.0 / total, 6) AS share,
+       ROUND((1.0 / n_groups) / (n_docs * 1.0 / total), 6) AS weight
+FROM counts, tot
+ORDER BY source
+""",
+)
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting: per-source sampling weight that
+    moves the observed source mix to uniform — the mixture-control
+    step of corpus assembly.  Aggregate-sized throughout."""
+    docs = load_table(spark, sf_dir, "documents")
+    return xcur.mixture_weights(docs, by="source").orderBy("source")
+
+
+@query(
+    "shuffle_training_order",
+    oracle="""
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY md5(CAST(doc_id AS VARCHAR) || ':shuf7'), doc_id
+       ) AS BIGINT) AS rank
+FROM documents
+""",
+)
+def shuffle_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: rank 1..N in
+    md5(key||salt) order via distributed range-partitioned sort +
+    per-partition offsets (never a single-partition window)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return xcur.shuffle_order(docs, key_col="doc_id", salt="shuf7")
+
+
+@query(
+    "knn_density_by_label",
+    oracle="""
+WITH c AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+scored AS (
+  SELECT a.vec_id AS qid, a.label AS label, b.vec_id AS cid,
+         ROUND(list_cosine_similarity(b.v, a.v), 6) AS cosine
+  FROM c a JOIN c b ON a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT qid, label, cosine,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY cosine DESC, cid) AS rank
+  FROM scored
+)
+SELECT label, ROUND(AVG(cosine), 6) AS avg_k3_cosine, COUNT(*) AS n
+FROM ranked WHERE rank = 3
+GROUP BY label
+""",
+)
+def knn_density_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph density: per-label mean cosine of each vector's
+    3rd-nearest neighbor — the embedding-space density diagnostic
+    behind semantic-dedup pruning decisions (dense regions ⇒
+    redundancy).  Exact k-NN graph via the broadcast brute-force path
+    (the corpus IS the query set); at 100 TB the same aggregate runs
+    over the IVF cell-pruned candidates instead
+    (`extensions/similarity.py:ivf_topk`)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", "embedding")
+    nn3 = xsim.cosine_topk(vecs, vecs, k=3).filter(F.col("rank") == 3)
+    labels = emb.select(F.col("vec_id").alias("query_id"), "label")
+    return (
+        nn3.join(labels, on="query_id")
+        .groupBy("label")
+        .agg(
+            F.round(F.avg("cosine"), 6).alias("avg_k3_cosine"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -1,0 +1,95 @@
+"""Invariant tests for the corpus-curation extensions
+(extensions/curation.py) beyond the oracle parity already covered by
+test_queries_oracle.py."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from fastmlframework_spark.core.tables import load_table
+from fastmlframework_spark.extensions import curation as xcur
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir_small):
+    return load_table(spark, sf_dir_small, "documents").select("doc_id", "text")
+
+
+def test_shuffle_order_is_permutation(spark, docs):
+    """Ranks must be exactly 1..N with no gaps or dups — exercises the
+    partition-offset reassembly across a partition count different
+    from the query path's."""
+    out = xcur.shuffle_order(docs.repartition(7), key_col="doc_id")
+    n = docs.count()
+    stats = out.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.count_distinct("rank").alias("dist"),
+        F.min("rank").alias("lo"),
+        F.max("rank").alias("hi"),
+    ).first()
+    assert (stats.cnt, stats.dist, stats.lo, stats.hi) == (n, n, 1, n)
+
+
+def test_shuffle_order_deterministic(spark, docs):
+    a = {r.doc_id: r.rank for r in xcur.shuffle_order(docs).collect()}
+    b = {
+        r.doc_id: r.rank
+        for r in xcur.shuffle_order(docs.repartition(3)).collect()
+    }
+    assert a == b
+
+
+def test_shuffle_order_salt_changes_order(spark, docs):
+    a = {r.doc_id: r.rank for r in xcur.shuffle_order(docs, salt="s1").collect()}
+    b = {r.doc_id: r.rank for r in xcur.shuffle_order(docs, salt="s2").collect()}
+    assert a != b
+
+
+def test_contamination_finds_planted_excerpts(spark, docs):
+    """Every planted excerpt must flag its source document with
+    containment near 1 (boundary-cut shingles may trim it)."""
+    evals = docs.filter(F.col("doc_id") % 37 == 0).select(
+        F.col("doc_id").alias("eval_id"),
+        F.expr(
+            "substring(text, CAST(FLOOR(LENGTH(text) * 0.3) AS INT) + 1,"
+            " CAST(FLOOR(LENGTH(text) * 0.4) AS INT))"
+        ).alias("text"),
+    )
+    hits = xcur.eval_contamination(docs, evals, n=5, min_containment=0.5)
+    self_hits = hits.filter(F.col("doc_id") == F.col("eval_id"))
+    # A tiny excerpt (< ~n+2 words) yields only boundary-cut shingles
+    # that cannot appear in the source doc — only excerpts long enough
+    # to carry clean interior shingles are guaranteed to self-flag.
+    eligible = evals.filter(
+        F.size(F.split(F.col("text"), r"\s+")) >= 7
+    ).count()
+    assert self_hits.count() >= eligible
+    assert self_hits.agg(F.min("containment")).first()[0] >= 0.5
+
+
+def test_pack_streams_respects_stream_arithmetic(spark, docs):
+    """Within a shard, pack_id must equal floor(cum-preceding/ctx) and
+    be non-decreasing in key order."""
+    packed = xcur.pack_streams(docs, ctx=256, shards=4).collect()
+    by_shard: dict[int, list] = {}
+    for r in packed:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r.doc_id)
+        cum = 0
+        last_pack = -1
+        for r in rows:
+            assert r.pack_id == cum // 256
+            assert r.pack_id >= last_pack
+            last_pack = r.pack_id
+            cum += r.n_tokens
+
+
+def test_mixture_weights_rebalance(spark, sf_dir_small):
+    """weight * share must be the uniform target for every group."""
+    src = load_table(spark, sf_dir_small, "documents")
+    out = xcur.mixture_weights(src, by="source").collect()
+    target = 1.0 / len(out)
+    for r in out:
+        assert r.share * r.weight == pytest.approx(target, rel=1e-3)

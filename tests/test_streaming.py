@@ -150,3 +150,111 @@ def test_streaming_dedup_drops_cross_batch_replays(spark, sf_dir_small, tmp_path
     n_unique = events.select("event_id").distinct().count()
     assert got.count() == n_unique
     assert got.select("event_id").distinct().count() == n_unique
+
+
+def test_stream_static_enrich_matches_batch(spark, sf_dir_small, tmp_path):
+    """Stream-static broadcast join parity: enriching the event stream
+    with a per-user dim must equal the batch join."""
+    from fastmlframework_spark.streaming.joins import enrich_stream
+
+    events = load_table(spark, sf_dir_small, "events")
+    src = str(tmp_path / "events_enrich")
+    events.write.mode("overwrite").parquet(src)
+    dim = (
+        events.select("user_id").distinct()
+        .withColumn("tier", F.col("user_id") % 3)
+    )
+
+    batch = spark.read.parquet(src).join(dim, on="user_id")
+    stream_df = spark.readStream.schema(events.schema).parquet(src)
+    enriched = enrich_stream(stream_df, dim, on="user_id").select(
+        "user_id", "event_id", "tier"
+    )
+    run_available_now_append(enriched, "enrich_test")
+    streamed = spark.table("enrich_test")
+
+    assert streamed.count() == batch.count()
+    b = batch.select("user_id", "event_id", "tier")
+    assert b.exceptAll(streamed).count() + streamed.exceptAll(b).count() == 0
+
+
+def run_available_now_append(stream_df, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir_small, tmp_path):
+    """Watermarked stream-stream interval join parity with the batch
+    join under a single availableNow pass (nothing late)."""
+    from fastmlframework_spark.streaming.joins import stream_stream_interval_join
+
+    events = load_table(spark, sf_dir_small, "events")
+    # Small per-user slices keep the join fan-out bounded for the test.
+    sample = events.filter(F.col("user_id") < 50)
+    src = str(tmp_path / "events_ssj")
+    sample.write.mode("overwrite").parquet(src)
+
+    left_b = spark.read.parquet(src).filter(F.col("event_type") == "click")
+    right_b = spark.read.parquet(src).filter(F.col("event_type") == "purchase")
+    batch_n = (
+        left_b.alias("l")
+        .join(
+            right_b.alias("r"),
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("r.ts") >= F.col("l.ts"))
+            & (F.col("r.ts") <= F.col("l.ts") + F.expr("INTERVAL 1800 SECONDS")),
+        )
+        .count()
+    )
+
+    schema = sample.schema
+    ls = spark.readStream.schema(schema).parquet(src).filter(
+        F.col("event_type") == "click"
+    )
+    rs = spark.readStream.schema(schema).parquet(src).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = stream_stream_interval_join(
+        ls, rs, on="user_id", watermark="24 hours", lower_s=0, upper_s=1800
+    ).select("user_id", "event_id", "event_id_r")
+    run_available_now_append(joined, "ssj_test")
+    assert spark.table("ssj_test").count() == batch_n
+
+
+def test_foreach_batch_idempotent_sink(spark, sf_dir_small, tmp_path):
+    """foreachBatch dynamic-partition-overwrite sink: multi-batch
+    drain lands every row exactly once, and re-running the drained
+    stream against the same checkpoint adds nothing."""
+    from fastmlframework_spark.streaming.joins import write_idempotent_parquet
+
+    events = load_table(spark, sf_dir_small, "events")
+    src = str(tmp_path / "events_sink_src")
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "events_sink_out")
+    ckpt = str(tmp_path / "events_sink_ckpt")
+
+    def make_stream():
+        return (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    write_idempotent_parquet(make_stream(), out, ckpt)
+    first = spark.read.parquet(out)
+    n_batches = first.select("__batch_id").distinct().count()
+    assert n_batches > 1  # maxFilesPerTrigger forced multiple batches
+    assert first.count() == events.count()
+    assert (
+        first.select("event_id").exceptAll(events.select("event_id")).count() == 0
+    )
+
+    # Re-run with the same checkpoint: everything already committed.
+    write_idempotent_parquet(make_stream(), out, ckpt)
+    assert spark.read.parquet(out).count() == events.count()

@@ -557,3 +557,68 @@ def lsh_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("key_a", "key_b", "cosine")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.999,
+    n_clusters: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup over an embedding column →
+    surviving keys [key].
+
+    Pipeline: (1) coarse KMeans cells partition the corpus — the
+    candidate space is cell-local, O(Σ cell²) instead of O(n²);
+    (2) exact cosine verification joins only within a cell;
+    (3) connected components over the ≥-threshold pairs; (4) the
+    minimum key per component survives, all other members drop.
+    Identical vectors always land in the same cell (assignment is a
+    pure argmin over shared centroids), so TRUE duplicates are never
+    missed; near-dups straddling a cell boundary can escape — raise
+    ``n_clusters`` probes/recall via the LSH path if that matters.
+
+    At 100 TB: the KMeans fit can run on a hash-sample
+    (``similarity.ivf_topk`` fit_fraction pattern); cells keep the
+    quadratic verify bounded by the largest cell, and components
+    converge in O(dup-cluster diameter) rounds (near-cliques: 2-3).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from fastmlframework_spark.extensions.similarity import (
+        dot_expr,
+        normalize,
+        vec_dim,
+    )
+
+    dim = vec_dim(df, vec_col)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    c = normalize(df, vec_col, "cv").select(key_col, "cv").repartition(par)
+    cv = c.withColumn("features", array_to_vector("cv")).cache()
+    km = KMeans(
+        k=n_clusters, seed=seed, featuresCol="features",
+        maxIter=5, initMode="random",
+    ).fit(cv.coalesce(max(2, min(8, par))))
+    assigned = km.transform(cv).select(
+        key_col, "cv", F.col("prediction").alias("cell")
+    )
+    a = assigned.select(
+        F.col(key_col).alias("key_a"), F.col("cv").alias("ea"), "cell"
+    )
+    b = assigned.select(
+        F.col(key_col).alias("key_b"), F.col("cv").alias("eb"), "cell"
+    )
+    pairs = (
+        a.join(b, on="cell")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .filter(F.expr(dot_expr("ea", "eb", dim)) >= threshold)
+        .select("key_a", "key_b")
+    )
+    comp = connected_components(pairs)
+    dropped = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(key_col)
+    )
+    return df.select(key_col).join(dropped, on=key_col, how="left_anti")

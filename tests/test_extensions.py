@@ -258,3 +258,17 @@ def test_one_hot_max_categories_guard(spark):
     df = spark.range(50).withColumn("c", F.concat(F.lit("v"), F.col("id")))
     with pytest.raises(ValueError, match="max_categories"):
         one_hot_columns(df, ["c"], max_categories=10)
+
+
+def test_knn_graph_matches_cosine_topk(spark, sf_dir_small):
+    """The symmetric half-pair knn_graph must produce exactly the
+    all-pairs cosine_topk result (same candidates, same ranks)."""
+    emb = (
+        load_table(spark, sf_dir_small, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id") < 120)
+    )
+    g = xsim.knn_graph(emb, k=4)
+    ref = xsim.cosine_topk(emb, emb, k=4)
+    assert g.count() == ref.count()
+    assert g.exceptAll(ref).count() + ref.exceptAll(g).count() == 0

@@ -154,24 +154,23 @@ def mixture_weights(df: DataFrame, by: str = "source") -> DataFrame:
     )
 
 
-def shuffle_order(
-    df: DataFrame, key_col: str = "doc_id", salt: str = "shuf7"
+def global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    keep_cols: list[str],
+    rank_col: str = "rank",
 ) -> DataFrame:
-    """Deterministic global shuffle for training order → [key, rank]:
-    rank 1..N in md5(key||salt) order — reproducible across engines,
-    partitionings and re-runs (no RNG stream).
-
-    NOT a single-partition window: the frame is range-partitioned and
-    sorted on the hash (Spark's distributed sort), then the global
-    rank = within-partition row_number + the partition's offset,
-    where offsets come from per-partition counts — a
-    #partitions-sized driver exchange, never a data collect."""
-    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(":" + salt)))
+    """Distributed global ROW_NUMBER over ``order_cols`` →
+    ``keep_cols + [rank]``, rank 1..N with no single-partition window:
+    the frame is range-partitioned and sorted on the order columns
+    (Spark's distributed sort), then the global rank = within-partition
+    row_number + the partition's offset, where offsets come from
+    per-partition counts — a #partitions-sized driver exchange, never
+    a data collect."""
     par = df.sparkSession.sparkContext.defaultParallelism
     sorted_df = (
-        df.select(F.col(key_col), h.alias("__h"))
-        .repartitionByRange(par, "__h", key_col)
-        .sortWithinPartitions("__h", key_col)
+        df.repartitionByRange(par, *order_cols)
+        .sortWithinPartitions(*order_cols)
         .withColumn("__pid", F.spark_partition_id())
     )
     sizes = sorted_df.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
@@ -179,13 +178,28 @@ def shuffle_order(
     offsets = sizes.select(
         "__pid", F.coalesce(F.sum("__n").over(woff), F.lit(0)).alias("__off")
     )
-    wrank = Window.partitionBy("__pid").orderBy("__h", key_col)
+    wrank = Window.partitionBy("__pid").orderBy(*order_cols)
     return (
         sorted_df.join(F.broadcast(offsets), on="__pid")
         .select(
-            key_col,
+            *keep_cols,
             (F.row_number().over(wrank) + F.col("__off"))
             .cast("long")
-            .alias("rank"),
+            .alias(rank_col),
         )
+    )
+
+
+def shuffle_order(
+    df: DataFrame, key_col: str = "doc_id", salt: str = "shuf7"
+) -> DataFrame:
+    """Deterministic global shuffle for training order → [key, rank]:
+    rank 1..N in md5(key||salt) order — reproducible across engines,
+    partitionings and re-runs (no RNG stream); distributed via
+    ``global_rank``."""
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(":" + salt)))
+    return global_rank(
+        df.select(F.col(key_col), h.alias("__h")),
+        order_cols=["__h", key_col],
+        keep_cols=[key_col],
     )

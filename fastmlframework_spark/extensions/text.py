@@ -168,3 +168,21 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(key_col, "term", "score", "rank")
     )
+
+
+def canonicalize(
+    df: DataFrame, text_col: str = "text", out_col: str = "canon"
+) -> DataFrame:
+    """Text canonicalization ahead of dedup: lowercase, strip
+    punctuation, collapse whitespace runs, trim.  Near-dup detectors
+    (minhash/simhash) and exact dedup both sharpen substantially when
+    run over the canonical form — trivial formatting variants collapse
+    to one digest.  Pure per-row expressions; map-only at scale."""
+    c = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), PUNCT_PATTERN, ""),
+            r"\s+",
+            " ",
+        )
+    )
+    return df.withColumn(out_col, c)

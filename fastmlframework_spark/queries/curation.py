@@ -247,3 +247,157 @@ def knn_density_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@query(
+    "canonical_digests",
+    oracle="""
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text),
+           '[^A-Za-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS canon_digest,
+       CAST(LENGTH(trim(regexp_replace(regexp_replace(lower(text),
+           '[^A-Za-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS BIGINT)
+           AS canon_chars
+FROM documents
+ORDER BY doc_id
+""",
+)
+def canonical_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization digests: md5 of the lowercased,
+    punctuation-stripped, whitespace-collapsed text — the dedup key
+    that collapses trivial formatting variants before exact/near-dup
+    detection."""
+    from fastmlframework_spark.extensions.text import canonicalize
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        canonicalize(docs)
+        .select(
+            "doc_id",
+            F.md5("canon").alias("canon_digest"),
+            F.length("canon").cast("long").alias("canon_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+from fastmlframework_spark.queries.text import _QUALITY_SQL
+
+
+@query(
+    "quality_decile_stats",
+    oracle=f"""
+WITH q AS (
+  SELECT doc_id, {_QUALITY_SQL} AS quality FROM documents
+),
+r AS (
+  SELECT doc_id, quality,
+         ROW_NUMBER() OVER (ORDER BY quality, doc_id) AS rnk,
+         COUNT(*) OVER () AS total
+  FROM q
+)
+SELECT CAST(1 + FLOOR((rnk - 1) * 10.0 / total) AS BIGINT) AS decile,
+       COUNT(*) AS n_docs,
+       ROUND(AVG(quality), 6) AS avg_quality,
+       ROUND(MIN(quality), 6) AS min_quality,
+       ROUND(MAX(quality), 6) AS max_quality
+FROM r GROUP BY decile ORDER BY decile
+""",
+)
+def quality_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality stratification: documents ranked by quality score into
+    10 equal-width rank deciles (explicit floor arithmetic, identical
+    in both engines) with per-decile stats — the "drop the bottom
+    quality band" selection step.  The global rank is distributed
+    (`global_rank`), never a one-partition window."""
+    from fastmlframework_spark.extensions.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    q = quality_score(docs).select("doc_id", "quality")
+    ranked = xcur.global_rank(
+        q, order_cols=["quality", "doc_id"], keep_cols=["quality"]
+    )
+    total = q.agg(F.count(F.lit(1)).alias("__total"))
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn(
+            "decile",
+            (
+                1 + F.floor((F.col("rank") - 1) * 10.0 / F.col("__total"))
+            ).cast("long"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+            F.round(F.min("quality"), 6).alias("min_quality"),
+            F.round(F.max("quality"), 6).alias("max_quality"),
+        )
+        .orderBy("decile")
+    )
+
+
+@query(
+    "corpus_resample_weighted",
+    oracle="""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+),
+tot AS (SELECT SUM(n_docs) AS total, COUNT(*) AS n_groups FROM counts),
+w AS (
+  SELECT source,
+         ROUND((1.0 / n_groups) / (n_docs * 1.0 / total), 6) AS weight
+  FROM counts, tot
+),
+thresh AS (
+  SELECT source,
+         lpad(lower(to_hex(CAST(LEAST(FLOOR(LEAST(1.0, weight * 0.3) * 65536),
+                                      65535) AS BIGINT))), 4, '0') AS hx
+  FROM w
+)
+SELECT doc_id, source
+FROM documents JOIN thresh USING (source)
+WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':rs'), 1, 4) < hx
+ORDER BY doc_id
+""",
+)
+def corpus_resample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized importance-weighted downsample: each document is
+    kept with probability weight×0.3 (weight from
+    `corpus_mixture_weights`, moving the mix toward uniform) decided
+    by a deterministic hash threshold — reproducible under any
+    partitioning, no RNG stream, and the filter composes with scan
+    pushdown.  The per-source thresholds are a broadcast of
+    aggregate-sized rows."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = xcur.mixture_weights(docs, by="source").select("source", "weight")
+    thresh = w.select(
+        "source",
+        F.lpad(
+            F.lower(
+                F.hex(
+                    F.least(
+                        F.floor(
+                            F.least(F.lit(1.0), F.col("weight") * 0.3) * 65536
+                        ),
+                        F.lit(65535),
+                    ).cast("long")
+                )
+            ),
+            4,
+            "0",
+        ).alias("hx"),
+    )
+    return (
+        docs.join(F.broadcast(thresh), on="source")
+        .filter(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":rs"))),
+                1,
+                4,
+            )
+            < F.col("hx")
+        )
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )

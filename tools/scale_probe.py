@@ -74,6 +74,10 @@ EXPONENT_QUERIES = (
     "ann_topk_lsh",
     "q1_pricing_summary",
     "window_topk_per_group",
+    "contamination_eval_overlap",
+    "pack_sequences_sharded",
+    "shuffle_training_order",
+    "semantic_dedup_planted",
 )
 
 

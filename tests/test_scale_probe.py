@@ -28,6 +28,10 @@ _BUCKETED = (
     "dedup_components",
     "ann_topk_bruteforce",
     "ann_topk_lsh",
+    "contamination_eval_overlap",
+    "pack_sequences_sharded",
+    "shuffle_training_order",
+    "semantic_dedup_planted",
 )
 
 

@@ -3,11 +3,13 @@ opaque binary columns with typed metadata, processed by Arrow-batched
 Pandas UDFs over mapInPandas.
 
 The Spark-side contract is fully real and tested — schema convention,
-partition-size control, UDF signatures, batch shapes.  The actual
-codec calls (PIL/ffmpeg/torchaudio) are STUBBED: those libraries are
-not in this container, so ``decode=`` defaults to a clearly-marked
-deterministic fake and ``decode='real'`` raises NotImplementedError
-at the call site where the codec would run.
+partition-size control, UDF signatures, batch shapes.  Codecs:
+``decode='real'`` genuinely decodes the containers that need no codec
+library — netpbm images (PPM P6 / PGM P5, parsed with numpy) and PCM
+WAV audio (stdlib ``wave``); compressed formats (PNG/JPEG/MP4) require
+PIL/ffmpeg, absent from this container, and raise NotImplementedError
+at the exact call site where they would be wired in.  ``decode='fake'``
+remains the deterministic stand-in used by the oracle-checked query.
 
 Scale design: media bytes never pass through the driver; mapInPandas
 streams Arrow batches executor-side, and ``target_batch_rows`` bounds
@@ -72,11 +74,85 @@ def _make_fake_decode():
 fake_decode = _make_fake_decode()
 
 
-def real_decode(data: bytes) -> dict:  # pragma: no cover
-    raise NotImplementedError(
-        "real media decoding requires codec libraries (PIL/ffmpeg) not "
-        "present in this environment; wire them in here"
-    )
+def _make_real_decode():
+    """Factory returning a self-contained REAL decoder closure
+    (by-value pickling, same cloudpickle caveat as the fake factory).
+
+    PPM/PGM (netpbm) and PCM WAV decode for real — stdlib + numpy,
+    no codec library needed.  Compressed containers (PNG/JPEG/MP4)
+    still require PIL/ffmpeg, absent from this environment, and raise
+    at the call site where the codec would be wired in."""
+
+    def decode_pnm(data: bytes) -> dict:
+        # Binary netpbm: ASCII header (magic, width, height, maxval,
+        # '#' comments allowed) followed by raw samples.
+        import numpy as np
+
+        fields: list[int] = []
+        i = 2  # past magic
+        while len(fields) < 3:
+            if i >= len(data):
+                raise ValueError("truncated PNM header")
+            c = data[i : i + 1]
+            if c == b"#":  # comment to end of line
+                i = data.index(b"\n", i) + 1
+            elif c.isspace():
+                i += 1
+            else:
+                j = i
+                while j < len(data) and not data[j : j + 1].isspace():
+                    j += 1
+                fields.append(int(data[i:j]))
+                i = j
+        width, height, maxval = fields
+        i += 1  # single whitespace after maxval
+        channels = 3 if data[:2] == b"P6" else 1
+        depth = 1 if maxval < 256 else 2
+        n = width * height * channels * depth
+        pixels = np.frombuffer(data[i : i + n], dtype=np.uint8)
+        if pixels.size != n:
+            raise ValueError("truncated PNM pixel data")
+        return {
+            "width": width,
+            "height": height,
+            "checksum": int(pixels.astype(np.uint64).sum() % (1 << 40)),
+        }
+
+    def decode_wav(data: bytes) -> dict:
+        # PCM WAV via stdlib wave: width = frames, height = channels.
+        import io
+        import wave
+
+        import numpy as np
+
+        with wave.open(io.BytesIO(data), "rb") as w:
+            n_frames = w.getnframes()
+            n_channels = w.getnchannels()
+            raw = w.readframes(n_frames)
+        samples = np.frombuffer(raw, dtype=np.uint8)
+        return {
+            "width": n_frames,
+            "height": n_channels,
+            "checksum": int(samples.astype(np.uint64).sum() % (1 << 40)),
+        }
+
+    def real(data: bytes) -> dict:
+        if data[:2] in (b"P5", b"P6"):
+            return decode_pnm(data)
+        if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+            return decode_wav(data)
+        raise NotImplementedError(
+            "compressed media decoding (PNG/JPEG/MP4) requires codec "
+            "libraries (PIL/ffmpeg) not present in this environment; "
+            "wire them in here"
+        )
+
+    return real
+
+
+# Direct-call convenience (tests, driver-side use); the UDF captures a
+# fresh factory instance instead — see _make_fake_decode.
+real_decode = _make_real_decode()
 
 
 def extract_media_features(
@@ -95,13 +171,7 @@ def extract_media_features(
     if decode == "fake":
         decoder = _make_fake_decode()  # by-value pickling (see factory)
     elif decode == "real":
-
-        def decoder(data: bytes) -> dict:
-            raise NotImplementedError(
-                "real media decoding requires codec libraries "
-                "(PIL/ffmpeg) not present in this environment"
-            )
-
+        decoder = _make_real_decode()  # by-value pickling (see factory)
     else:
         decoder = decode
 

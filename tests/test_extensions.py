@@ -143,11 +143,52 @@ def test_multimodal_plumbing(spark):
     assert out.exceptAll(out2).count() == 0
 
 
-def test_real_decode_is_explicit_stub(spark):
-    df = spark.createDataFrame([(1, b"x", "png")], ["doc_id", "media_bytes", "media_format"])
+def test_real_decode_compressed_formats_still_gated(spark):
+    df = spark.createDataFrame([(1, b"\x89PNG fake", "png")], ["doc_id", "media_bytes", "media_format"])
     out = xmm.extract_media_features(df, decode="real")
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         out.collect()
+
+
+def _ppm_bytes(width, height):
+    header = f"P6\n# test\n{width} {height}\n255\n".encode()
+    pixels = bytes((x * 7 + 3) % 256 for x in range(width * height * 3))
+    return header + pixels, pixels
+
+
+def _wav_bytes(n_frames, n_channels=2):
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        frames = bytes(
+            (i * 13 + 1) % 256 for i in range(n_frames * n_channels * 2)
+        )
+        w.writeframes(frames)
+    return buf.getvalue(), frames
+
+
+def test_real_decode_ppm_and_wav(spark):
+    """decode='real' genuinely parses netpbm and PCM WAV on
+    executors: true dimensions and pixel/sample checksums."""
+    ppm, pixels = _ppm_bytes(5, 4)
+    wav, frames = _wav_bytes(100, 2)
+    df = spark.createDataFrame(
+        [(1, ppm, "ppm"), (2, wav, "wav")],
+        ["doc_id", "media_bytes", "media_format"],
+    )
+    got = {
+        r.doc_id: r
+        for r in xmm.extract_media_features(df, decode="real").collect()
+    }
+    assert (got[1].feat_width, got[1].feat_height) == (5, 4)
+    assert got[1].feat_checksum == sum(pixels) % (1 << 40)
+    assert (got[2].feat_width, got[2].feat_height) == (100, 2)
+    assert got[2].feat_checksum == sum(frames) % (1 << 40)
 
 
 def test_frame_sampling_plan(spark):

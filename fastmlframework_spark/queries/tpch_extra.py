@@ -606,13 +606,14 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-supplier finished order (EXISTS + NOT EXISTS self-joins on
     the fact table).  Without ``l_receiptdate``/``l_commitdate``,
     "late" is ship > order date + 60 days.  The correlated EXISTS pair
-    de-correlates into two stacked aggregates that both reuse the SAME
-    (orderkey, suppkey) shuffle — per-order supplier/late counts join
-    back to the per-supplier rows on orderkey, so the fact table
-    shuffles once on its natural key and never self-joins row-to-row.
-    Supplier names arrive via broadcast at the end, after the
-    aggregate has shrunk the frame to qualifying (order, supplier)
-    pairs."""
+    de-correlates into ONE (orderkey, suppkey) aggregate followed by
+    per-order WINDOW counts over the same rows — the fact table is
+    scanned once and never self-joins (a groupBy-then-join-back
+    formulation would duplicate the whole scan+agg subtree in the
+    plan; the window expresses the per-order totals on the already
+    aggregated, order-partitioned frame).  Supplier names arrive via
+    broadcast at the end, after the aggregate has shrunk the frame to
+    qualifying (order, supplier) pairs."""
     orders = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == "F")
@@ -629,12 +630,11 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max(late).alias("is_late"))
     )
-    per_order = per_supp.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"), F.sum("is_late").alias("n_late")
-    )
+    w = Window.partitionBy("l_orderkey")
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        per_supp.join(per_order, on="l_orderkey")
+        per_supp.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_late", F.sum("is_late").over(w))
         .filter(
             (F.col("is_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1)
         )

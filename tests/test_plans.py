@@ -135,3 +135,37 @@ def test_q22_no_collect_threshold(spark, sf_dir_small):
     plan = _plan(spark, sf_dir_small, "q22_idle_rich_customers")
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "LeftAnti" in plan, plan
+
+
+def test_q12_pushdown_and_no_cartesian(spark, sf_dir_small):
+    """Q12: the shipdate window reaches the scan; the cross-table late
+    predicate stays a post-join filter on an equi-join (never a
+    nested-loop)."""
+    plan = _plan(spark, sf_dir_small, "q12_late_priority_counts")
+    assert re.search(r"PushedFilters: \[.*l_shipdate.*\]", plan), plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q20_broadcasts_and_semi_joins(spark, sf_dir_small):
+    """Q20: part prune and the qualifying-supplier set must broadcast;
+    both nested qualifications are semi-joins (supplier table is never
+    shuffled or duplicated)."""
+    plan = _plan(spark, sf_dir_small, "q20_dominant_widget_suppliers")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_single_fact_shuffle_no_self_join(spark, sf_dir_small):
+    """Q21's EXISTS/NOT-EXISTS de-correlates into stacked aggregates:
+    lineitem must appear in exactly ONE scan (no fact self-join), and
+    the per-order re-aggregation reuses the (orderkey, suppkey)
+    shuffle instead of adding a second fact-sized exchange."""
+    plan = _plan(spark, sf_dir_small, "q21_waiting_suppliers")
+    # formatted explain lists each operator once in the tree and once
+    # in the detail section — count the numbered detail headers.
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans <= 3, plan  # lineitem + orders + supplier
+    assert "CartesianProduct" not in plan
+    assert re.search(r"BroadcastHashJoin", plan), plan  # supplier names

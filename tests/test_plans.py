@@ -169,3 +169,19 @@ def test_q21_single_fact_shuffle_no_self_join(spark, sf_dir_small):
     assert n_scans <= 3, plan  # lineitem + orders + supplier
     assert "CartesianProduct" not in plan
     assert re.search(r"BroadcastHashJoin", plan), plan  # supplier names
+
+
+def test_contamination_broadcasts_eval_index(spark, sf_dir_small):
+    """The eval shingle index must broadcast — the train corpus is
+    never shuffled on text content."""
+    plan = _plan(spark, sf_dir_small, "contamination_eval_overlap")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_shuffle_order_uses_range_partitioning(spark, sf_dir_small):
+    """The global rank must ride a distributed range-partitioned sort;
+    the only single-partition work is the #partitions-sized offset
+    frame."""
+    plan = _plan(spark, sf_dir_small, "shuffle_training_order")
+    assert "RangePartitioning" in plan or "rangepartitioning" in plan.lower(), plan

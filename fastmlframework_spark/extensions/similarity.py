@@ -158,6 +158,7 @@ def ivf_topk(
     query_key_col: str = "query_id",
     seed: int = 7,
     fit_fraction: float = 1.0,
+    max_iter: int = 3,
 ) -> DataFrame:
     """IVF: KMeans-partition the corpus; probe the ``n_probe`` nearest
     centroids per query; exact-score within probed cells.  n_probe =
@@ -187,7 +188,7 @@ def ivf_topk(
         k=n_clusters,
         seed=seed,
         featuresCol="features",
-        maxIter=5,
+        maxIter=max_iter,
         initMode="random",
     ).fit(fit_df.coalesce(max(2, min(8, par))))
     assigned = (

@@ -318,3 +318,36 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
         .na.fill(0)
     )
+
+
+@query(
+    "weighted_median_price",
+    oracle="""
+WITH c AS (
+  SELECT l_returnflag, l_extendedprice,
+         SUM(l_quantity) OVER (
+           PARTITION BY l_returnflag ORDER BY l_extendedprice
+           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+  FROM lineitem
+)
+SELECT l_returnflag, MIN(l_extendedprice) AS wq
+FROM c WHERE cw >= 0.5 * tw
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median extended price per return flag — the
+    weighted order statistic a UDAF is usually reached for, expressed
+    as a window cumsum + MIN-qualifying-value (pure codegen, one
+    shuffle; `functions/weighted.py`).  Integer-valued weights keep
+    both engines' sums exact, so the >= boundary cannot flip."""
+    from fastmlframework_spark.functions.weighted import weighted_quantile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return weighted_quantile(
+        li, ["l_returnflag"], "l_extendedprice", "l_quantity", q=0.5
+    ).select(
+        "l_returnflag", F.col("wq")
+    ).orderBy("l_returnflag")

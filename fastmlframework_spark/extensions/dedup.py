@@ -571,6 +571,7 @@ def semantic_dedup(
     threshold: float = 0.999,
     n_clusters: int = 8,
     seed: int = 7,
+    max_iter: int = 3,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup over an embedding column →
     surviving keys [key].
@@ -605,7 +606,7 @@ def semantic_dedup(
     cv = c.withColumn("features", array_to_vector("cv")).cache()
     km = KMeans(
         k=n_clusters, seed=seed, featuresCol="features",
-        maxIter=5, initMode="random",
+        maxIter=max_iter, initMode="random",
     ).fit(cv.coalesce(max(2, min(8, par))))
     assigned = km.transform(cv).select(
         key_col, "cv", F.col("prediction").alias("cell")

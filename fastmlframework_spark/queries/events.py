@@ -313,3 +313,48 @@ def events_interarrival_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_gapfill_hourly",
+    oracle="""
+WITH per_hour AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket, AVG(value) AS v
+  FROM events WHERE user_id < 40
+  GROUP BY user_id, date_trunc('hour', ts)
+),
+spans AS (
+  SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi
+  FROM per_hour GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+  FROM spans
+)
+SELECT g.user_id, g.bucket,
+       ROUND(last_value(p.v IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS filled,
+       p.v IS NULL AS is_gap
+FROM grid g
+LEFT JOIN per_hour p ON g.user_id = p.user_id AND g.bucket = p.bucket
+""",
+)
+def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample + forward fill over the event stream — the
+    hypertable-style regularization that feeds feature stores: dense
+    per-user hourly grid, in-hour mean, last value carried across
+    empty hours (`operators/timeseries.py`; per-key span grids, one
+    shuffle, never a global calendar cross join)."""
+    from fastmlframework_spark.operators.timeseries import resample_gapfill
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    out = resample_gapfill(
+        ev, key_col="user_id", ts_col="ts", value_col="value"
+    )
+    return out.select(
+        "user_id",
+        "bucket",
+        F.round("filled", 4).alias("filled"),
+        "is_gap",
+    )

@@ -1,0 +1,44 @@
+"""resample_gapfill semantics: dense grid, in-bucket mean, forward
+fill across gaps."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+from fastmlframework_spark.operators.timeseries import resample_gapfill
+
+
+def test_gapfill_dense_grid_and_forward_fill(spark):
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        # key 1: hours 10 (two events -> mean 2.0), 13 (one event);
+        # hours 11, 12 are gaps carrying 2.0
+        (1, t0, 1.0),
+        (1, t0 + dt.timedelta(minutes=30), 3.0),
+        (1, t0 + dt.timedelta(hours=3), 7.0),
+        # key 2: single hour, no gaps
+        (2, t0 + dt.timedelta(hours=1), 5.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    out = resample_gapfill(df, "user_id", "ts", "value")
+    got = {
+        (r.user_id, r.bucket.hour): (r.filled, r.is_gap)
+        for r in out.collect()
+    }
+    assert got[(1, 10)] == (2.0, False)
+    assert got[(1, 11)] == (2.0, True)
+    assert got[(1, 12)] == (2.0, True)
+    assert got[(1, 13)] == (7.0, False)
+    assert got[(2, 11)] == (5.0, False)
+    assert len(got) == 5  # grids span each key's own range only
+
+
+def test_gapfill_no_gaps_roundtrip(spark):
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [(1, t0 + dt.timedelta(hours=h), float(h)) for h in range(5)]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    out = resample_gapfill(df, "user_id", "ts", "value")
+    assert out.filter(F.col("is_gap")).count() == 0
+    assert out.count() == 5

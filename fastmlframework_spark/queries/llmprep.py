@@ -157,3 +157,46 @@ def approx_quantile_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "freq_items_ok",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS tok
+  FROM documents
+),
+counts AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok)
+SELECT tok AS top_token, TRUE AS in_sketch
+FROM counts ORDER BY n DESC, tok LIMIT 1
+""",
+)
+def freq_items_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items sketch invariant (same contract-pinning pattern
+    as the HLL/KLL queries): ``freqItems`` (Karp-Papadimitriou-
+    Shenker misra-gries-style, one pass, bounded state — the heavy-
+    hitter sketch at 100 TB) must contain the EXACT most frequent
+    token, which the oracle computes while the data is small enough
+    to count exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(TOKEN_PATTERN), F.lit(0))
+        ).alias("tok")
+    )
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(1)
+        .select(F.col("tok").alias("top_token"))
+    )
+    sketch = toks.freqItems(["tok"], support=0.01).select(
+        F.col("tok_freqItems").alias("items")
+    )
+    return top.crossJoin(F.broadcast(sketch)).select(
+        "top_token",
+        F.array_contains(F.col("items"), F.col("top_token")).alias(
+            "in_sketch"
+        ),
+    )

@@ -53,3 +53,177 @@ def resample_gapfill(
         F.last("__v", ignorenulls=True).over(w).alias("filled"),
         F.col("__v").isNull().alias("is_gap"),
     )
+
+
+def resample_interpolate(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step: str = "1 hour",
+    trunc_unit: str = "hour",
+    mean_decimals: int | None = None,
+) -> DataFrame:
+    """Dense per-key grid with LINEAR interpolation →
+    [key, bucket, filled, is_gap].
+
+    Same grid construction as ``resample_gapfill``; empty buckets get
+    the time-weighted blend of the nearest observed buckets on both
+    sides (leading/trailing gaps degrade to nearest-value fill).  Two
+    running windows (previous/next non-null value and bucket) over one
+    key partitioning — still a single shuffle."""
+    bucket = F.date_trunc(trunc_unit, F.col(ts_col))
+    # Rounding the in-bucket mean BEFORE interpolating pins the blend
+    # arithmetic to reproducible inputs (summation order inside avg()
+    # differs across engines/partitionings; the blend then amplifies
+    # last-ulp noise across the rounding boundary of the final value).
+    mean = F.avg(value_col)
+    if mean_decimals is not None:
+        mean = F.round(mean, mean_decimals)
+    per_bucket = df.groupBy(
+        F.col(key_col), bucket.alias("bucket")
+    ).agg(mean.alias("__v"))
+    spans = per_bucket.groupBy(key_col).agg(
+        F.min("bucket").alias("__lo"), F.max("bucket").alias("__hi")
+    )
+    grid = spans.select(
+        F.col(key_col),
+        F.explode(F.expr(f"sequence(__lo, __hi, interval {step})")).alias(
+            "bucket"
+        ),
+    )
+    wb = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    joined = grid.join(per_bucket, on=[key_col, "bucket"], how="left")
+    obs_bucket = F.when(F.col("__v").isNotNull(), F.col("bucket"))
+    prev_v = F.last("__v", ignorenulls=True).over(wb)
+    next_v = F.first("__v", ignorenulls=True).over(wf)
+    prev_t = F.last(obs_bucket, ignorenulls=True).over(wb)
+    next_t = F.first(obs_bucket, ignorenulls=True).over(wf)
+    span = F.col("__nt").cast("double") - F.col("__pt").cast("double")
+    frac = (
+        F.col("bucket").cast("double") - F.col("__pt").cast("double")
+    ) / span
+    interp = (
+        F.when(F.col("__v").isNotNull(), F.col("__v"))
+        .when(F.col("__pv").isNull(), F.col("__nv"))  # leading gap
+        .when(F.col("__nv").isNull(), F.col("__pv"))  # trailing gap
+        .otherwise(F.col("__pv") + frac * (F.col("__nv") - F.col("__pv")))
+    )
+    return (
+        joined.select(
+            F.col(key_col),
+            "bucket",
+            "__v",
+            prev_v.alias("__pv"),
+            next_v.alias("__nv"),
+            prev_t.alias("__pt"),
+            next_t.alias("__nt"),
+        )
+        .select(
+            F.col(key_col),
+            "bucket",
+            interp.alias("filled"),
+            F.col("__v").isNull().alias("is_gap"),
+        )
+    )
+
+
+def resample_interpolate_exact(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step: str = "1 hour",
+    trunc_unit: str = "hour",
+    in_scale: int = 100,
+    out_scale: int = 10_000,
+) -> DataFrame:
+    """Linear interpolation with EXACT integer arithmetic →
+    [key, bucket, filled_scaled, is_gap] where ``filled_scaled`` is
+    the value × ``out_scale`` as a BIGINT.
+
+    Floating-point blends round differently across engines at exact
+    .5 boundaries (which linear interpolation structurally produces:
+    frac = 1/2 on odd gaps), so the cross-engine-checkable variant
+    scales inputs to integers (``in_scale`` matching the data's
+    decimal resolution), carries per-bucket means as exact rationals
+    (sum, count), and blends with pure BIGINT multiply/divide —
+    bit-identical on any engine.  Same grid/window plan shape as
+    ``resample_interpolate``."""
+    bucket = F.date_trunc(trunc_unit, F.col(ts_col))
+    vi = F.round(F.col(value_col) * in_scale).cast("long")
+    per_bucket = df.groupBy(F.col(key_col), bucket.alias("bucket")).agg(
+        F.sum(vi).alias("__s"), F.count(F.lit(1)).alias("__n")
+    )
+    spans = per_bucket.groupBy(key_col).agg(
+        F.min("bucket").alias("__lo"), F.max("bucket").alias("__hi")
+    )
+    grid = spans.select(
+        F.col(key_col),
+        F.explode(F.expr(f"sequence(__lo, __hi, interval {step})")).alias(
+            "bucket"
+        ),
+    )
+    wb = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    joined = grid.join(per_bucket, on=[key_col, "bucket"], how="left")
+    obs_bucket = F.when(F.col("__s").isNotNull(), F.col("bucket"))
+    staged = joined.select(
+        F.col(key_col),
+        "bucket",
+        "__s",
+        "__n",
+        F.last("__s", ignorenulls=True).over(wb).alias("__ps"),
+        F.last("__n", ignorenulls=True).over(wb).alias("__pn"),
+        F.first("__s", ignorenulls=True).over(wf).alias("__ns"),
+        F.first("__n", ignorenulls=True).over(wf).alias("__nn"),
+        F.last(obs_bucket, ignorenulls=True).over(wb).cast("long").alias("__pt"),
+        F.first(obs_bucket, ignorenulls=True).over(wf).cast("long").alias("__nt"),
+    )
+    mult = out_scale // in_scale
+    b = F.col("bucket").cast("long")
+    with_terms = staged.select(
+        F.col(key_col),
+        "bucket",
+        "__s",
+        "__n",
+        (
+            (
+                (F.col("__nt") - b) * F.col("__ps") * F.col("__nn")
+                + (b - F.col("__pt")) * F.col("__ns") * F.col("__pn")
+            )
+            * mult
+        ).alias("__num"),
+        (
+            F.col("__pn")
+            * F.col("__nn")
+            * (F.col("__nt") - F.col("__pt"))
+        ).alias("__den"),
+    )
+    # `div` is BIGINT division — no double ever enters the blend.
+    return with_terms.select(
+        F.col(key_col),
+        "bucket",
+        F.expr(
+            f"CASE WHEN __s IS NOT NULL THEN (__s * {mult}) div __n "
+            "ELSE __num div __den END"
+        ).alias("filled_scaled"),
+        F.col("__s").isNull().alias("is_gap"),
+    )

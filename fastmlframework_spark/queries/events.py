@@ -358,3 +358,66 @@ def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("filled", 4).alias("filled"),
         "is_gap",
     )
+
+
+@query(
+    "events_interpolate_hourly",
+    oracle="""
+WITH per_hour AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS s,
+         COUNT(*) AS n
+  FROM events WHERE user_id < 40
+  GROUP BY user_id, date_trunc('hour', ts)
+),
+spans AS (
+  SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi
+  FROM per_hour GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+  FROM spans
+),
+j AS (
+  SELECT g.user_id, g.bucket, p.s, p.n,
+         CAST(epoch(g.bucket) AS BIGINT) AS bl,
+         last_value(p.s IGNORE NULLS) OVER wb AS ps,
+         last_value(p.n IGNORE NULLS) OVER wb AS pn,
+         first_value(p.s IGNORE NULLS) OVER wf AS ns,
+         first_value(p.n IGNORE NULLS) OVER wf AS nn,
+         CAST(epoch(last_value(CASE WHEN p.s IS NOT NULL THEN g.bucket END
+                               IGNORE NULLS) OVER wb) AS BIGINT) AS pt,
+         CAST(epoch(first_value(CASE WHEN p.s IS NOT NULL THEN g.bucket END
+                                IGNORE NULLS) OVER wf) AS BIGINT) AS nt
+  FROM grid g LEFT JOIN per_hour p USING (user_id, bucket)
+  WINDOW wb AS (PARTITION BY g.user_id ORDER BY g.bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY g.user_id ORDER BY g.bucket
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, bucket,
+       CASE WHEN s IS NOT NULL THEN (s * 100) // n
+            ELSE (((nt - bl) * ps * nn + (bl - pt) * ns * pn) * 100)
+                 // (pn * nn * (nt - pt))
+       END AS filled_scaled,
+       s IS NULL AS is_gap
+FROM j
+""",
+)
+def events_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample with LINEAR interpolation across gaps — the
+    time-weighted counterpart of `events_gapfill_hourly`.  Uses the
+    integer-exact formulation (`resample_interpolate_exact`): floating
+    blends structurally produce exact .5 rounding boundaries (frac =
+    1/2 on odd gaps) where engines' round semantics diverge, so the
+    cross-engine contract carries values as scaled BIGINTs and blends
+    with pure integer multiply/divide — bit-identical by construction.
+    Output `filled_scaled` is the value x 10000."""
+    from fastmlframework_spark.operators.timeseries import (
+        resample_interpolate_exact,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    return resample_interpolate_exact(
+        ev, key_col="user_id", ts_col="ts", value_col="value"
+    )

@@ -42,3 +42,37 @@ def test_gapfill_no_gaps_roundtrip(spark):
     out = resample_gapfill(df, "user_id", "ts", "value")
     assert out.filter(F.col("is_gap")).count() == 0
     assert out.count() == 5
+
+
+def test_interpolate_linear_blend(spark):
+    import datetime as dt
+
+    from fastmlframework_spark.operators.timeseries import (
+        resample_interpolate,
+        resample_interpolate_exact,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    # observed at hours 10 (v=1.0) and 13 (v=7.0); gaps at 11, 12
+    rows = [(1, t0, 1.0), (1, t0 + dt.timedelta(hours=3), 7.0)]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+
+    out = {
+        (r.bucket.hour): (r.filled, r.is_gap)
+        for r in resample_interpolate(df, "user_id", "ts", "value").collect()
+    }
+    assert out[10] == (1.0, False)
+    assert out[11] == (3.0, True)   # 1 + 1/3 * 6
+    assert out[12] == (5.0, True)   # 1 + 2/3 * 6
+    assert out[13] == (7.0, False)
+
+    exact = {
+        (r.bucket.hour): (r.filled_scaled, r.is_gap)
+        for r in resample_interpolate_exact(
+            df, "user_id", "ts", "value"
+        ).collect()
+    }
+    assert exact[10] == (10000, False)
+    assert exact[11] == (30000, True)
+    assert exact[12] == (50000, True)
+    assert exact[13] == (70000, False)

@@ -421,3 +421,43 @@ def events_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample_interpolate_exact(
         ev, key_col="user_id", ts_col="ts", value_col="value"
     )
+
+
+@query(
+    "events_value_outliers",
+    oracle="""
+WITH stats AS (
+  SELECT event_type,
+         AVG(value) AS mu,
+         STDDEV_SAMP(value) AS sigma
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       ROUND(e.value, 4) AS value,
+       ROUND((e.value - mu) / sigma, 4) AS zscore
+FROM events e JOIN stats USING (event_type)
+WHERE ABS((e.value - mu) / sigma) > 3
+ORDER BY e.event_id
+""",
+)
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outlier flagging (|z| > 3): the basic anomaly
+    screen over an event stream.  Per-type stats are aggregate-sized
+    and broadcast back into a single fact scan — two passes total,
+    no window over the raw stream."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), on="event_type")
+        .filter(F.abs(z) > 3)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            F.round(z, 4).alias("zscore"),
+        )
+        .orderBy("event_id")
+    )

@@ -319,3 +319,44 @@ def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         n_bins=10,
     )
+
+
+@query(
+    "segment_price_regression",
+    oracle="""
+SELECT c_mktsegment,
+       ROUND(regr_slope(o_totalprice, c_acctbal), 6) AS slope,
+       ROUND(regr_intercept(o_totalprice, c_acctbal), 6) AS intercept,
+       ROUND(regr_r2(o_totalprice, c_acctbal), 6) AS r2,
+       regr_count(o_totalprice, c_acctbal) AS n
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def segment_price_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment closed-form OLS (order total on account balance)
+    via the native regr_* aggregates — the "many small models" pattern
+    without any model library: one grouped aggregate, map-side
+    combinable, no applyInPandas.  Demonstrates that grouped linear
+    fits belong in the aggregate layer at 100 TB (sums of x, y, xy,
+    x² per group), not in a Python UDF."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.regr_slope("o_totalprice", "c_acctbal"), 6).alias("slope"),
+            F.round(
+                F.regr_intercept("o_totalprice", "c_acctbal"), 6
+            ).alias("intercept"),
+            F.round(F.regr_r2("o_totalprice", "c_acctbal"), 6).alias("r2"),
+            F.regr_count("o_totalprice", "c_acctbal").alias("n"),
+        )
+        .orderBy("c_mktsegment")
+    )

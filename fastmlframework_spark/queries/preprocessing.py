@@ -360,3 +360,60 @@ def segment_price_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# DuckDB twin of ml/folds.fold_hash(o_orderkey, 27)
+_ENC_HASH = (
+    "CAST(concat('0x', substring(md5(CAST(o_orderkey AS VARCHAR)"
+    " || '|' || '27'), 1, 15)) AS BIGINT)"
+)
+
+
+@query(
+    "target_encode_oof_priority",
+    oracle=f"""
+WITH base AS (
+  SELECT o_orderkey,
+         o_orderpriority AS cat,
+         CAST(o_orderstatus = 'F' AS INT) AS y,
+         {_ENC_HASH} % 5 AS fold
+  FROM orders
+),
+cf AS (
+  SELECT cat, fold, SUM(y) AS s, COUNT(*) AS n
+  FROM base GROUP BY cat, fold
+),
+c AS (SELECT cat, SUM(s) AS st, SUM(n) AS nt FROM cf GROUP BY cat),
+g AS (SELECT AVG(y) AS p FROM base)
+SELECT b.o_orderkey, b.fold,
+       ROUND((st - s + 20.0 * p) / (nt - n + 20.0), 6) AS enc
+FROM base b
+JOIN cf USING (cat, fold)
+JOIN c USING (cat), g
+ORDER BY b.o_orderkey
+""",
+)
+def target_encode_oof_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe target encoding of order priority against the
+    finished-order label: each row is encoded with the OTHER folds'
+    category statistics plus prior smoothing (m=20) — the standard
+    trick for high-cardinality categoricals that naive mean-encoding
+    leaks on.  Aggregates are (category × fold)-sized broadcasts over
+    one fact scan (`operators/encoding.py`)."""
+    from fastmlframework_spark.operators.encoding import target_encode_oof
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderstatus"
+    )
+    base = o.withColumn(
+        "__label", (F.col("o_orderstatus") == "F").cast("int")
+    )
+    return target_encode_oof(
+        base,
+        key_col="o_orderkey",
+        cat_col="o_orderpriority",
+        label_col="__label",
+        k=5,
+        seed=27,
+        prior_weight=20.0,
+    ).orderBy("o_orderkey")

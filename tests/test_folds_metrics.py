@@ -119,3 +119,52 @@ def test_unknown_metric_raises(spark):
     df = spark.createDataFrame([(1, 1.0)], ["label", "p"])
     with pytest.raises(ValueError, match="unknown metric"):
         metrics.score(df, "nope", "label", "p")
+
+
+def test_target_encoding_is_leak_free(spark, sf_dir_small):
+    """OOF property: flipping every label inside fold f must leave
+    fold-f rows' encodings unchanged (their encoding uses only the
+    other folds), while other folds' encodings move."""
+    import pyspark.sql.functions as F
+
+    from fastmlframework_spark.core.tables import load_table
+    from fastmlframework_spark.operators.encoding import target_encode_oof
+
+    o = load_table(spark, sf_dir_small, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderstatus"
+    ).withColumn("y", (F.col("o_orderstatus") == "F").cast("int"))
+
+    base = target_encode_oof(
+        o, "o_orderkey", "o_orderpriority", "y", k=5, seed=27
+    )
+    f0 = {r.o_orderkey for r in base.filter("fold = 0").collect()}
+
+    from fastmlframework_spark.ml.folds import fold_hash
+
+    flipped = o.withColumn(
+        "y",
+        F.when(
+            (fold_hash("o_orderkey", 27) % 5) == 0, 1 - F.col("y")
+        ).otherwise(F.col("y")),
+    )
+    enc2 = target_encode_oof(
+        flipped, "o_orderkey", "o_orderpriority", "y", k=5, seed=27
+    )
+    a = {r.o_orderkey: r.enc for r in base.collect()}
+    b = {r.o_orderkey: r.enc for r in enc2.collect()}
+    # global prior changed, so even fold-0 rows shift via the m*p term;
+    # remove prior influence by comparing with m=0 (no smoothing).
+    enc_a0 = target_encode_oof(
+        o, "o_orderkey", "o_orderpriority", "y", k=5, seed=27,
+        prior_weight=0.0,
+    )
+    enc_b0 = target_encode_oof(
+        flipped, "o_orderkey", "o_orderpriority", "y", k=5, seed=27,
+        prior_weight=0.0,
+    )
+    a0 = {r.o_orderkey: r.enc for r in enc_a0.collect()}
+    b0 = {r.o_orderkey: r.enc for r in enc_b0.collect()}
+    unchanged = [k for k in f0 if a0[k] == b0[k]]
+    assert len(unchanged) == len(f0)  # fold-0 encodings identical
+    moved = [k for k in a0 if k not in f0 and a0[k] != b0[k]]
+    assert moved  # other folds felt the flip

@@ -313,3 +313,21 @@ def test_knn_graph_matches_cosine_topk(spark, sf_dir_small):
     ref = xsim.cosine_topk(emb, emb, k=4)
     assert g.count() == ref.count()
     assert g.exceptAll(ref).count() + ref.exceptAll(g).count() == 0
+
+
+def test_multiprobe_lsh_dominates_single_probe(spark, sf_dir_small):
+    """Multi-probe recall vs brute force must be >= single-probe
+    recall (probing hamming-1 neighbor buckets only ADDS candidates)."""
+    emb = load_table(spark, sf_dir_small, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 25)
+    exact = xsim.cosine_topk(emb, queries, k=3)
+    single = xsim.lsh_topk(emb, queries, k=3, n_planes=4)
+    multi = xsim.lsh_topk_multiprobe(emb, queries, k=3, n_planes=4)
+    r1 = xsim.recall_at_k(single, exact)
+    rm = xsim.recall_at_k(multi, exact)
+    assert rm >= r1
+    # 5 probes of 16 buckets: ~3x the candidate space of single-probe
+    # (measured ~0.47 vs ~0.15 on near-orthogonal random embeddings).
+    assert rm > 0.35

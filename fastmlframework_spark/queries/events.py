@@ -461,3 +461,70 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "events_last_touch_attribution",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_id, ts, event_type, value,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS) OVER w AS touch_type,
+         last_value(CASE WHEN event_type <> 'purchase' THEN ts END
+                    IGNORE NULLS) OVER w AS touch_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT COALESCE(CASE WHEN touch_ts >= ts - INTERVAL 24 HOUR
+                     THEN touch_type END, 'direct') AS channel,
+       COUNT(*) AS n_purchases,
+       ROUND(SUM(value), 2) AS attributed_value
+FROM seq
+WHERE event_type = 'purchase'
+GROUP BY channel
+ORDER BY channel
+""",
+)
+def events_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase credits the most recent
+    preceding non-purchase event within 24h (else 'direct') — the
+    classic sessionless attribution model, as ONE running window over
+    the user-partitioned stream (no self-join of purchases against
+    touches; the carry costs a single shuffle on user_id)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    nonpurch = F.col("event_type") != "purchase"
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        "value",
+        F.last(F.when(nonpurch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+        F.last(F.when(nonpurch, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("touch_ts"),
+    )
+    within = F.col("touch_ts") >= F.col("ts") - F.expr("INTERVAL 24 HOURS")
+    return (
+        seq.filter(F.col("event_type") == "purchase")
+        .select(
+            F.coalesce(
+                F.when(within, F.col("touch_type")), F.lit("direct")
+            ).alias("channel"),
+            "value",
+        )
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("attributed_value"),
+        )
+        .orderBy("channel")
+    )

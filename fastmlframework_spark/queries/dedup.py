@@ -328,3 +328,13 @@ def semantic_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(corpus, threshold=0.999, n_clusters=8).orderBy(
         "vec_id"
     )
+
+
+@query("dedup_ngram_jaccard_prefix", oracle=_JACCARD_ORACLE)
+def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered (PPJoin-style) variant of `dedup_ngram_jaccard`:
+    rarest-first global shingle order, prefix-only inverted index,
+    exact array-intersection verification — SAME oracle as the full
+    inverted-index join, proving two independent algorithms agree."""
+    corpus = _corpus(spark, sf_dir).filter(F.expr(_SUBSET_PRED))
+    return xdedup.ngram_jaccard_pairs_prefix(corpus, n=3, threshold=0.4)

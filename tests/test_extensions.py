@@ -331,3 +331,14 @@ def test_multiprobe_lsh_dominates_single_probe(spark, sf_dir_small):
     # 5 probes of 16 buckets: ~3x the candidate space of single-probe
     # (measured ~0.47 vs ~0.15 on near-orthogonal random embeddings).
     assert rm > 0.35
+
+
+def test_prefix_jaccard_equals_full_index(corpus):
+    """PPJoin-style prefix filtering must produce exactly the full
+    inverted-index join's pairs at every threshold tried."""
+    sub = corpus.filter(F.col("doc_id") % 500 < 40)
+    for t in (0.3, 0.6, 0.9):
+        full = xdedup.ngram_jaccard_pairs(sub, n=3, threshold=t)
+        pref = xdedup.ngram_jaccard_pairs_prefix(sub, n=3, threshold=t)
+        diff = full.exceptAll(pref).count() + pref.exceptAll(full).count()
+        assert diff == 0, f"threshold {t}"

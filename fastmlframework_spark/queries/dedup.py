@@ -10,7 +10,7 @@ both engines, so exact/near-dup detection has real positives to find.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from fastmlframework_spark.core.tables import load_table
 from fastmlframework_spark.extensions import dedup as xdedup
@@ -338,3 +338,62 @@ def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted-index join, proving two independent algorithms agree."""
     corpus = _corpus(spark, sf_dir).filter(F.expr(_SUBSET_PRED))
     return xdedup.ngram_jaccard_pairs_prefix(corpus, n=3, threshold=0.4)
+
+
+@query(
+    "dedup_rate_by_source",
+    oracle=f"""
+WITH corpus AS (
+  SELECT c.doc_id, c.text, d.source
+  FROM ({_CORPUS_SQL}) c
+  JOIN documents d ON (c.doc_id % 100000) = d.doc_id
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN cnt > 1 THEN cnt - 1 ELSE 0 END) AS BIGINT)
+           AS n_dropped,
+       ROUND(SUM(CASE WHEN cnt > 1 THEN cnt - 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS drop_rate
+FROM (
+  SELECT co.source, co.doc_id,
+         COUNT(*) OVER (PARTITION BY md5(co.text)) AS cnt,
+         ROW_NUMBER() OVER (PARTITION BY md5(co.text) ORDER BY co.doc_id)
+             AS rn
+  FROM corpus co
+) t
+WHERE rn = 1
+GROUP BY source
+ORDER BY source
+""",
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup reporting: per-source document counts, dropped-copy
+    counts and drop rate over the planted-duplicate corpus — the
+    curation dashboard number ("how duplicated is each domain").
+    Groups on the content digest; the per-source rollup attributes
+    each duplicate GROUP to its survivor's source (rn = 1)."""
+    corpus = _corpus(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    with_src = corpus.join(
+        F.broadcast(docs.withColumnRenamed("doc_id", "__orig")),
+        (F.col("doc_id") % 100000) == F.col("__orig"),
+    ).drop("__orig")
+    wcnt = Window.partitionBy(F.md5("text"))
+    worder = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    t = with_src.select(
+        "source",
+        F.count(F.lit(1)).over(wcnt).alias("cnt"),
+        F.row_number().over(worder).alias("rn"),
+    ).filter(F.col("rn") == 1)
+    dropped = F.when(F.col("cnt") > 1, F.col("cnt") - 1).otherwise(0)
+    return (
+        t.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(dropped).alias("n_dropped"),
+            F.round(F.sum(dropped) / F.count(F.lit(1)), 6).alias(
+                "drop_rate"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""End-to-end corpus-curation pipeline over the documents table —
+the §7.5 extension layer as one runnable flow:
+
+    canonicalize → exact dedup → near-dup (MinHash+LSH) → components
+      → quality/repetition filter → contamination screen
+      → mixture reweighting → sequence packing → training shards
+
+    python examples/run_curation.py [--sf-dir /root/testdata/sf0.001]
+                                    [--out /tmp/curation_out]
+
+Writes per-stage parquet artifacts plus a summary JSON; every stage is
+the library operator the query registry exposes, so the numbers here
+match the oracle-checked queries.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from fastmlframework_spark.core.session import get_spark  # noqa: E402
+from fastmlframework_spark.core.tables import load_table  # noqa: E402
+from fastmlframework_spark.extensions import curation as xcur  # noqa: E402
+from fastmlframework_spark.extensions import dedup as xdedup  # noqa: E402
+from fastmlframework_spark.extensions.text import canonicalize, quality_score  # noqa: E402
+from fastmlframework_spark.sources.shards import write_training_shards  # noqa: E402
+
+
+def run(spark, sf_dir: str, out: str) -> dict:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    n0 = docs.count()
+
+    # 1. canonicalize, then EXACT dedup on the canonical digest.
+    canon = canonicalize(docs).withColumn("__digest", F.md5("canon"))
+    survivors = (
+        canon.groupBy("__digest").agg(F.min("doc_id").alias("doc_id"))
+    )
+    # Persist between stages: every later screen AND its count would
+    # otherwise re-derive the whole upstream lineage (dedup joins,
+    # components) from the scan — the standard checkpointing discipline
+    # of multi-stage pipelines.
+    stage1 = (
+        canon.join(survivors.select("doc_id"), on="doc_id", how="left_semi")
+        .drop("__digest", "canon")
+        .cache()
+    )
+    n1 = stage1.count()
+
+    # 2. near-dup pairs (MinHash+LSH) → components → keep min id.
+    pairs = xdedup.minhash_lsh_pairs(
+        stage1, num_hashes=8, bands=4, verify_threshold=0.8
+    ).select("key_a", "key_b")
+    if pairs.limit(1).count():
+        comp = xdedup.connected_components(pairs)
+        dropped = comp.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias("doc_id")
+        )
+        # localCheckpoint, not cache: the components step carries an
+        # ITERATIVE lineage (one join+agg layer per round); downstream
+        # plans embedding it grow enough to blow up plan construction.
+        # Checkpointing truncates the logical plan to the materialized
+        # result.
+        stage2 = (
+            stage1.join(dropped, on="doc_id", how="left_anti")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        stage2 = stage1
+    n2 = stage2.count()
+
+    # 3. quality + repetition screens.
+    rep = xcur.repetition_stats(stage2).select("doc_id", "distinct_ratio")
+    q = quality_score(stage2).select("doc_id", "quality")
+    stage3 = (
+        stage2.join(rep, on="doc_id")
+        .join(q, on="doc_id")
+        .filter((F.col("distinct_ratio") >= 0.3) & (F.col("quality") >= 0.2))
+        .drop("distinct_ratio", "quality")
+        .cache()
+    )
+    n3 = stage3.count()
+
+    # 4. contamination screen against the planted eval excerpts.
+    evals = docs.filter(F.col("doc_id") % 37 == 0).select(
+        F.col("doc_id").alias("eval_id"),
+        F.expr(
+            "substring(text, CAST(FLOOR(LENGTH(text) * 0.3) AS INT) + 1,"
+            " CAST(FLOOR(LENGTH(text) * 0.4) AS INT))"
+        ).alias("text"),
+    )
+    contaminated = xcur.eval_contamination(
+        stage3, evals, n=5, min_containment=0.5
+    ).select("doc_id").distinct()
+    stage4 = stage3.join(contaminated, on="doc_id", how="left_anti").cache()
+    n4 = stage4.count()
+
+    # 5. mixture weights + deterministic weighted downsample report.
+    weights = xcur.mixture_weights(stage4, by="source")
+
+    # 6. pack into context windows, then materialize training shards.
+    packed = xcur.pack_streams(stage4, ctx=512, shards=8)
+    n_packs = packed.select("shard", "pack_id").distinct().count()
+    manifest = write_training_shards(
+        stage4.select("doc_id", "text"),
+        os.path.join(out, "shards"),
+        n_shards=4,
+    )
+
+    weights.write.mode("overwrite").parquet(os.path.join(out, "weights"))
+    packed.write.mode("overwrite").parquet(os.path.join(out, "packs"))
+    summary = {
+        "input_docs": n0,
+        "after_exact_dedup": n1,
+        "after_near_dedup": n2,
+        "after_quality": n3,
+        "after_decontamination": n4,
+        "n_packs": n_packs,
+        "shards": manifest["n_shards"],
+        "shard_rows": manifest["total_rows"],
+    }
+    with open(os.path.join(out, "summary.json"), "w") as fh:
+        json.dump(summary, fh, indent=1)
+    return summary
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("--out", default="/tmp/curation_out")
+    args = ap.parse_args()
+    spark = get_spark(app_name="curation-example", master="local[8]",
+                      shuffle_partitions=8)
+    summary = run(spark, args.sf_dir, args.out)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

@@ -93,3 +93,25 @@ def test_mixture_weights_rebalance(spark, sf_dir_small):
     target = 1.0 / len(out)
     for r in out:
         assert r.share * r.weight == pytest.approx(target, rel=1e-3)
+
+
+def test_curation_pipeline_end_to_end(spark, sf_dir_small, tmp_path):
+    """The full curation example must run and monotonically shrink the
+    corpus through each screen, ending in valid shards."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/examples")
+    from run_curation import run
+
+    out = str(tmp_path / "cur")
+    s = run(spark, sf_dir_small, out)
+    assert (
+        s["input_docs"]
+        >= s["after_exact_dedup"]
+        >= s["after_near_dedup"]
+        >= s["after_quality"]
+        >= s["after_decontamination"]
+        > 0
+    )
+    assert s["shard_rows"] == s["after_decontamination"]
+    assert s["n_packs"] > 0

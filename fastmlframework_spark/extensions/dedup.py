@@ -421,7 +421,12 @@ def connected_components(
             "max_iter (rounds needed = component diameter)"
         )
     both.unpersist()
-    return labels
+    # Truncate the iterative lineage (one join+agg layer per round):
+    # downstream plans embedding it can grow until plan construction
+    # itself exhausts driver memory.  The frame is label-table-sized
+    # and the loop already materialized it, so the checkpoint is a
+    # cheap copy.
+    return labels.localCheckpoint(eager=True)
 
 
 #: Hard ceiling for the exact all-pairs path.  Above this the O(n²)

@@ -32,15 +32,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
-        # reader rejects by default.  Read nanos as long (runtime-settable
-        # conf, so this works under the driver's own session too) and
-        # truncate to microsecond timestamps — matching DuckDB's
-        # TIMESTAMP_NS → TIMESTAMP cast used in the oracles.
+        # events.parquet carries TIMESTAMP(NANOS).  Older Sparks reject
+        # it unless read as long (runtime-settable conf, so this works
+        # under the driver's own session too); Spark 4.1+ reads it
+        # natively as TIMESTAMP_NTZ, which bans numeric casts.  Either
+        # way, normalize ts to a plain microsecond TIMESTAMP — the same
+        # wall-clock DuckDB sees via its TIMESTAMP_NS → TIMESTAMP cast
+        # (sessions run UTC), and a type every epoch-arithmetic site
+        # (window gaps, as-of join, interpolation) can cast to double.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 

@@ -1,0 +1,66 @@
+"""PII detection / redaction for corpus curation (SURVEY.md §7.5
+extension layer — the scrubbing pass an LLM training pipeline runs
+before packing shards).
+
+All patterns are anchored, RE2-compatible regular expressions executed
+JVM-side by ``regexp_replace`` / ``rlike`` — a map-only scan with no
+shuffle, no UDF, and no driver round-trip, so the pass costs one read
+of the corpus regardless of scale.  The same patterns run verbatim in
+DuckDB (also RE2), which is what makes the oracle twin exact.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+# Deliberately conservative, dialect-portable patterns (Java regex and
+# RE2 agree on every construct used: character classes, bounded
+# repetition, \b word boundaries).  Order matters: emails are redacted
+# before IPs so the dotted host part of an address is never half-eaten
+# by the IPv4 rule.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Append ``out_col`` (default ``<text_col>_redacted``) with every
+    PII match replaced by its ``[KIND]`` placeholder.  Chained
+    ``regexp_replace`` — single projection, whole-stage codegen."""
+    pats = PII_PATTERNS if patterns is None else patterns
+    out = F.col(text_col)
+    for kind, pat in pats.items():
+        out = F.regexp_replace(out, pat, f"[{kind.upper()}]")
+    return df.withColumn(out_col or f"{text_col}_redacted", out)
+
+
+def pii_stats(
+    df: DataFrame,
+    by: str = "source",
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """Per-group redaction report → [by, n_docs, docs_with_<kind>...,
+    chars_redacted].  ``chars_redacted`` is the net character count
+    removed by redaction (original length minus redacted length) —
+    negative only if a placeholder outgrows its match, which the
+    default patterns cannot do for real PII."""
+    pats = PII_PATTERNS if patterns is None else patterns
+    red = redact_pii(df, text_col, pats, out_col="__red")
+    flags = [
+        F.sum(F.col(text_col).rlike(pat).cast("long")).alias(f"docs_with_{kind}")
+        for kind, pat in pats.items()
+    ]
+    return red.groupBy(by).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *flags,
+        F.sum(F.length(text_col) - F.length("__red")).alias("chars_redacted"),
+    )

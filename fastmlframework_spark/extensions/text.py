@@ -186,3 +186,88 @@ def canonicalize(
         )
     )
     return df.withColumn(out_col, c)
+
+
+def bm25_scores(
+    df: DataFrame,
+    terms: tuple[str, ...],
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of every document against a fixed query-term set
+    → [key, bm25] (documents matching no term are dropped).
+
+    Shuffle-free retrieval scoring: for a bounded query (terms known up
+    front), per-term tf is a ``filter``+``size`` over the token array —
+    a per-row expression, no explode.  The only aggregate is the 1-row
+    corpus-stats frame (N, avgdl, per-term document frequency), which
+    broadcasts back over the scan; the whole query is one corpus read
+    plus a tiny map-side join.  idf uses the standard
+    ln(1 + (N - df + .5)/(df + .5)) form, so scores are non-negative
+    even for terms in most documents."""
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
+    )
+
+    def _tf(term: str) -> Column:
+        # Closure per term: a default-arg lambda would change the
+        # callable's arity and PySpark would misread it as (x, i).
+        return F.size(F.filter(toks, lambda t: t == F.lit(term)))
+
+    tf_cols = [_tf(term).alias(f"__tf_{i}") for i, term in enumerate(terms)]
+    base = df.select(F.col(key_col), F.size(toks).alias("__dl"), *tf_cols)
+    stats = base.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+        *[
+            F.sum((F.col(f"__tf_{i}") > 0).cast("long")).alias(f"__df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(terms)):
+        tf = F.col(f"__tf_{i}")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("__n") - F.col(f"__df_{i}") + 0.5)
+            / (F.col(f"__df_{i}") + 0.5)
+        )
+        term_score = idf * tf * (k1 + 1) / (
+            tf + k1 * (1 - b + b * F.col("__dl") / F.col("__avgdl"))
+        )
+        score = term_score if score is None else score + term_score
+    return (
+        scored.withColumn("bm25", F.round(score, 6))
+        .filter(sum(F.col(f"__tf_{i}") for i in range(len(terms))) > 0)
+        .select(key_col, "bm25")
+    )
+
+
+def token_entropy(
+    df: DataFrame, by: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-group Shannon entropy of the token distribution →
+    [by, n_tokens, n_distinct_tokens, entropy] (nats).
+
+    Diversity screen for corpus mixing: low entropy flags templated or
+    repetitive sources.  Uses the algebraic identity
+    H = ln(N) - (Σ c·ln c)/N so a single (group, token) count plus one
+    tiny per-group aggregate suffices — two shuffles total, both
+    map-side combined, no join back for the group totals."""
+    tok = df.select(
+        F.col(by),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("__tok"),
+    ).filter(F.col("__tok") != F.lit(""))
+    counts = tok.groupBy(by, "__tok").agg(F.count(F.lit(1)).alias("__c"))
+    return counts.groupBy(by).agg(
+        F.sum("__c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct_tokens"),
+        F.round(
+            F.log(F.sum("__c"))
+            - F.sum(F.col("__c") * F.log("__c")) / F.sum("__c"),
+            6,
+        ).alias("entropy"),
+    )

@@ -71,7 +71,8 @@ s AS (
                           ROWS UNBOUNDED PRECEDING) AS session_id
   FROM f
 )
-SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS session_start
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       COUNT(*) AS n_events, MIN(ts) AS session_start
 FROM s GROUP BY 1, 2
 """,
 )
@@ -85,7 +86,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_props_extract",
     oracle="""
 SELECT event_type,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
        COUNT(*) AS n
 FROM events GROUP BY event_type
@@ -396,10 +397,10 @@ j AS (
                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
 )
 SELECT user_id, bucket,
-       CASE WHEN s IS NOT NULL THEN (s * 100) // n
+       CAST(CASE WHEN s IS NOT NULL THEN (s * 100) // n
             ELSE (((nt - bl) * ps * nn + (bl - pt) * ns * pn) * 100)
                  // (pn * nn * (nt - pt))
-       END AS filled_scaled,
+       END AS BIGINT) AS filled_scaled,
        s IS NULL AS is_gap
 FROM j
 """,

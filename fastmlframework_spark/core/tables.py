@@ -41,6 +41,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # (sessions run UTC), and a type every epoch-arithmetic site
         # (window gaps, as-of join, interpolation) can cast to double.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The NTZ→TIMESTAMP cast below interprets the wall clock in the
+        # session timezone; the bigint path (timestamp_micros) is
+        # epoch-based and timezone-free.  Pin UTC so both read paths
+        # (and the DuckDB oracle) agree on the instant even when an
+        # external driver session runs non-UTC.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":

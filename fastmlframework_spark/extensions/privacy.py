@@ -2,11 +2,12 @@
 extension layer — the scrubbing pass an LLM training pipeline runs
 before packing shards).
 
-All patterns are anchored, RE2-compatible regular expressions executed
-JVM-side by ``regexp_replace`` / ``rlike`` — a map-only scan with no
+All patterns are unanchored, RE2-compatible regular expressions
+executed JVM-side by ``regexp_replace`` — a map-only scan with no
 shuffle, no UDF, and no driver round-trip, so the pass costs one read
 of the corpus regardless of scale.  The same patterns run verbatim in
-DuckDB (also RE2), which is what makes the oracle twin exact.
+DuckDB (also RE2-compatible for every construct used), which is what
+makes the oracle twin exact.
 """
 
 from __future__ import annotations
@@ -52,15 +53,28 @@ def pii_stats(
     chars_redacted].  ``chars_redacted`` is the net character count
     removed by redaction (original length minus redacted length) —
     negative only if a placeholder outgrows its match, which the
-    default patterns cannot do for real PII."""
+    default patterns cannot do for real PII.
+
+    ``docs_with_<kind>`` counts documents where the *kind's redaction
+    stage* changed the text — i.e. what ``redact_pii`` actually
+    replaced, honoring pattern precedence: the dotted-digit host of an
+    already-redacted email is never double-counted as an ipv4 hit."""
     pats = PII_PATTERNS if patterns is None else patterns
-    red = redact_pii(df, text_col, pats, out_col="__red")
-    flags = [
-        F.sum(F.col(text_col).rlike(pat).cast("long")).alias(f"docs_with_{kind}")
-        for kind, pat in pats.items()
-    ]
-    return red.groupBy(by).agg(
+    stage = F.col(text_col)
+    flags = []
+    for kind, pat in pats.items():
+        nxt = F.regexp_replace(stage, pat, f"[{kind.upper()}]")
+        flags.append((nxt != stage).cast("long").alias(f"__hit_{kind}"))
+        stage = nxt
+    staged = df.select(
+        F.col(by), F.length(text_col).alias("__len0"),
+        F.length(stage).alias("__len1"), *flags,
+    )
+    return staged.groupBy(by).agg(
         F.count(F.lit(1)).alias("n_docs"),
-        *flags,
-        F.sum(F.length(text_col) - F.length("__red")).alias("chars_redacted"),
+        *[
+            F.sum(f"__hit_{kind}").alias(f"docs_with_{kind}")
+            for kind in pats
+        ],
+        F.sum(F.col("__len0") - F.col("__len1")).alias("chars_redacted"),
     )

@@ -206,7 +206,13 @@ def bm25_scores(
     broadcasts back over the scan; the whole query is one corpus read
     plus a tiny map-side join.  idf uses the standard
     ln(1 + (N - df + .5)/(df + .5)) form, so scores are non-negative
-    even for terms in most documents."""
+    even for terms in most documents.
+
+    Raises ``ValueError`` on an empty term set; duplicate terms are
+    collapsed (order-preserving) so no term double-counts."""
+    if not terms:
+        raise ValueError("bm25_scores: terms must be non-empty")
+    terms = tuple(dict.fromkeys(terms))
     toks = F.filter(
         F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
     )

@@ -31,7 +31,12 @@ def orphan_counts(
 
     NULL child keys count as orphans (they reference nothing), which
     is the auditing convention — the anti-join keeps null-keyed rows
-    because a null equi-join condition never matches."""
+    because a null equi-join condition never matches.
+
+    Raises ``ValueError`` on an empty relationship list — an audit
+    that checks nothing should not silently return nothing."""
+    if not relationships:
+        raise ValueError("orphan_counts: relationships must be non-empty")
     parts = []
     for name, child, ck, parent, pk in relationships:
         orphans = child.select(F.col(ck).alias("__k")).join(

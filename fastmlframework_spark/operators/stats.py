@@ -31,39 +31,50 @@ def ks_statistic(
     total order over n distinct values — a global sort that a 100 TB
     table cannot justify for a 1-row answer; on the quantized grid the
     statistic is exact for the quantized distributions and within
-    one grid cell's mass of the raw-value statistic.)"""
+    one grid cell's mass of the raw-value statistic.)
+
+    NULL values are dropped (the standard KS definition ignores them);
+    raises ``ValueError`` when either group contributes zero rows — a
+    silent NULL statistic would otherwise mask an empty cohort."""
     v = F.round(F.col(value_col), quantize)
     counts = (
         df.filter(F.col(group_col).isin([group_a, group_b]))
+        .filter(F.col(value_col).isNotNull())
         .groupBy(v.alias("__v"))
         .agg(
             F.sum((F.col(group_col) == group_a).cast("long")).alias("__ca"),
             F.sum((F.col(group_col) == group_b).cast("long")).alias("__cb"),
         )
     )
+    # The grid is bounded by construction, so materializing it once
+    # (localCheckpoint) lets the zero-group guard and the final window
+    # share a single scan of the underlying table.
+    counts = counts.localCheckpoint()
+    totals = counts.agg(F.sum("__ca"), F.sum("__cb")).first()
+    n_a = totals[0] or 0
+    n_b = totals[1] or 0
+    if n_a == 0 or n_b == 0:
+        raise ValueError(
+            f"ks_statistic: empty group(s) — {group_a!r} has {n_a} rows, "
+            f"{group_b!r} has {n_b} rows (after NULL filtering)"
+        )
     w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
     ecdf = counts.select(
         F.sum("__ca").over(w).alias("__cuma"),
         F.sum("__cb").over(w).alias("__cumb"),
     )
-    totals = counts.agg(
-        F.sum("__ca").alias("__na"), F.sum("__cb").alias("__nb")
-    )
-    return (
-        ecdf.crossJoin(F.broadcast(totals))
-        .agg(
-            F.round(
-                F.max(
-                    F.abs(
-                        F.col("__cuma") / F.col("__na")
-                        - F.col("__cumb") / F.col("__nb")
-                    )
-                ),
-                6,
-            ).alias("ks_stat"),
-            F.first("__na").alias("n_a"),
-            F.first("__nb").alias("n_b"),
-        )
+    return ecdf.agg(
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("__cuma") / F.lit(n_a)
+                    - F.col("__cumb") / F.lit(n_b)
+                )
+            ),
+            6,
+        ).alias("ks_stat"),
+        F.lit(n_a).cast("long").alias("n_a"),
+        F.lit(n_b).cast("long").alias("n_b"),
     )
 
 

@@ -1,0 +1,296 @@
+"""Oracle-checked queries for the data-quality / corpus-hygiene
+operators (SURVEY.md §7.5 extension layer): KS drift, MAD outlier
+screening, referential-integrity audit, PII redaction stats, BM25
+retrieval scoring, and token-entropy diversity screening.
+
+Each query exercises the operator implementation in
+``operators/stats.py`` / ``operators/integrity.py`` /
+``extensions/privacy.py`` / ``extensions/text.py`` against a DuckDB
+twin written to be bit-faithful: identical expression shapes and
+evaluation order for float arithmetic, explicit BIGINT casts wherever
+DuckDB would widen an integer aggregate to HUGEINT (driver-hash
+contract, see tests/test_oracle_types.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from fastmlframework_spark.core.tables import load_table
+from fastmlframework_spark.extensions.privacy import PII_PATTERNS, pii_stats
+from fastmlframework_spark.extensions.text import bm25_scores, token_entropy
+from fastmlframework_spark.operators.integrity import orphan_counts
+from fastmlframework_spark.operators.stats import ks_statistic, mad_outliers
+from fastmlframework_spark.queries.registry import query
+
+
+@query(
+    "stat_ks_quantity_drift",
+    oracle="""
+WITH f AS (
+  SELECT l_returnflag AS g, ROUND(l_quantity, 3) AS v
+  FROM lineitem
+  WHERE l_returnflag IN ('A', 'N') AND l_quantity IS NOT NULL
+),
+c AS (
+  SELECT v,
+         SUM(CASE WHEN g = 'A' THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN g = 'N' THEN 1 ELSE 0 END) AS cb
+  FROM f GROUP BY v
+),
+e AS (
+  SELECT SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cuma,
+         SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumb
+  FROM c
+),
+t AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM c)
+SELECT ROUND(MAX(ABS(cuma * 1.0 / na - cumb * 1.0 / nb)), 6) AS ks_stat,
+       CAST(MAX(na) AS BIGINT) AS n_a,
+       CAST(MAX(nb) AS BIGINT) AS n_b
+FROM e, t
+""",
+)
+def stat_ks_quantity_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS between returned ('A') and in-flight ('N') line
+    items on quantity — the binning-free drift complement of
+    ``drift_psi``.  Quantized grid keeps the ordered window bounded."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity"
+    )
+    return ks_statistic(li, "l_returnflag", "l_quantity", "A", "N")
+
+
+@query(
+    "stat_mad_outlier_prices",
+    oracle="""
+WITH med AS (
+  SELECT o_orderpriority AS g, quantile_cont(o_totalprice, 0.5) AS med,
+         COUNT(*) AS n
+  FROM orders GROUP BY 1
+),
+mad AS (
+  SELECT o.o_orderpriority AS g,
+         quantile_cont(ABS(o.o_totalprice - m.med), 0.5) AS mad
+  FROM orders o JOIN med m ON o.o_orderpriority = m.g GROUP BY 1
+)
+SELECT m.g AS o_orderpriority,
+       CAST(m.n AS BIGINT) AS n,
+       ROUND(m.med, 6) AS med,
+       ROUND(d.mad, 6) AS mad,
+       CAST(SUM(CASE WHEN ABS(o.o_totalprice - m.med)
+                          > 3.0 * 1.4826 * d.mad
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM orders o
+JOIN med m ON o.o_orderpriority = m.g
+JOIN mad d ON o.o_orderpriority = d.g
+GROUP BY 1, 2, 3, 4
+""",
+)
+def stat_mad_outlier_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority robust outlier screen on order totals — median/MAD
+    via interpolating ``percentile`` (≡ DuckDB ``quantile_cont``)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    return mad_outliers(orders, "o_orderpriority", "o_totalprice")
+
+
+@query(
+    "integrity_orphan_counts",
+    oracle="""
+WITH po AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+pc AS (SELECT DISTINCT c_custkey AS k FROM customer),
+pn AS (SELECT DISTINCT n_nationkey AS k FROM nation),
+pe AS (SELECT DISTINCT user_id AS k FROM events)
+SELECT 'lineitem->orders' AS rel,
+       COUNT(*) FILTER (WHERE po.k IS NULL) AS n_orphans
+FROM lineitem LEFT JOIN po ON l_orderkey = po.k
+UNION ALL
+SELECT 'orders->customer',
+       COUNT(*) FILTER (WHERE pc.k IS NULL)
+FROM orders LEFT JOIN pc ON o_custkey = pc.k
+UNION ALL
+SELECT 'customer->nation',
+       COUNT(*) FILTER (WHERE pn.k IS NULL)
+FROM customer LEFT JOIN pn ON c_nationkey = pn.k
+UNION ALL
+SELECT 'customer->events',
+       COUNT(*) FILTER (WHERE pe.k IS NULL)
+FROM customer LEFT JOIN pe ON c_custkey = pe.k
+""",
+)
+def integrity_orphan_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over four declared relationships —
+    three true foreign keys (expected 0 orphans) plus the deliberately
+    over-strict "every customer has telemetry" rule, which reports the
+    customers absent from the events table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    events = load_table(spark, sf_dir, "events")
+    return orphan_counts(
+        [
+            ("lineitem->orders", li, "l_orderkey", orders, "o_orderkey"),
+            ("orders->customer", orders, "o_custkey", cust, "c_custkey"),
+            ("customer->nation", cust, "c_nationkey", nation, "n_nationkey"),
+            ("customer->events", cust, "c_custkey", events, "user_id"),
+        ]
+    )
+
+
+# The documents corpus is synthetic prose with no real PII, so the
+# query plants deterministic PII derived from doc_id — identically in
+# both engines.  doc_id % 3 == 0 embeds an email whose HOST contains a
+# dotted quad: the precedence contract (email redacts before ipv4) is
+# therefore load-bearing in the oracle comparison, not just unit-tested.
+_PII_SQL_SUFFIX = """CASE
+    WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                             || '@mail-10.0.0.9.example.com'
+    WHEN doc_id % 3 = 1 THEN ' call 555-010-'
+                             || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+    ELSE ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+  END"""
+
+
+@query(
+    "pii_redaction_stats",
+    oracle=f"""
+WITH p AS (
+  SELECT source, text || {_PII_SQL_SUFFIX} AS t
+  FROM documents
+),
+s AS (
+  SELECT source, t,
+         regexp_replace(t, '{PII_PATTERNS["email"]}', '[EMAIL]', 'g') AS t1
+  FROM p
+),
+s2 AS (
+  SELECT source, t, t1,
+         regexp_replace(t1, '{PII_PATTERNS["phone"]}', '[PHONE]', 'g') AS t2
+  FROM s
+),
+s3 AS (
+  SELECT source, t, t1, t2,
+         regexp_replace(t2, '{PII_PATTERNS["ipv4"]}', '[IPV4]', 'g') AS t3
+  FROM s2
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN t1 <> t THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_with_email,
+       CAST(SUM(CASE WHEN t2 <> t1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_with_phone,
+       CAST(SUM(CASE WHEN t3 <> t2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_with_ipv4,
+       CAST(SUM(LENGTH(t) - LENGTH(t3)) AS BIGINT) AS chars_redacted
+FROM s3 GROUP BY source
+""",
+)
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII redaction report over documents with planted,
+    doc_id-derived PII.  Map-only chained regexp_replace + one tiny
+    groupBy — one corpus read at any scale."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    suffix = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail-10.0.0.9.example.com"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit(" call 555-010-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit(" host 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".1"),
+            )
+        )
+    )
+    planted = docs.withColumn("text", F.concat(F.col("text"), suffix))
+    return pii_stats(planted, by="source")
+
+
+_BM25_TERMS = ("spark", "window", "hash")
+
+
+def _bm25_term_sql(i: int, term: str) -> str:
+    tf = f"tf{i}"
+    return (
+        f"ln(1.0 + (n - df{i} + 0.5) / (df{i} + 0.5)) * {tf} * 2.2"
+        f" / ({tf} + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+    )
+
+
+@query(
+    "text_bm25_scores",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\\s+'),
+                         x -> x <> '')) AS dl,
+         len(list_filter(string_split_regex(text, '\\s+'),
+                         x -> x = '{_BM25_TERMS[0]}')) AS tf0,
+         len(list_filter(string_split_regex(text, '\\s+'),
+                         x -> x = '{_BM25_TERMS[1]}')) AS tf1,
+         len(list_filter(string_split_regex(text, '\\s+'),
+                         x -> x = '{_BM25_TERMS[2]}')) AS tf2
+  FROM documents
+),
+st AS (
+  SELECT COUNT(*) AS n, AVG(dl) AS avgdl,
+         SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+         SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+  FROM base
+)
+SELECT doc_id,
+       ROUND({_bm25_term_sql(0, _BM25_TERMS[0])}
+           + {_bm25_term_sql(1, _BM25_TERMS[1])}
+           + {_bm25_term_sql(2, _BM25_TERMS[2])}, 6) AS bm25
+FROM base, st
+WHERE tf0 + tf1 + tf2 > 0
+""",
+)
+def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document against a fixed 3-term query —
+    per-row tf expressions plus one broadcast 1-row stats frame; no
+    explode, no shuffle wider than the final projection."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_scores(docs, _BM25_TERMS)
+
+
+@query(
+    "text_token_entropy",
+    oracle="""
+WITH tok AS (
+  SELECT source, unnest(string_split_regex(text, '\\s+')) AS t
+  FROM documents
+),
+c AS (
+  SELECT source, t, COUNT(*) AS c FROM tok WHERE t <> '' GROUP BY 1, 2
+)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       COUNT(*) AS n_distinct_tokens,
+       ROUND(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 6) AS entropy
+FROM c GROUP BY source
+""",
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Shannon token entropy (nats) — corpus-diversity
+    screen; two map-side-combined shuffles, no join-back."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    return token_entropy(docs, by="source")

@@ -40,6 +40,7 @@ _QUERY_MODULES = (
     "fastmlframework_spark.queries.multimodal",
     "fastmlframework_spark.queries.llmprep",
     "fastmlframework_spark.queries.curation",
+    "fastmlframework_spark.queries.quality",
 )
 
 

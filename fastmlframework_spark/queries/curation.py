@@ -11,6 +11,8 @@ whose containment the oracle reproduces exactly.
 
 from __future__ import annotations
 
+import math
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -19,6 +21,10 @@ from fastmlframework_spark.extensions import curation as xcur
 from fastmlframework_spark.extensions import similarity as xsim
 from fastmlframework_spark.extensions.text import TOKEN_PATTERN
 from fastmlframework_spark.queries.registry import query
+
+# Absolute sample budget for the knn-density diagnostic: bounds the
+# exact-graph pair count at ~budget² independent of corpus size.
+_KNN_SAMPLE_BUDGET = 1024
 
 _EXCERPT = (
     "substring(text, CAST(FLOOR(LENGTH(text) * 0.3) AS INT) + 1,"
@@ -195,9 +201,16 @@ def shuffle_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "knn_density_by_label",
     oracle="""
-WITH c AS (
-  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-  WHERE substring(md5(CAST(vec_id AS VARCHAR) || ':knn'), 1, 1) <= '7'
+WITH th AS (
+  SELECT CASE WHEN COUNT(*) <= 1024 THEN 'g'
+              ELSE lower(lpad(to_hex(CAST(FLOOR(
+                     1024.0 / COUNT(*) * 4294967296) AS BIGINT)), 8, '0'))
+         END AS t
+  FROM embeddings
+),
+c AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings, th
+  WHERE substring(md5(CAST(vec_id AS VARCHAR) || ':knn'), 1, 8) < th.t
 ),
 scored AS (
   SELECT a.vec_id AS qid, a.label AS label, b.vec_id AS cid,
@@ -219,22 +232,32 @@ def knn_density_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN graph density: per-label mean cosine of each vector's
     3rd-nearest neighbor — the embedding-space density diagnostic
     behind semantic-dedup pruning decisions (dense regions ⇒
-    redundancy).  Exact k-NN graph via the broadcast brute-force path
-    (the corpus IS the query set); at 100 TB the same aggregate runs
-    over the IVF cell-pruned candidates instead
-    (`extensions/similarity.py:ivf_topk`).
+    redundancy).
 
-    Density is ESTIMATED on a deterministic 50% hash-sample — the
-    standard scale practice for a corpus-level diagnostic (the
-    statistic needs a representative sample, not the full graph), and
-    it cuts the quadratic pair count 4×."""
-    emb = load_table(spark, sf_dir, "embeddings").filter(
+    Density is ESTIMATED on a deterministic hash-sample with an
+    ABSOLUTE row budget (~1024 vectors): the threshold is derived from
+    the table count, so the brute-force pair count stays ~1024² no
+    matter how large the corpus grows — a fixed *fraction* would leave
+    the statistic quadratic in N.  The budget-sized exact graph is the
+    right tool for a corpus-level mean; per-vector retrieval at scale
+    goes through `extensions/similarity.py:ivf_topk` instead.  Both
+    engines compute the same double-precision threshold from the same
+    count, so the sampled id set is identical."""
+    emb_all = load_table(spark, sf_dir, "embeddings")
+    n = emb_all.count()
+    if n <= _KNN_SAMPLE_BUDGET:
+        thresh = "g"  # lexically above any hex digit: keep everything
+    else:
+        thresh = format(
+            math.floor(_KNN_SAMPLE_BUDGET / n * 4294967296), "08x"
+        )
+    emb = emb_all.filter(
         F.substring(
             F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(":knn"))),
             1,
-            1,
+            8,
         )
-        <= "7"
+        < thresh
     )
     vecs = emb.select("vec_id", "embedding")
     nn3 = xsim.knn_graph(vecs, k=3).filter(F.col("rank") == 3)

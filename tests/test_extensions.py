@@ -144,10 +144,108 @@ def test_multimodal_plumbing(spark):
 
 
 def test_real_decode_compressed_formats_still_gated(spark):
-    df = spark.createDataFrame([(1, b"\x89PNG fake", "png")], ["doc_id", "media_bytes", "media_format"])
+    df = spark.createDataFrame(
+        [(1, b"\xff\xd8\xff\xe0 jpeg fake", "jpeg")],
+        ["doc_id", "media_bytes", "media_format"],
+    )
     out = xmm.extract_media_features(df, decode="real")
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         out.collect()
+
+
+def _png_bytes(width, height, channels=3, filters=(0, 1, 2, 3, 4)):
+    """Hand-rolled PNG encoder (spec filters applied per scanline,
+    cycling through ``filters``) so the decoder's five reconstruction
+    paths are all exercised against known pixel data."""
+    import struct
+    import zlib
+
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    stride = width * channels
+    pixels = bytes((x * 31 + 7) % 256 for x in range(height * stride))
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        line = pixels[y * stride : (y + 1) * stride]
+        f = filters[y % len(filters)]
+        raw.append(f)
+        for x in range(stride):
+            left = line[x - channels] if x >= channels else 0
+            up = prev[x]
+            ul = prev[x - channels] if x >= channels else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = left
+            elif f == 2:
+                pred = up
+            elif f == 3:
+                pred = (left + up) >> 1
+            else:  # Paeth
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+            raw.append((line[x] - pred) & 0xFF)
+        prev = line
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    return png, pixels
+
+
+def test_real_decode_png_all_filters(spark):
+    """decode='real' handles non-interlaced 8-bit PNG via stdlib zlib
+    — every spec filter type (None/Sub/Up/Average/Paeth), gray and
+    RGB, reconstructed to the exact original pixel checksum."""
+    rgb, rgb_pixels = _png_bytes(6, 10, channels=3)
+    gray, gray_pixels = _png_bytes(7, 5, channels=1, filters=(4, 3, 1))
+    df = spark.createDataFrame(
+        [(1, rgb, "png"), (2, gray, "png")],
+        ["doc_id", "media_bytes", "media_format"],
+    )
+    got = {
+        r.doc_id: r
+        for r in xmm.extract_media_features(df, decode="real").collect()
+    }
+    assert (got[1].feat_width, got[1].feat_height) == (6, 10)
+    assert got[1].feat_checksum == sum(rgb_pixels) % (1 << 40)
+    assert (got[2].feat_width, got[2].feat_height) == (7, 5)
+    assert got[2].feat_checksum == sum(gray_pixels) % (1 << 40)
+
+
+def test_real_decode_png_unsupported_variants_raise():
+    import struct
+    import zlib
+
+    from fastmlframework_spark.extensions.multimodal import real_decode
+
+    png, _ = _png_bytes(4, 4)
+    # Flip the IHDR interlace byte (last byte of the 13-byte IHDR
+    # payload at offset 8+8+12) and re-CRC to fake an Adam7 file.
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)
+    adam7 = (
+        png[:8]
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+        + png[8 + 25 :]
+    )
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        real_decode(adam7)
 
 
 def _ppm_bytes(width, height):

@@ -32,6 +32,7 @@ _BUCKETED = (
     "pack_sequences_sharded",
     "shuffle_training_order",
     "semantic_dedup_planted",
+    "knn_density_by_label",
 )
 
 

@@ -78,6 +78,7 @@ EXPONENT_QUERIES = (
     "pack_sequences_sharded",
     "shuffle_training_order",
     "semantic_dedup_planted",
+    "knn_density_by_label",
 )
 
 

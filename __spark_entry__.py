@@ -53,6 +53,8 @@ _NEVER_SAMPLED = (
     "multimodal_frame_sample", "pack_sequences_sharded",
     "pii_redaction_stats", "quality_decile_stats",
     "quality_repetition_filter", "sample_stratified_hash",
+    "scale_standardize_acctbal", "scale_minmax_retailprice",
+    "bin_totalprice_deciles",
     "semantic_dedup_planted", "shuffle_training_order",
     "stat_ks_quantity_drift", "stat_mad_outlier_prices",
     "text_bm25_scores", "text_token_entropy", "weighted_median_price",

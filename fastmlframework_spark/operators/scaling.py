@@ -1,0 +1,110 @@
+"""Feature-scaling / discretization operators (beyond-reference
+§7.5: the normalization passes a training-data pipeline runs before
+model ingestion; the reference delegates this to "outside the
+pipeline" per its credit_scoring config note).
+
+All three operators follow the same 100 TB shape: ONE tiny aggregate
+(global or per-group statistics) broadcast back over a single scan of
+the fact table — no shuffle of the data itself, no global sort.  In
+particular ``quantile_bin`` is edge-based (percentile edges + a
+comparison cascade) rather than ``ntile``-based: ntile needs a total
+order over all rows (single-partition window at scale), while edges
+are a 1-row aggregate and assignment is a map-only projection.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def standardize(
+    df: DataFrame,
+    cols: Sequence[str],
+    group_cols: Sequence[str] | None = None,
+    suffix: str = "_z",
+    ddof: int = 1,
+) -> DataFrame:
+    """Z-score scaling: (x - mean) / stddev per column, optionally
+    within groups.  Constant columns (stddev 0 or undefined) yield
+    NULL rather than ±inf — callers screen those with
+    ``operators.screening.variance_screen`` first."""
+    if not cols:
+        raise ValueError("standardize: cols must be non-empty")
+    std_fn = F.stddev_samp if ddof == 1 else F.stddev_pop
+    aggs = []
+    for c in cols:
+        aggs.append(F.mean(c).alias(f"__mu_{c}"))
+        aggs.append(std_fn(c).alias(f"__sd_{c}"))
+    if group_cols:
+        stats = df.groupBy(*group_cols).agg(*aggs)
+        out = df.join(F.broadcast(stats), on=list(group_cols), how="left")
+    else:
+        out = df.crossJoin(F.broadcast(df.agg(*aggs)))
+    for c in cols:
+        sd = F.col(f"__sd_{c}")
+        out = out.withColumn(
+            f"{c}{suffix}",
+            F.when(sd > 0, (F.col(c) - F.col(f"__mu_{c}")) / sd),
+        )
+    return out.drop(
+        *[f"__mu_{c}" for c in cols], *[f"__sd_{c}" for c in cols]
+    )
+
+
+def minmax_scale(
+    df: DataFrame,
+    cols: Sequence[str],
+    suffix: str = "_mm",
+) -> DataFrame:
+    """Min-max scaling to [0, 1]; constant columns yield NULL."""
+    if not cols:
+        raise ValueError("minmax_scale: cols must be non-empty")
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(c).alias(f"__lo_{c}"))
+        aggs.append(F.max(c).alias(f"__hi_{c}"))
+    out = df.crossJoin(F.broadcast(df.agg(*aggs)))
+    for c in cols:
+        lo, hi = F.col(f"__lo_{c}"), F.col(f"__hi_{c}")
+        out = out.withColumn(
+            f"{c}{suffix}",
+            F.when(hi > lo, (F.col(c) - lo) / (hi - lo)),
+        )
+    return out.drop(
+        *[f"__lo_{c}" for c in cols], *[f"__hi_{c}" for c in cols]
+    )
+
+
+def quantile_bin(
+    df: DataFrame,
+    col: str,
+    n_bins: int,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Equal-frequency discretization: bin k = number of interior
+    quantile edges strictly below x, so ties land deterministically in
+    the lowest eligible bin (edge-based, engine-order-independent —
+    ``ntile`` would split ties by row order AND need a global sort).
+
+    Interior edges are the exact interpolating percentiles at
+    i/n_bins (``percentile`` ≡ DuckDB ``quantile_cont``), one 1-row
+    aggregate broadcast back over the scan.  NULL values stay NULL."""
+    if n_bins < 2:
+        raise ValueError("quantile_bin: n_bins must be >= 2")
+    out_col = out_col or f"{col}_bin"
+    fracs = ", ".join(str(i / n_bins) for i in range(1, n_bins))
+    edges = df.agg(
+        F.expr(f"percentile({col}, array({fracs}))").alias("__edges")
+    )
+    out = df.crossJoin(F.broadcast(edges))
+    bin_expr = F.aggregate(
+        F.col("__edges"),
+        F.lit(0),
+        lambda acc, e: acc + (F.col(col) > e).cast("int"),
+    )
+    return out.withColumn(
+        out_col, F.when(F.col(col).isNotNull(), bin_expr).cast("int")
+    ).drop("__edges")

@@ -417,3 +417,94 @@ def target_encode_oof_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=27,
         prior_weight=20.0,
     ).orderBy("o_orderkey")
+
+
+@query(
+    "scale_standardize_acctbal",
+    oracle="""
+WITH s AS (
+  SELECT c_mktsegment AS g, AVG(c_acctbal) AS mu,
+         STDDEV_SAMP(c_acctbal) AS sd
+  FROM customer GROUP BY 1
+)
+SELECT c_custkey, c_mktsegment,
+       ROUND(CASE WHEN sd > 0 THEN (c_acctbal - mu) / sd END, 6)
+         AS acctbal_z
+FROM customer JOIN s ON c_mktsegment = s.g
+""",
+)
+def scale_standardize_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment z-score scaling — grouped stats broadcast back over
+    one scan (`operators/scaling.py:standardize`); no data shuffle."""
+    from fastmlframework_spark.operators.scaling import standardize
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    return standardize(
+        cust, ["c_acctbal"], group_cols=["c_mktsegment"]
+    ).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round("c_acctbal_z", 6).alias("acctbal_z"),
+    )
+
+
+@query(
+    "scale_minmax_retailprice",
+    oracle="""
+WITH s AS (
+  SELECT MIN(p_retailprice) AS lo, MAX(p_retailprice) AS hi FROM part
+)
+SELECT p_partkey,
+       ROUND(CASE WHEN hi > lo THEN (p_retailprice - lo) / (hi - lo) END, 6)
+         AS retailprice_mm
+FROM part, s
+""",
+)
+def scale_minmax_retailprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-max scaling to [0, 1] — exact cross-engine parity (min/max
+    and the division are bit-identical operands)."""
+    from fastmlframework_spark.operators.scaling import minmax_scale
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice"
+    )
+    return minmax_scale(part, ["p_retailprice"]).select(
+        "p_partkey",
+        F.round("p_retailprice_mm", 6).alias("retailprice_mm"),
+    )
+
+
+@query(
+    "bin_totalprice_deciles",
+    oracle="""
+WITH e AS (
+  SELECT quantile_cont(o_totalprice,
+    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS edges
+  FROM orders
+),
+b AS (
+  SELECT o_totalprice AS v,
+         CAST(len(list_filter(edges, x -> v > x)) AS INT) AS bin
+  FROM orders, e
+)
+SELECT bin, COUNT(*) AS n,
+       ROUND(MIN(v), 2) AS mn, ROUND(MAX(v), 2) AS mx
+FROM b GROUP BY bin
+""",
+)
+def bin_totalprice_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency decile binning of order totals — edge-based
+    (`operators/scaling.py:quantile_bin`: exact percentile edges
+    broadcast + comparison cascade), never an ntile global sort; the
+    per-bin count/min/max validates the full assignment compactly."""
+    from fastmlframework_spark.operators.scaling import quantile_bin
+
+    orders = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    binned = quantile_bin(orders, "o_totalprice", 10, out_col="bin")
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("mn"),
+        F.round(F.max("o_totalprice"), 2).alias("mx"),
+    )

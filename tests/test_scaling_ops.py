@@ -1,0 +1,74 @@
+"""Unit tests for operators/scaling.py edge cases; happy-path parity
+lives in test_queries_oracle.py (scale_standardize_acctbal,
+scale_minmax_retailprice, bin_totalprice_deciles)."""
+
+from __future__ import annotations
+
+import pytest
+
+from fastmlframework_spark.operators.scaling import (
+    minmax_scale,
+    quantile_bin,
+    standardize,
+)
+
+
+def test_standardize_constant_column_yields_null(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 5.0), (3, 5.0)], "k bigint, v double"
+    )
+    rows = standardize(df, ["v"]).collect()
+    assert all(r["v_z"] is None for r in rows)
+    with pytest.raises(ValueError, match="non-empty"):
+        standardize(df, [])
+
+
+def test_standardize_grouped_matches_manual(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 10.0), ("b", 30.0)],
+        "g string, v double",
+    )
+    got = {
+        (r["g"], r["v"]): r["v_z"]
+        for r in standardize(df, ["v"], group_cols=["g"]).collect()
+    }
+    # mean 2, sd sqrt(2) → ±1/sqrt(2); group b scales independently.
+    assert got[("a", 1.0)] == pytest.approx(-(2 ** -0.5))
+    assert got[("b", 30.0)] == pytest.approx(2 ** -0.5)
+
+
+def test_minmax_bounds_and_constant(spark):
+    df = spark.createDataFrame(
+        [(1, 2.0), (2, 4.0), (3, 6.0), (4, None)], "k bigint, v double"
+    )
+    got = {r["k"]: r["v_mm"] for r in minmax_scale(df, ["v"]).collect()}
+    assert got[1] == 0.0 and got[3] == 1.0 and got[2] == pytest.approx(0.5)
+    assert got[4] is None
+
+
+def test_quantile_bin_ties_deterministic_and_null_safe(spark):
+    # 6× the same value straddling an edge: edge-based binning puts
+    # ALL ties in the same bin (ntile would split them by row order).
+    rows = [(i, 1.0) for i in range(6)] + [(6, 2.0), (7, 3.0), (8, None)]
+    df = spark.createDataFrame(rows, "k bigint, v double")
+    got = {r["k"]: r["v_bin"] for r in quantile_bin(df, "v", 4).collect()}
+    tie_bins = {got[i] for i in range(6)}
+    assert len(tie_bins) == 1
+    assert got[8] is None
+    assert got[7] == max(b for b in got.values() if b is not None)
+    with pytest.raises(ValueError, match="n_bins"):
+        quantile_bin(df, "v", 1)
+
+
+def test_quantile_bin_equal_frequency(spark):
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1000)], "k bigint, v double"
+    )
+    counts = (
+        quantile_bin(df, "v", 10)
+        .groupBy("v_bin")
+        .count()
+        .collect()
+    )
+    assert len(counts) == 10
+    assert all(90 <= r["count"] <= 110 for r in counts)

@@ -118,9 +118,22 @@ def prepare_correlation_heatmap(
     if len(cols) < 2:
         raise ValueError("need at least two numeric columns")
     upper = profiling.correlation_pairs(df, cols, decimals)
-    mirror = upper.select(
-        F.col("col_y").alias("col_x"), F.col("col_x").alias("col_y"), "corr"
-    )
+    # Mirror each pair IN-PLAN (explode of a 2-struct array) so the
+    # expensive all-pairs aggregate runs once; a separate
+    # upper.union(mirror-of-upper) would fork the DAG and execute the
+    # full scan+aggregate twice.
+    both = upper.select(
+        F.explode(
+            F.array(
+                F.struct("col_x", "col_y", "corr"),
+                F.struct(
+                    F.col("col_y").alias("col_x"),
+                    F.col("col_x").alias("col_y"),
+                    F.col("corr"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
     spark = df.sparkSession
     diag = spark.createDataFrame(
         [(c, c, 1.0) for c in cols],
@@ -132,7 +145,7 @@ def prepare_correlation_heatmap(
             ]
         ),
     )
-    return upper.unionByName(mirror).unionByName(diag)
+    return both.unionByName(diag)
 
 
 def prepare_missing_values(df: DataFrame, target_column: str) -> DataFrame:

@@ -185,3 +185,44 @@ def test_shuffle_order_uses_range_partitioning(spark, sf_dir_small):
     frame."""
     plan = _plan(spark, sf_dir_small, "shuffle_training_order")
     assert "RangePartitioning" in plan or "rangepartitioning" in plan.lower(), plan
+
+
+def test_pii_stats_is_map_only_single_scan(spark, sf_dir_small):
+    """PII redaction stats: one documents scan, map-only regexp
+    projection, and exactly one aggregation exchange — no joins, no
+    second pass over the corpus."""
+    plan = _plan(spark, sf_dir_small, "pii_redaction_stats")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_bm25_broadcasts_corpus_stats(spark, sf_dir_small):
+    """BM25: the 1-row corpus-stats frame broadcasts back over the
+    scan (nested-loop join on a single row, never a shuffle of the
+    corpus) and tf stays a per-row expression — no explode."""
+    plan = _plan(spark, sf_dir_small, "text_bm25_scores")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "Generate" not in plan, plan  # explode would show as Generate
+
+
+def test_quantile_bin_has_no_global_sort(spark, sf_dir_small):
+    """Edge-based binning must not smuggle in an ntile-style
+    single-partition window over the DATA: no Window operator, no Sort
+    — just the broadcast edge array + projection.  (The percentile
+    aggregate's own 1-row SinglePartition merge carries aggregate
+    buffers, not rows, and is expected.)"""
+    plan = _plan(spark, sf_dir_small, "bin_totalprice_deciles")
+    assert "Window" not in plan, plan
+    assert re.search(r"\(\d+\) Sort", plan) is None, plan
+
+
+def test_standardize_broadcasts_group_stats(spark, sf_dir_small):
+    """Grouped z-score: the per-segment stats join must broadcast —
+    the customer table is never shuffled on the group key."""
+    plan = _plan(spark, sf_dir_small, "scale_standardize_acctbal")
+    assert "BroadcastHashJoin" in plan, plan
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    # one exchange for the tiny stats aggregate; the fact side is
+    # scan→project only
+    assert n_exchanges <= 1, plan

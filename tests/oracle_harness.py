@@ -1,12 +1,11 @@
 """Local replica of the driver's oracle comparison: run a registered
 Spark query and its DuckDB oracle on the same parquet tables, compare
-row count, column names, and order-insensitive values (floats rounded
-in the queries themselves; comparison still allows 1e-9 slack)."""
+row count, column names, DuckDB-vs-Spark type families, and
+order-insensitive EXACT stringified values — the same comparison the
+driver hashes, with zero float tolerance (the per-query rounding/cast
+contract is what makes cross-engine values bit-identical)."""
 
 from __future__ import annotations
-
-import datetime as _dt
-import math
 
 import duckdb
 
@@ -113,23 +112,6 @@ def check_type_parity(
     return problems
 
 
-def _norm(v):
-    if isinstance(v, bool):
-        return int(v)
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return round(v, 9)
-    if isinstance(v, _dt.datetime):
-        return v.replace(tzinfo=None).isoformat()
-    if isinstance(v, _dt.date):
-        return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return tuple(_norm(x) for x in v)
-    if isinstance(v, _dt.timedelta):
-        return v.total_seconds()
-    return v
-
 
 def compare_query(spark, query_fn, oracle: str, sf_dir: str) -> None:
     sdf = query_fn(spark, sf_dir)
@@ -151,27 +133,24 @@ def compare_query(spark, query_fn, oracle: str, sf_dir: str) -> None:
         f"row count mismatch: spark={len(spark_rows)} oracle={len(ora_rows)}"
     )
 
-    # Order-insensitive: sort by all values with columns aligned by name.
+    # Order-insensitive EXACT stringified comparison — the same hash
+    # the driver computes.  No float tolerance: the rounding contract
+    # (F.round/ROUND to the same scale in both engines) is what makes
+    # cross-engine doubles bit-identical, and a tolerance here would
+    # hide contract violations that the driver hash then flags (this
+    # is precisely how the round-2 q12 failure stayed invisible to the
+    # older normalizing harness).
     s_idx = [spark_cols.index(c) for c in sorted(spark_cols)]
     o_idx = [ora_cols.index(c) for c in sorted(ora_cols)]
-    s_sorted = sorted(tuple(_norm(r[i]) for i in s_idx) for r in spark_rows)
-    o_sorted = sorted(tuple(_norm(r[i]) for i in o_idx) for r in ora_rows)
-    mismatches = [
-        (a, b) for a, b in zip(s_sorted, o_sorted) if not _rows_close(a, b)
-    ]
-    assert not mismatches, f"value mismatch ({len(mismatches)} rows), first: {mismatches[0]}"
-
-
-def _rows_close(a, b) -> bool:
-    if len(a) != len(b):
-        return False
-    for x, y in zip(a, b):
-        if isinstance(x, float) and isinstance(y, float):
-            if not math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9):
-                return False
-        elif isinstance(x, tuple) and isinstance(y, tuple):
-            if not _rows_close(x, y):
-                return False
-        elif x != y:
-            return False
-    return True
+    s_sorted = sorted(
+        tuple(str(r[i]) for i in s_idx) for r in spark_rows
+    )
+    o_sorted = sorted(
+        tuple(str(r[i]) for i in o_idx) for r in ora_rows
+    )
+    mismatches = [(a, b) for a, b in zip(s_sorted, o_sorted) if a != b]
+    assert not mismatches, (
+        f"stringified value mismatch ({len(mismatches)} rows), first: "
+        f"{mismatches[0]} — check the rounding/cast contract on both "
+        f"engines"
+    )

@@ -72,3 +72,63 @@ def test_quantile_bin_equal_frequency(spark):
     )
     assert len(counts) == 10
     assert all(90 <= r["count"] <= 110 for r in counts)
+
+
+# Property-based invariants (hypothesis): hold for ANY data, not just
+# the oracle fixtures.
+from hypothesis import assume, given, settings, strategies as st
+
+_vals = st.lists(
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=64),
+    min_size=3,
+    max_size=40,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_vals)
+def test_standardize_property_mean_zero_sd_one(spark, xs):
+    import statistics
+
+    if len(set(xs)) == 1:
+        df = spark.createDataFrame(
+            [(i, float(v)) for i, v in enumerate(xs)], "k bigint, v double"
+        )
+        assert all(
+            r["v_z"] is None for r in standardize(df, ["v"]).collect()
+        )
+        return
+    # Exclude near-degenerate spreads where double cancellation
+    # dominates (sd within a few ulps of the magnitude) — the operator
+    # is as good as float64 allows there, but the invariant check
+    # itself becomes numerically meaningless.
+    spread = statistics.stdev(xs)
+    assume(spread > 1e-6 * max(1.0, max(abs(v) for v in xs)))
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(xs)], "k bigint, v double"
+    )
+    zs = [r["v_z"] for r in standardize(df, ["v"]).collect()]
+    assert all(z is not None for z in zs)
+    mu = sum(zs) / len(zs)
+    sd = (sum((z - mu) ** 2 for z in zs) / (len(zs) - 1)) ** 0.5
+    assert abs(mu) < 1e-6
+    assert abs(sd - 1.0) < 1e-6
+
+
+@settings(max_examples=8, deadline=None)
+@given(_vals, st.integers(min_value=2, max_value=8))
+def test_quantile_bin_property_monotone(spark, xs, n_bins):
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(xs)], "k bigint, v double"
+    )
+    rows = quantile_bin(df, "v", n_bins).collect()
+    got = sorted((r["v"], r["v_bin"]) for r in rows)
+    # bins are monotone non-decreasing in v, within [0, n_bins-1]
+    bins = [b for _, b in got]
+    assert bins == sorted(bins)
+    assert all(0 <= b <= n_bins - 1 for b in bins)
+    # equal values always share a bin
+    by_val = {}
+    for v, b in got:
+        by_val.setdefault(v, set()).add(b)
+    assert all(len(s) == 1 for s in by_val.values())

@@ -35,7 +35,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # first so a prefix-taking sampler reaches them; harmless otherwise.
 # All are green under the local driver-sim (same stringified compare).
 _NEVER_SAMPLED = (
-    "ann_lsh_planted_top1", "ann_topk_bruteforce", "ann_topk_ivf",
+    "ann_lsh_planted_top1", "ann_pq_planted_top1",
+    "ann_topk_bruteforce", "ann_topk_ivf",
     "approx_distinct_ok", "approx_quantile_ok", "asof_latest_order",
     "canonical_digests", "contamination_eval_overlap",
     "corpus_mixture_weights", "corpus_resample_weighted",

@@ -353,3 +353,151 @@ def lsh_topk_multiprobe(
         .filter(F.col("rank") <= k)
         .select(query_key_col, key_col, "cosine", "rank")
     )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 32,
+    refine: int = 8,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_key_col: str = "query_id",
+    seed: int = 7,
+    max_iter: int = 2,
+) -> DataFrame:
+    """Product-quantization top-k → [query_id, vec_id, cosine, rank]
+    (cosine is the EXACT score of the refined winners).
+
+    The RAM-bound ANN shape for 100 TB corpora: vectors compress to
+    ``m`` one-byte codes (per-subspace KMeans codebooks), the
+    asymmetric-distance (ADC) scan scores each candidate with ``m``
+    table lookups instead of ``dim`` multiply-adds, and only the top
+    ``refine * k`` ADC candidates per query are re-ranked with the
+    exact dot product.  Memory per vector drops dim×4 bytes → m bytes
+    (64-d float → 8 bytes at the defaults), which is what lets a
+    billion-vector index fit executor memory while the full vectors
+    stay in parquet and are fetched only for the refine join.
+
+    Plan shape: m tiny KMeans fits (coarse codebooks — quality is
+    governed by refine, not centroid polish), one corpus pass to
+    encode, one broadcast of the per-query lookup tables over the
+    codes scan, and a keyed join of ``refine*k`` rows/query against
+    the corpus for exact re-ranking.  The corpus is never shuffled."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim = vec_dim(corpus, vec_col)
+    if dim % m != 0:
+        raise ValueError(f"pq_topk: m={m} must divide dim={dim}")
+    sub = dim // m
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+
+    c = normalize(corpus, vec_col, "cv").select(key_col, "cv")
+    feats = c.select(
+        key_col,
+        "cv",
+        *[
+            array_to_vector(F.slice("cv", s * sub + 1, sub)).alias(f"__f{s}")
+            for s in range(m)
+        ],
+    ).repartition(par).cache()
+
+    fit_side = feats.coalesce(max(2, min(8, par)))
+    models = [
+        KMeans(
+            k=n_codes,
+            seed=seed + s,
+            featuresCol=f"__f{s}",
+            predictionCol=f"__code{s}",
+            maxIter=max_iter,
+            initMode="random",
+        ).fit(fit_side)
+        for s in range(m)
+    ]
+    encoded = feats
+    for km in models:
+        encoded = km.transform(encoded)
+    codes = encoded.select(
+        key_col, *[F.col(f"__code{s}") for s in range(m)]
+    )
+
+    # Per-query ADC lookup tables: LUT[offset_s + j] = dot(q_s, c_sj),
+    # built from a broadcast codebook frame and collapsed to one flat
+    # array per query.  MLlib may return FEWER than n_codes centers
+    # when an init duplicate empties a cluster, so the layout uses the
+    # models' actual center counts via cumulative offsets.
+    spark = corpus.sparkSession
+    centers = [
+        [[float(x) for x in ctr] for ctr in km.clusterCenters()]
+        for km in models
+    ]
+    offsets = [0]
+    for ctrs in centers:
+        offsets.append(offsets[-1] + len(ctrs))
+    cb_rows = [
+        (offsets[s] + j, s, ctr)
+        for s, ctrs in enumerate(centers)
+        for j, ctr in enumerate(ctrs)
+    ]
+    cb = spark.createDataFrame(cb_rows, ["idx", "s", "center"]).withColumn(
+        "center", F.col("center").cast("array<double>")
+    )
+    q = normalize(queries, vec_col, "qv").select(
+        F.col(key_col).alias(query_key_col), "qv"
+    )
+    luts = (
+        q.crossJoin(F.broadcast(cb))
+        .select(
+            query_key_col,
+            "qv",
+            "idx",
+            F.expr(
+                "aggregate(zip_with(slice(qv, s * {sub} + 1, {sub}), center,"
+                " (x, y) -> x * y), 0.0D, (a, v) -> a + v)".format(sub=sub)
+            ).alias("d"),
+        )
+        .groupBy(query_key_col)
+        .agg(
+            F.first("qv").alias("qv"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "d"))),
+                lambda x: x["d"],
+            ).alias("lut"),
+        )
+    )
+
+    adc_score = None
+    for s in range(m):
+        term = F.element_at(
+            F.col("lut"), F.col(f"__code{s}") + F.lit(offsets[s] + 1)
+        )
+        adc_score = term if adc_score is None else adc_score + term
+    cand_w = Window.partitionBy(query_key_col).orderBy(
+        F.desc("__adc"), F.asc(key_col)
+    )
+    candidates = (
+        codes.crossJoin(F.broadcast(luts.select(query_key_col, "lut")))
+        .filter(F.col(key_col) != F.col(query_key_col))
+        .withColumn("__adc", adc_score)
+        .withColumn("__crank", F.row_number().over(cand_w))
+        .filter(F.col("__crank") <= refine * k)
+        .select(query_key_col, key_col)
+    )
+
+    # Exact re-rank of the surviving candidates only.
+    exact = (
+        candidates.join(c, on=key_col)
+        .join(F.broadcast(luts.select(query_key_col, "qv")), on=query_key_col)
+        .withColumn("cosine", F.round(F.expr(dot_expr("cv", "qv", dim)), 6))
+    )
+    w = Window.partitionBy(query_key_col).orderBy(
+        F.desc("cosine"), F.asc(key_col)
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_key_col, key_col, "cosine", "rank")
+    )

@@ -126,3 +126,45 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(vmax), 6).alias("avg_max_component"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query("ann_topk_pq", bench=True)
+def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k with exact refine — the
+    RAM-bound billion-vector ANN shape (m byte-codes per vector, table
+    lookups instead of full dots, keyed refine join) — rows-only
+    check; recall is asserted against brute force in tests."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return xsim.pq_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
+
+
+@query(
+    "ann_pq_planted_top1",
+    bench=False,
+    oracle="""
+SELECT vec_id AS query_id, vec_id + 10000 AS vec_id,
+       CAST(1.0 AS DOUBLE) AS cosine, CAST(1 AS INTEGER) AS rank
+FROM embeddings WHERE vec_id < 10
+""",
+)
+def ann_pq_planted_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall invariant for the PQ path: a planted exact copy shares
+    every subspace code with its query, survives the ADC cut, and the
+    exact refine then MUST rank it first at cosine 1.0 — the
+    driver-checked contract that turns ``ann_topk_pq``'s rows-only
+    status into a hash-verified one."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.unionByName(
+        queries.select((F.col("vec_id") + 10000).alias("vec_id"), "embedding")
+    )
+    return (
+        xsim.pq_topk(corpus, queries, k=1)
+        .filter(F.col("rank") == 1)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round("cosine", 6).alias("cosine"),
+            "rank",
+        )
+    )

@@ -440,3 +440,18 @@ def test_prefix_jaccard_equals_full_index(corpus):
         pref = xdedup.ngram_jaccard_pairs_prefix(sub, n=3, threshold=t)
         diff = full.exceptAll(pref).count() + pref.exceptAll(full).count()
         assert diff == 0, f"threshold {t}"
+
+
+def test_pq_topk_recall_and_guards(spark, sf_dir):
+    """PQ+refine recall contract vs brute force (defaults measured
+    0.85 at sf0.01; 0.7 leaves margin for codebook seed drift), and
+    the m-divides-dim guard."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = xsim.cosine_topk(emb, queries, k=5)
+    pq = xsim.pq_topk(emb, queries, k=5)
+    assert xsim.recall_at_k(pq, exact) >= 0.7
+    with pytest.raises(ValueError, match="must divide"):
+        xsim.pq_topk(emb, queries, m=7)

@@ -42,6 +42,7 @@ _NEVER_SAMPLED = (
     "corpus_mixture_weights", "corpus_resample_weighted",
     "dedup_components", "dedup_embedding_cosine",
     "dedup_embedding_lsh_covers_planted", "dedup_minhash_covers_exact",
+    "dedup_incremental_batch",
     "dedup_ngram_jaccard_prefix", "dedup_rate_by_source",
     "dedup_simhash_covers_exact", "doc_chunk_tokens",
     "embedding_norm_stats", "events_funnel_order",

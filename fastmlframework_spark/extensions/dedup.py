@@ -711,3 +711,42 @@ def ngram_jaccard_pairs_prefix(
         .select("key_a", "key_b", F.round("__jacc", 6).alias("jaccard"))
     )
     return out
+
+
+def incremental_exact_dedup(
+    new_batch: DataFrame,
+    seen_digests: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Ingest-time dedup of a NEW batch against the digest index of
+    everything already ingested → surviving batch rows
+    [key, n_copies]: within-batch duplicates collapse to the min key
+    (as ``exact_dedup``), and any digest already present in
+    ``seen_digests`` drops entirely.
+
+    The scale contract is the join direction: the index is the HUGE
+    side (one 16-byte digest per corpus document ever ingested), the
+    batch is small, so collisions are found by scanning the index ONCE
+    with a BROADCAST probe of the batch digests — the index is never
+    shuffled, and the subsequent anti-join runs against the (tiny)
+    collision set.  A naive batch-anti-join-index plan would shuffle
+    the full index on every ingest.
+    """
+    bd = (
+        new_batch.withColumn("__d", F.md5(F.col(text_col)))
+        .groupBy("__d")
+        .agg(
+            F.min(key_col).alias(key_col),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+    collisions = seen_digests.join(
+        F.broadcast(bd.select("__d")),
+        on=seen_digests[digest_col] == F.col("__d"),
+        how="left_semi",
+    ).select(F.col(digest_col).alias("__d"))
+    return bd.join(F.broadcast(collisions), on="__d", how="left_anti").drop(
+        "__d"
+    )

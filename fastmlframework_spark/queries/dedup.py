@@ -397,3 +397,58 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "dedup_incremental_batch",
+    oracle="""
+WITH seen AS (SELECT DISTINCT md5(text) AS d FROM documents),
+batch AS (
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 200000,
+         substring(text, 1, CAST(FLOOR(LENGTH(text) * 0.8) AS INT))
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 300000,
+         substring(text, 1, CAST(FLOOR(LENGTH(text) * 0.8) AS INT))
+  FROM documents WHERE doc_id % 14 = 0
+),
+bd AS (
+  SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies, md5(text) AS d
+  FROM batch GROUP BY md5(text)
+)
+SELECT doc_id, n_copies FROM bd
+WHERE d NOT IN (SELECT d FROM seen)
+""",
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: the original documents are the
+    already-ingested corpus (digest index); the batch carries exact
+    copies of originals (%5 → must drop against the index), fresh
+    truncations (%7 → survive), and repeats of those truncations
+    (%14 → collapse within the batch to the min key with n_copies 2).
+    The index side is scanned once with a broadcast probe — never
+    shuffled (`extensions/dedup.py:incremental_exact_dedup`)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    seen = docs.select(F.md5("text").alias("digest")).distinct()
+    trunc = F.expr(
+        "substring(text, 1, CAST(FLOOR(LENGTH(text) * 0.8) AS INT))"
+    )
+    batch = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+        .unionByName(
+            docs.filter(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                trunc.alias("text"),
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 14 == 0).select(
+                (F.col("doc_id") + 300000).alias("doc_id"),
+                trunc.alias("text"),
+            )
+        )
+    )
+    return xdedup.incremental_exact_dedup(batch, seen)

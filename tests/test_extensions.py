@@ -455,3 +455,37 @@ def test_pq_topk_recall_and_guards(spark, sf_dir):
     assert xsim.recall_at_k(pq, exact) >= 0.7
     with pytest.raises(ValueError, match="must divide"):
         xsim.pq_topk(emb, queries, m=7)
+
+
+def test_incremental_dedup_drop_classes(spark):
+    seen_rows = [("a",), ("b",), ("c",)]
+    seen = spark.createDataFrame(seen_rows, "t string").select(
+        F.md5("t").alias("digest")
+    )
+    batch = spark.createDataFrame(
+        [(10, "a"), (11, "x"), (12, "x"), (13, "y")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: r["n_copies"]
+        for r in xdedup.incremental_exact_dedup(batch, seen).collect()
+    }
+    # "a" collides with the index → dropped; "x" collapses within the
+    # batch to min key 11 with 2 copies; "y" is new.
+    assert got == {11: 2, 13: 1}
+
+
+def test_incremental_dedup_broadcasts_batch_not_index(spark, sf_dir_small):
+    """The digest index (the corpus-sized side) must be probed with a
+    broadcast of the batch digests, never shuffled by the operator's
+    joins: both operator joins are broadcast joins."""
+    from fastmlframework_spark.queries.registry import all_queries
+
+    df = all_queries()["dedup_incremental_batch"](spark, sf_dir_small)
+    import io, contextlib
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan

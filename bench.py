@@ -88,18 +88,23 @@ def main() -> None:
     ok = {k: v for k, v in timings.items() if v >= 0}
     _write_regression_report(timings, sf)
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "BENCH_FULL.json"), "w") as fh:
-        json.dump(
-            {
-                "metric": "total_query_sec",
-                "value": round(sum(ok.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            },
-            fh,
-            sort_keys=True,
-        )
+    try:
+        with open(os.path.join(here, "BENCH_FULL.json"), "w") as fh:
+            json.dump(
+                {
+                    "metric": "total_query_sec",
+                    "value": round(sum(ok.values()), 4),
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": sf,
+                },
+                fh,
+                sort_keys=True,
+            )
+    except OSError as exc:
+        # File + stderr only — an unwritable checkout must never cost
+        # the stdout contract line after all queries already ran.
+        print(f"bench: BENCH_FULL.json write failed: {exc}", file=sys.stderr)
     print(_final_line(timings, ok, sf), flush=True)
 
 
@@ -165,8 +170,11 @@ def _write_regression_report(timings: dict[str, float], sf: float) -> None:
                     file=sys.stderr,
                 )
         report["queries"][name] = entry
-    with open(os.path.join(here, "BENCH_COMPARE.json"), "w") as fh:
-        json.dump(report, fh, indent=1, sort_keys=True)
+    try:
+        with open(os.path.join(here, "BENCH_COMPARE.json"), "w") as fh:
+            json.dump(report, fh, indent=1, sort_keys=True)
+    except OSError as exc:
+        print(f"bench: BENCH_COMPARE.json write failed: {exc}", file=sys.stderr)
 
 
 def _run(df) -> None:

@@ -155,8 +155,12 @@ def make_project_data(spark: SparkSession, project: str) -> str:
     ).mode("overwrite").csv(os.path.join(raw, "test_dir"))
     for name in ("train", "test"):
         link = os.path.join(raw, f"{name}.csv")
-        if not os.path.exists(link):
-            os.symlink(os.path.join(raw, f"{name}_dir"), link)
+        # Relative target: the OS resolves symlink targets against the
+        # link's own directory, so an absolute-from-CWD target breaks
+        # under a relative --project; lexists also catches a stale
+        # broken link that exists() would follow and miss.
+        if not os.path.lexists(link):
+            os.symlink(f"{name}_dir", link)
     heldout = os.path.join(project, "heldout_labels")
     test.select("app_id", "TARGET").write.mode("overwrite").parquet(heldout)
     return heldout

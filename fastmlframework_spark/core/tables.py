@@ -31,6 +31,14 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # Pin UTC for EVERY table read, not just events: timezone-sensitive
+    # expressions (timestamp string-casts, the NTZ path below) must
+    # evaluate identically to the DuckDB oracle under an external
+    # driver session running non-UTC, and setting it only on the
+    # events branch would make other queries' semantics depend on
+    # whether an events query happened to run first in the session.
+    # (Our own get_spark sessions already set this at build time.)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.parquet carries TIMESTAMP(NANOS).  Older Sparks reject
         # it unless read as long (runtime-settable conf, so this works
@@ -40,13 +48,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # wall-clock DuckDB sees via its TIMESTAMP_NS → TIMESTAMP cast
         # (sessions run UTC), and a type every epoch-arithmetic site
         # (window gaps, as-of join, interpolation) can cast to double.
+        # The NTZ→TIMESTAMP cast interprets the wall clock in the
+        # session timezone (pinned above); the bigint path
+        # (timestamp_micros) is epoch-based and timezone-free.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # The NTZ→TIMESTAMP cast below interprets the wall clock in the
-        # session timezone; the bigint path (timestamp_micros) is
-        # epoch-based and timezone-free.  Pin UTC so both read paths
-        # (and the DuckDB oracle) agree on the instant even when an
-        # external driver session runs non-UTC.
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":

@@ -733,9 +733,16 @@ def incremental_exact_dedup(
     shuffled, and the subsequent anti-join runs against the (tiny)
     collision set.  A naive batch-anti-join-index plan would shuffle
     the full index on every ingest.
+
+    NULL-text rows are dropped up front: they have no content to
+    dedup, and their NULL digest would otherwise behave differently in
+    the anti-join (null never matches → always "survives") than in a
+    SQL ``NOT IN`` twin (NULL NOT IN → filtered) — an engine-dependent
+    ambiguity this contract refuses to carry.
     """
     bd = (
-        new_batch.withColumn("__d", F.md5(F.col(text_col)))
+        new_batch.filter(F.col(text_col).isNotNull())
+        .withColumn("__d", F.md5(F.col(text_col)))
         .groupBy("__d")
         .agg(
             F.min(key_col).alias(key_col),

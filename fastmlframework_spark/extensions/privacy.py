@@ -60,6 +60,13 @@ def pii_stats(
     replaced, honoring pattern precedence: the dotted-digit host of an
     already-redacted email is never double-counted as an ipv4 hit."""
     pats = PII_PATTERNS if patterns is None else patterns
+    # Each flag compares stage k to stage k-1, and the stage
+    # expressions nest textually, so the projection repeats regex
+    # subtrees; Spark's subexpression elimination
+    # (spark.sql.subexpressionElimination.enabled, on by default)
+    # collapses the duplicates to one evaluation each.  With a LARGE
+    # custom pattern set, checkpoint intermediate stage columns
+    # instead of relying on CSE at O(k²) textual scale.
     stage = F.col(text_col)
     flags = []
     for kind, pat in pats.items():

@@ -33,6 +33,8 @@ def standardize(
     ``operators.screening.variance_screen`` first."""
     if not cols:
         raise ValueError("standardize: cols must be non-empty")
+    if ddof not in (0, 1):
+        raise ValueError(f"standardize: ddof must be 0 or 1, got {ddof}")
     std_fn = F.stddev_samp if ddof == 1 else F.stddev_pop
     aggs = []
     for c in cols:

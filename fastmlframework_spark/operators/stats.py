@@ -34,8 +34,10 @@ def ks_statistic(
     one grid cell's mass of the raw-value statistic.)
 
     NULL values are dropped (the standard KS definition ignores them);
-    raises ``ValueError`` when either group contributes zero rows — a
-    silent NULL statistic would otherwise mask an empty cohort."""
+    a group contributing zero rows raises at ACTION time via an
+    in-plan ``raise_error`` guard — the operator stays fully lazy
+    (explain/plan-audit callers pay nothing), and a silent NULL
+    statistic can never mask an empty cohort."""
     v = F.round(F.col(value_col), quantize)
     counts = (
         df.filter(F.col(group_col).isin([group_a, group_b]))
@@ -46,35 +48,42 @@ def ks_statistic(
             F.sum((F.col(group_col) == group_b).cast("long")).alias("__cb"),
         )
     )
-    # The grid is bounded by construction, so materializing it once
-    # (localCheckpoint) lets the zero-group guard and the final window
-    # share a single scan of the underlying table.
-    counts = counts.localCheckpoint()
-    totals = counts.agg(F.sum("__ca"), F.sum("__cb")).first()
-    n_a = totals[0] or 0
-    n_b = totals[1] or 0
-    if n_a == 0 or n_b == 0:
-        raise ValueError(
-            f"ks_statistic: empty group(s) — {group_a!r} has {n_a} rows, "
-            f"{group_b!r} has {n_b} rows (after NULL filtering)"
-        )
+    totals = counts.agg(
+        F.coalesce(F.sum("__ca"), F.lit(0)).cast("long").alias("__na"),
+        F.coalesce(F.sum("__cb"), F.lit(0)).cast("long").alias("__nb"),
+    )
     w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
     ecdf = counts.select(
         F.sum("__ca").over(w).alias("__cuma"),
         F.sum("__cb").over(w).alias("__cumb"),
     )
-    return ecdf.agg(
-        F.round(
+    # Broadcast the 1-row totals onto the (bounded) grid for the ECDF
+    # difference, then once more onto the 1-row aggregate so the guard
+    # still sees the counts when the grid itself is empty.
+    # try_divide: a zero group must reach the raise_error guard with
+    # its own message, not die earlier on ANSI DIVIDE_BY_ZERO.
+    kagg = (
+        ecdf.crossJoin(F.broadcast(totals))
+        .agg(
             F.max(
                 F.abs(
-                    F.col("__cuma") / F.lit(n_a)
-                    - F.col("__cumb") / F.lit(n_b)
+                    F.try_divide(F.col("__cuma"), F.col("__na"))
+                    - F.try_divide(F.col("__cumb"), F.col("__nb"))
                 )
-            ),
-            6,
-        ).alias("ks_stat"),
-        F.lit(n_a).cast("long").alias("n_a"),
-        F.lit(n_b).cast("long").alias("n_b"),
+            ).alias("__ksraw")
+        )
+    )
+    err = (
+        "ks_statistic: empty group(s) — one of the two groups has zero "
+        "rows after NULL filtering"
+    )
+    valid = (F.col("__na") > 0) & (F.col("__nb") > 0)
+    return kagg.crossJoin(F.broadcast(totals)).select(
+        F.when(valid, F.round(F.col("__ksraw"), 6))
+        .otherwise(F.expr(f"cast(raise_error('{err}') as double)"))
+        .alias("ks_stat"),
+        F.col("__na").alias("n_a"),
+        F.col("__nb").alias("n_b"),
     )
 
 

@@ -463,7 +463,7 @@ def test_incremental_dedup_drop_classes(spark):
         F.md5("t").alias("digest")
     )
     batch = spark.createDataFrame(
-        [(10, "a"), (11, "x"), (12, "x"), (13, "y")],
+        [(10, "a"), (11, "x"), (12, "x"), (13, "y"), (14, None)],
         "doc_id bigint, text string",
     )
     got = {
@@ -471,7 +471,8 @@ def test_incremental_dedup_drop_classes(spark):
         for r in xdedup.incremental_exact_dedup(batch, seen).collect()
     }
     # "a" collides with the index → dropped; "x" collapses within the
-    # batch to min key 11 with 2 copies; "y" is new.
+    # batch to min key 11 with 2 copies; "y" is new; NULL text is
+    # dropped up front (documented contract).
     assert got == {11: 2, 13: 1}
 
 

@@ -28,17 +28,20 @@ def test_ks_drops_nulls_and_matches_manual(spark):
 
 
 def test_ks_raises_on_empty_group(spark):
+    """The guard is an in-plan raise_error: construction stays lazy
+    (no jobs), the error surfaces at action time."""
     df = spark.createDataFrame([("a", 1.0), ("a", None)], "g string, v double")
-    with pytest.raises(ValueError, match="empty group"):
-        ks_statistic(df, "g", "v", "a", "missing")
+    lazy = ks_statistic(df, "g", "v", "a", "missing")  # no action yet
+    with pytest.raises(Exception, match="empty group"):
+        lazy.first()
     # All-NULL values in an otherwise present group also raise.
-    with pytest.raises(ValueError, match="empty group"):
+    with pytest.raises(Exception, match="empty group"):
         ks_statistic(
             spark.createDataFrame(
                 [("a", 1.0), ("b", None)], "g string, v double"
             ),
             "g", "v", "a", "b",
-        )
+        ).first()
 
 
 def test_mad_outliers_flags_planted_outlier(spark):

@@ -21,6 +21,8 @@ def test_standardize_constant_column_yields_null(spark):
     assert all(r["v_z"] is None for r in rows)
     with pytest.raises(ValueError, match="non-empty"):
         standardize(df, [])
+    with pytest.raises(ValueError, match="ddof"):
+        standardize(df, ["v"], ddof=2)
 
 
 def test_standardize_grouped_matches_manual(spark):

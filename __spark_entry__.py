@@ -38,7 +38,8 @@ _NEVER_SAMPLED = (
     "ann_lsh_planted_top1", "ann_pq_planted_top1",
     "ann_topk_bruteforce", "ann_topk_ivf",
     "approx_distinct_ok", "approx_quantile_ok", "asof_latest_order",
-    "canonical_digests", "contamination_eval_overlap",
+    "canonical_digests", "clip_winsorize_acctbal",
+    "contamination_eval_overlap",
     "corpus_mixture_weights", "corpus_resample_weighted",
     "dedup_components", "dedup_embedding_cosine",
     "dedup_embedding_lsh_covers_planted", "dedup_minhash_covers_exact",

@@ -110,3 +110,39 @@ def quantile_bin(
     return out.withColumn(
         out_col, F.when(F.col(col).isNotNull(), bin_expr).cast("int")
     ).drop("__edges")
+
+
+def clip_quantiles(
+    df: DataFrame,
+    col: str,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Winsorization: clamp ``col`` into its [lower, upper] exact
+    interpolating quantile range — the outlier-taming pass that runs
+    before scaling/training.  Same 100 TB shape as the siblings: a
+    1-row quantile aggregate broadcast over one scan, then a map-only
+    LEAST/GREATEST projection.  NULLs pass through untouched."""
+    if not (0.0 <= lower < upper <= 1.0):
+        raise ValueError(
+            f"clip_quantiles: need 0 <= lower < upper <= 1, "
+            f"got ({lower}, {upper})"
+        )
+    out_col = out_col or f"{col}_clipped"
+    bounds = df.agg(
+        F.expr(f"percentile({col}, {lower})").alias("__lo"),
+        F.expr(f"percentile({col}, {upper})").alias("__hi"),
+    )
+    out = df.crossJoin(F.broadcast(bounds))
+    # The isNotNull guard is load-bearing: Spark's greatest/least SKIP
+    # null arguments (unlike SQL-standard LEAST/GREATEST), so a bare
+    # greatest(col, lo) would clamp NULL inputs to the lower bound
+    # instead of passing them through.
+    return out.withColumn(
+        out_col,
+        F.when(
+            F.col(col).isNotNull(),
+            F.least(F.greatest(F.col(col), F.col("__lo")), F.col("__hi")),
+        ),
+    ).drop("__lo", "__hi")

@@ -508,3 +508,46 @@ def bin_totalprice_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("o_totalprice"), 2).alias("mn"),
         F.round(F.max("o_totalprice"), 2).alias("mx"),
     )
+
+
+@query(
+    "clip_winsorize_acctbal",
+    oracle="""
+WITH b AS (
+  SELECT quantile_cont(c_acctbal, 0.05) AS lo,
+         quantile_cont(c_acctbal, 0.95) AS hi
+  FROM customer
+),
+c AS (
+  SELECT LEAST(GREATEST(c_acctbal, lo), hi) AS v,
+         c_acctbal < lo AS is_lo, c_acctbal > hi AS is_hi
+  FROM customer, b
+)
+SELECT COUNT(*) AS n,
+       COUNT(*) FILTER (WHERE is_lo) AS n_clipped_lo,
+       COUNT(*) FILTER (WHERE is_hi) AS n_clipped_hi,
+       ROUND(MIN(v), 2) AS mn, ROUND(MAX(v), 2) AS mx,
+       ROUND(AVG(v), 4) AS mean_clipped
+FROM c
+""",
+)
+def clip_winsorize_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorize account balances at the exact p05/p95 quantiles
+    (`operators/scaling.py:clip_quantiles`) — the clip report (clip
+    counts + clamped min/max/mean) validates the full assignment."""
+    from fastmlframework_spark.operators.scaling import clip_quantiles
+
+    cust = load_table(spark, sf_dir, "customer").select("c_acctbal")
+    clipped = clip_quantiles(cust, "c_acctbal", 0.05, 0.95, out_col="v")
+    return clipped.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("c_acctbal") < F.col("v")).cast("long")).alias(
+            "n_clipped_lo"
+        ),
+        F.sum((F.col("c_acctbal") > F.col("v")).cast("long")).alias(
+            "n_clipped_hi"
+        ),
+        F.round(F.min("v"), 2).alias("mn"),
+        F.round(F.max("v"), 2).alias("mx"),
+        F.round(F.avg("v"), 4).alias("mean_clipped"),
+    )

@@ -134,3 +134,23 @@ def test_quantile_bin_property_monotone(spark, xs, n_bins):
     for v, b in got:
         by_val.setdefault(v, set()).add(b)
     assert all(len(s) == 1 for s in by_val.values())
+
+
+def test_clip_quantiles_nulls_and_bounds(spark):
+    from fastmlframework_spark.operators.scaling import clip_quantiles
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 101)] + [(101, None)],
+        "k bigint, v double",
+    )
+    got = {
+        r["k"]: r["v_clipped"]
+        for r in clip_quantiles(df, "v", 0.1, 0.9).collect()
+    }
+    # Exact interpolating deciles of 1..100 are 10.9 and 90.1.
+    assert got[1] == pytest.approx(10.9)
+    assert got[100] == pytest.approx(90.1)
+    assert got[50] == 50.0  # interior untouched
+    assert got[101] is None  # NULL passes through, NOT clamped to lo
+    with pytest.raises(ValueError, match="lower < upper"):
+        clip_quantiles(df, "v", 0.9, 0.1)

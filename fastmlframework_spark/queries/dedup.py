@@ -99,12 +99,81 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return xdedup.ngram_jaccard_pairs(corpus, n=3, threshold=0.4)
 
 
-@query("dedup_minhash_lsh", bench=True)
+# --- Literal SQL twins for the sketch paths (VERDICT r3 "next" #2) -----
+# The sketches are seed-deterministic JVM xxhash64 expressions, so their
+# outputs ARE reproducible in SQL once DuckDB can compute the same hash:
+# queries/xxh64_sql.py generates a pure-SQL XXH64 (validated bit-for-bit
+# against Spark in tests/test_xxh64_sql.py).  The oracles below re-derive
+# signatures/fingerprints from first principles and then use brute-force
+# O(n²) pair scans in place of the engine-side banding/blocking — the
+# candidate structures are exact (banding finds every pair that agrees on
+# a full band; block-LSH finds every pair within the hamming budget), so
+# the surviving pair sets match row-for-row, value-for-value.
+
+
+def _minhash_lsh_oracle(num_hashes: int = 8, bands: int = 4,
+                        threshold: float = 0.5) -> str:
+    from fastmlframework_spark.extensions.dedup import _mh_constants
+    from fastmlframework_spark.queries import xxh64_sql as xx
+
+    # per-shingle base hash: xxhash64(shingle, 42) & 0x7FFFFFFF — the
+    # string hash chained with the int literal 42 (Spark's variadic
+    # xxhash64 has no seed arg), masked to 31 bits
+    sh_hash = xx.let(
+        xx.hash_int(42, xx.xxh64_bytes(xx.utf8_bytes("__sh"), 42)),
+        "__u",
+        "__u % 2147483648",
+    )
+    shingles = (
+        "list_transform(range(1, greatest(len(__words) - 2, 1) + 1), "
+        "__i -> array_to_string(__words[__i:__i+2], ' '))"
+    )
+    hlist = xx.let(
+        "regexp_split_to_array(text, '\\s+')",
+        "__words",
+        f"list_transform({shingles}, __sh -> {sh_hash})",
+    )
+    # Carter-Wegman rehash per signature slot (same constants as Spark)
+    sig_cols = ", ".join(
+        f"CAST(list_min(list_transform(__H, __h -> (__h * {a} + {b}) "
+        f"% 2147483647)) AS BIGINT) AS mh_{j}"
+        for j, (a, b) in enumerate(_mh_constants(42, num_hashes))
+    )
+    rows_per_band = num_hashes // bands
+    band_eq = " OR ".join(
+        "("
+        + " AND ".join(
+            f"a.mh_{b * rows_per_band + r} = b.mh_{b * rows_per_band + r}"
+            for r in range(rows_per_band)
+        )
+        + ")"
+        for b in range(bands)
+    )
+    agree = " + ".join(
+        f"CASE WHEN a.mh_{j} = b.mh_{j} THEN 1 ELSE 0 END"
+        for j in range(num_hashes)
+    )
+    return f"""
+WITH corpus AS ({_CORPUS_SQL}),
+hashed AS (SELECT doc_id, {hlist} AS __H FROM corpus),
+sig AS (SELECT doc_id, {sig_cols} FROM hashed),
+cand AS (
+  SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+         ROUND(({agree}) / {float(num_hashes)}, 6) AS sig_agreement
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_eq})
+)
+SELECT key_a, key_b, sig_agreement FROM cand
+WHERE sig_agreement >= {threshold}
+"""
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_lsh_oracle())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(8)+LSH(4 bands) candidate pairs with signature
-    verification ≥ 0.5 — the sub-quadratic near-dup path.  Rows-only
-    check (banding is engine-specific); pair-level correctness is
-    pinned against brute-force Jaccard in tests."""
+    verification ≥ 0.5 — the sub-quadratic near-dup path.  Full
+    hash-matched oracle: the SQL twin recomputes the xxhash64-based
+    signatures (xxh64_sql.py) and brute-forces the band-agreement
+    join, which is exactly the banded candidate set."""
     return xdedup.minhash_lsh_pairs(
         _corpus(spark, sf_dir),
         n=3,
@@ -114,11 +183,42 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash", bench=True)
+def _simhash_oracle(bits: int = 64, max_hamming: int = 3) -> str:
+    from fastmlframework_spark.queries import xxh64_sql as xx
+
+    word_hash = xx.xxh64_bytes(xx.utf8_bytes("__w"), 42)
+    # fingerprint bit b set ⟺ majority of word hashes have bit b set
+    # (2·count > n ⟺ the ±1 sum is positive) — one term per bit,
+    # generated with literal 2^b divisors (no HUGEINT pow in DuckDB)
+    fp_terms = " + ".join(
+        f"CASE WHEN 2 * len(list_filter(__H, __h -> __h // {1 << b} % 2 = 1))"
+        f" > len(__H) THEN {1 << b} ELSE 0 END"
+        for b in range(bits)
+    )
+    signed_fp = xx.signed64(f"({fp_terms})")
+    return f"""
+WITH corpus AS ({_CORPUS_SQL}),
+hw AS (
+  SELECT doc_id,
+         list_transform(list_distinct(regexp_split_to_array(text, '\\s+')),
+                        __w -> {word_hash}) AS __H
+  FROM corpus
+),
+fp AS (SELECT doc_id, {signed_fp} AS simhash FROM hw)
+SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+@query("dedup_simhash", oracle=_simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(64-bit) near-dup pairs, hamming ≤ 3, via exact
-    pigeonhole block-LSH (4×16-bit blocks).  Rows-only check;
-    invariants in tests."""
+    pigeonhole block-LSH (4×16-bit blocks).  Full hash-matched
+    oracle: the SQL twin recomputes the fingerprints from the same
+    xxhash64 word hashes (xxh64_sql.py) and brute-forces the hamming
+    scan — block-LSH is exact within the budget, so the sets match."""
     return xdedup.simhash_pairs(_corpus(spark, sf_dir), bits=64, max_hamming=3)
 
 
@@ -289,12 +389,41 @@ def dedup_embedding_lsh_covers_planted(
     return planted.join(found, on=["key_a", "key_b"], how="left_semi")
 
 
-@query("dedup_embedding_lsh", bench=True)
+def _embedding_lsh_oracle(dim: int = 64, n_planes: int = 6,
+                          threshold: float = 0.999) -> str:
+    """Literal SQL twin of ``lsh_dup_pairs`` over the planted-copy
+    corpus: seed-7 hyperplanes inlined, double-square norms and the
+    cast-first dot mirroring the Spark expressions exactly."""
+    from fastmlframework_spark.extensions.similarity import hyperplanes
+    from fastmlframework_spark.queries import lsh_sql as L
+
+    planes = hyperplanes(dim, n_planes, seed=7)
+    return f"""
+WITH corpus AS (
+  SELECT vec_id, embedding AS v FROM ({_EMBED_CORPUS_SQL}) e
+),
+base AS (
+  SELECT vec_id, v, sqrt({L.norm_sq_double_sql("v")}) AS nrm,
+         {L.bucket_sql("v", planes)} AS bucket
+  FROM corpus
+),
+pairs AS (
+  SELECT a.vec_id AS key_a, b.vec_id AS key_b,
+         ROUND({L.dot_sql("a.v", "b.v", dim, cast_a=True)}
+               / (a.nrm * b.nrm), 6) AS cosine
+  FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT key_a, key_b, cosine FROM pairs WHERE cosine >= {threshold}
+"""
+
+
+@query("dedup_embedding_lsh", oracle=_embedding_lsh_oracle())
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-bucketed embedding near-dup pairs (≥ 0.999) — the
     sub-quadratic scale path whose exact twin is
-    ``dedup_embedding_cosine``.  Rows-only check; full recall on
-    planted exact copies is pinned in tests."""
+    ``dedup_embedding_cosine``.  Full hash-matched oracle via the
+    inlined seed-7 hyperplanes (queries/lsh_sql.py); recall on
+    planted exact copies is additionally pinned in tests."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     corpus = emb.unionByName(
         emb.filter(F.col("vec_id") % 10 == 0).select(

@@ -226,3 +226,79 @@ def test_standardize_broadcasts_group_stats(spark, sf_dir_small):
     # one exchange for the tiny stats aggregate; the fact side is
     # scan→project only
     assert n_exchanges <= 1, plan
+
+
+def _executed_plan(df) -> str:
+    df.collect()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE's OptimizeSkewedJoin is the native handler for JOIN skew
+    (operators/skew.py covers the cases it can't: aggregation skew via
+    salted_groupby, and broadcast-ineligible dimension joins via
+    salted_join).  This pins that with a runtime-skewed key the final
+    adaptive plan splits the hot partition — SortMergeJoin(skew=true)
+    over a skewed AQEShuffleRead — and, as a control, that a uniform
+    key under the SAME thresholds is left untouched, i.e. the firing
+    is skew DETECTION, not the conf.  forceOptimizeSkewedJoin only
+    waives the extra-shuffle veto; detection thresholds still decide.
+    """
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "4194304",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1048576",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+
+        # shuffle sizes are COMPRESSED map-output bytes, so the pad must
+        # be incompressible or the hot partition shrinks below any
+        # sane threshold: two chained sha2 hex digests ≈ 128 high-
+        # entropy bytes per row
+        pad = F.concat(
+            F.sha2(F.col("id").cast("string"), 256),
+            F.sha2(F.concat(F.lit("s"), F.col("id").cast("string")), 256),
+        )
+        small = spark.range(0, 1000).select(
+            F.col("id").alias("k"), F.col("id").alias("v")
+        )
+
+        # 90% of 300k rows on one key → one ~35 MB (compressed)
+        # shuffle partition, ≫ the 4 MB threshold and ≫ 2× the
+        # median; the uniform control's ~1 MB partitions clear
+        # neither bar
+        skewed = spark.range(0, 300_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(1))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            pad.alias("pad"),
+        )
+        plan = _executed_plan(skewed.join(small, on="k"))
+        assert "skew=true" in plan, plan
+        assert "skewed" in plan, plan
+
+        # uniform control: same volume, same confs, no hot key
+        uniform = spark.range(0, 300_000).select(
+            (F.col("id") % 1000).alias("k"), pad.alias("pad")
+        )
+        plan_u = _executed_plan(uniform.join(small, on="k"))
+        assert "skew=true" not in plan_u, plan_u
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -1,0 +1,77 @@
+"""Wall-clock streaming soak (VERDICT r3 #7): the only §2.10 claim
+with no runtime evidence was "watermark bounds state" under a LIVE
+advancing clock.  This drives ``streaming_sessions`` from a ``rate``
+source for ~30 s (≥3 micro-batches), then asserts from the query's
+own progress metrics that (1) the watermark actually advanced,
+(2) closed sessions were EVICTED from the state store, and (3) state
+never grew beyond a small multiple of the live key count — the
+bounded-state contract that makes the operator safe on an unbounded
+stream."""
+
+from __future__ import annotations
+
+import time
+
+import pyspark.sql.functions as F
+import pytest
+
+from fastmlframework_spark.streaming.stateful import streaming_sessions
+
+
+@pytest.mark.slow
+def test_rate_soak_watermark_advances_and_state_stays_bounded(spark):
+    users = 20
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 200)
+        .load()
+        .select(
+            F.col("timestamp").alias("ts"),
+            # bursty activity: at 200 rows/s each user is live for ~5 s
+            # then goes quiet, so its session CLOSES after the 2 s gap
+            # and is evicted once the watermark passes — a constant
+            # `value % users` would keep every session open forever
+            # and never exercise eviction
+            ((F.col("value") / 1000).cast("long") % users).alias("user_id"),
+        )
+    )
+    sessions = streaming_sessions(
+        stream, gap="2 seconds", watermark="3 seconds"
+    )
+    query = (
+        sessions.writeStream.format("memory")
+        .queryName("soak_sessions")
+        .outputMode("append")
+        .trigger(processingTime="2 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            time.sleep(1)
+    finally:
+        progress = list(query.recentProgress)
+        query.stop()
+
+    batches = [p for p in progress if p.get("stateOperators")]
+    assert len(batches) >= 3, f"only {len(batches)} stateful batches"
+
+    watermarks = [
+        p["eventTime"]["watermark"]
+        for p in batches
+        if p.get("eventTime", {}).get("watermark", "1970") > "1971"
+    ]
+    assert len(watermarks) >= 2 and watermarks[-1] > watermarks[0], watermarks
+
+    ops = [p["stateOperators"][0] for p in batches]
+    # eviction: closed sessions leave the store once the watermark
+    # passes their end
+    assert sum(op.get("numRowsRemoved", 0) for op in ops) > 0, ops
+    # bound: open sessions ≤ live keys; generous slack for merge
+    # buffers and the pre-eviction batch
+    peak = max(op["numRowsTotal"] for op in ops)
+    assert peak <= users * 10, f"state peaked at {peak} rows"
+
+    # rows actually flowed end-to-end
+    emitted = spark.sql("SELECT count(*) FROM soak_sessions").first()[0]
+    assert emitted > 0

@@ -515,8 +515,9 @@ def lsh_dup_pairs(
     key_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_planes: int = 6,
+    n_planes: int | None = None,
     seed: int = 7,
+    rows_per_bucket: int = 128,
 ) -> DataFrame:
     """Sub-quadratic embedding near-dup pairs → [key_a, key_b, cosine]:
     hyperplane-sign buckets shard the pair space (same-bucket join
@@ -524,7 +525,17 @@ def lsh_dup_pairs(
     that ``embedding_dup_pairs`` (exact all-pairs) is the oracle for:
     identical vectors always share a bucket (recall 1.0 on true
     duplicates); near-dups below cosine 1.0 may straddle a plane —
-    raise recall with fewer planes or multi-probe unions."""
+    raise recall with fewer planes or multi-probe unions.
+
+    ``n_planes`` defaults to ``max(4, ceil(log2(n / rows_per_bucket)))``
+    — with a FIXED plane count bucket occupancy grows linearly in the
+    corpus and the within-bucket verify turns quadratic (sf1 probe:
+    top-decade b = 0.78 and climbing at pinned 6 planes); constant
+    expected occupancy keeps it linear.  Callers with a pinned-plane
+    oracle contract (the registered queries) pass ``n_planes``
+    explicitly."""
+    import math
+
     from fastmlframework_spark.extensions.similarity import (
         hyperplanes,
         vec_dim,
@@ -532,6 +543,9 @@ def lsh_dup_pairs(
     )
 
     dim = vec_dim(df, vec_col)
+    if n_planes is None:
+        n = df.count()
+        n_planes = max(4, math.ceil(math.log2(max(2.0, n / rows_per_bucket))))
     planes = hyperplanes(dim, n_planes, seed)
     norm = (
         f"sqrt(aggregate({vec_col}, 0.0D, (a, v) -> a + cast(v as double)*v))"
@@ -577,9 +591,10 @@ def semantic_dedup(
     key_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.999,
-    n_clusters: int = 8,
+    n_clusters: int | None = None,
     seed: int = 7,
     max_iter: int = 3,
+    rows_per_cell: int = 256,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup over an embedding column →
     surviving keys [key].
@@ -593,6 +608,13 @@ def semantic_dedup(
     pure argmin over shared centroids), so TRUE duplicates are never
     missed; near-dups straddling a cell boundary can escape — raise
     ``n_clusters`` probes/recall via the LSH path if that matters.
+
+    ``n_clusters`` defaults to ``max(8, n / rows_per_cell)`` — a
+    FIXED cluster count makes cell size grow with the corpus and the
+    verify stage quadratic again (the sf1 scale probe measured
+    top-decade b = 1.08 with the old pinned 8); constant cell SIZE
+    (the actual SemDeDup recipe) keeps the verify linear in n until
+    the fit-sample cap (64k) bounds the cluster count.
 
     At 100 TB: the quantizer fits driver-side from a deterministic
     ≤64k hash-sample (``similarity.lloyd_centers`` — one scan, no
@@ -612,8 +634,11 @@ def semantic_dedup(
 
     dim = vec_dim(df, vec_col)
     c = normalize(df, vec_col, "cv").select(key_col, "cv")
+    n = c.count()
+    if n_clusters is None:
+        n_clusters = max(8, n // rows_per_cell)
     centers = lloyd_centers(
-        hash_sample_rows(c, key_col, "cv", seed=seed),
+        hash_sample_rows(c, key_col, "cv", seed=seed, n=n),
         n_clusters,
         seed=seed,
         max_iter=max_iter,

@@ -224,6 +224,21 @@ def _make_real_decode():
             "checksum": int(samples.astype(np.uint64).sum() % (1 << 40)),
         }
 
+    def decode_jpeg(data: bytes) -> dict:
+        # Baseline JPEG via the pure-Python decoder (extensions/jpeg.py
+        # — stdlib + numpy, golden-tested against hand-built streams);
+        # progressive/arithmetic still raise NotImplementedError.
+        import numpy as np
+
+        from fastmlframework_spark.extensions.jpeg import decode_baseline
+
+        img = decode_baseline(data)
+        return {
+            "width": int(img.shape[1]),
+            "height": int(img.shape[0]),
+            "checksum": int(img.astype(np.uint64).sum() % (1 << 40)),
+        }
+
     def real(data: bytes) -> dict:
         if data[:2] in (b"P5", b"P6"):
             return decode_pnm(data)
@@ -231,10 +246,12 @@ def _make_real_decode():
             return decode_png(data)
         if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
             return decode_wav(data)
+        if data[:2] == b"\xff\xd8":
+            return decode_jpeg(data)
         raise NotImplementedError(
-            "compressed media decoding (JPEG/MP4) requires codec "
-            "libraries (PIL/ffmpeg) not present in this environment; "
-            "wire them in here"
+            "compressed video decoding (MP4) requires ffmpeg, not "
+            "present in this environment; wire it in here "
+            "(progressive JPEG likewise raises from extensions/jpeg.py)"
         )
 
     return real

@@ -102,9 +102,11 @@ def hash_sample_rows(
     arr_col: str,
     cap: int = 65536,
     seed: int = 7,
+    n: int | None = None,
 ) -> list[list[float]]:
     """Deterministic ≤``cap``-row sample of an array column, collected
-    to the driver for quantizer fits.
+    to the driver for quantizer fits.  Pass ``n`` when the caller
+    already counted the frame to skip the internal count job.
 
     The filter is a pure hash of the KEY (machine- and
     partitioning-independent — r3 ADVICE: defaultParallelism-derived
@@ -112,7 +114,8 @@ def hash_sample_rows(
     and trimmed by hash order driver-side so the bound is hard.  At
     100 TB this is one scan emitting ~cap rows; ~32 MB on the driver
     at cap=64k, dim=64."""
-    n = df.count()
+    if n is None:
+        n = df.count()
     sel = df.select(
         F.pmod(
             F.xxhash64(F.col(key_col).cast("string"), F.lit(seed)),

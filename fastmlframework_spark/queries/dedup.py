@@ -383,7 +383,7 @@ def dedup_embedding_lsh_covers_planted(
         F.col("vec_id").alias("key_a"),
         (F.col("vec_id") + 10000).alias("key_b"),
     )
-    found = xdedup.lsh_dup_pairs(corpus, threshold=0.999).select(
+    found = xdedup.lsh_dup_pairs(corpus, threshold=0.999, n_planes=6).select(
         "key_a", "key_b"
     )
     return planted.join(found, on=["key_a", "key_b"], how="left_semi")
@@ -430,7 +430,8 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
         )
     )
-    return xdedup.lsh_dup_pairs(corpus, threshold=0.999)
+    # n_planes pinned: the oracle inlines the 6-plane layout
+    return xdedup.lsh_dup_pairs(corpus, threshold=0.999, n_planes=6)
 
 
 @query(
@@ -454,9 +455,9 @@ def semantic_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
     )
     corpus = emb.unionByName(copies)
-    return semantic_dedup(corpus, threshold=0.999, n_clusters=8).orderBy(
-        "vec_id"
-    )
+    # adaptive n_clusters (constant cell size) — the invariant holds
+    # for ANY cell layout, so the oracle is unaffected
+    return semantic_dedup(corpus, threshold=0.999).orderBy("vec_id")
 
 
 @query("dedup_ngram_jaccard_prefix", oracle=_JACCARD_ORACLE)

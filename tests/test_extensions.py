@@ -329,7 +329,7 @@ def test_lsh_dup_pairs_full_recall_on_exact_copies(spark, sf_dir_small):
         (F.col("vec_id") - 10000).alias("key_a"),
         F.col("vec_id").alias("key_b"),
     )
-    found = xdedup.lsh_dup_pairs(corpus, threshold=0.999).cache()
+    found = xdedup.lsh_dup_pairs(corpus, threshold=0.999, n_planes=6).cache()
     missing = planted.join(found, on=["key_a", "key_b"], how="left_anti")
     assert missing.count() == 0
     # bucketed candidates are a SUBSET of the exact pair scan, and

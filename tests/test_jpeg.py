@@ -1,0 +1,194 @@
+"""Golden tests for the pure-Python baseline JPEG decoder.
+
+No codec library exists in this environment to produce fixtures, so
+the tests CONSTRUCT minimal spec-conformant JPEGs bit by bit (trivial
+one-symbol Huffman tables, known quant tables) whose decoded output
+is computable analytically: a DC-only block IDCTs to a flat
+``DC·q/8 + 128`` plane, DC prediction chains across blocks, and a
+single AC coefficient reproduces the cosine basis — checked against
+an independently-constructed basis matrix."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from fastmlframework_spark.extensions.jpeg import decode_baseline
+
+
+class _BitWriter:
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def write(self, value: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.bits.append((value >> i) & 1)
+
+    def bytes(self) -> bytes:
+        bits = self.bits + [1] * (-len(self.bits) % 8)  # pad with 1s
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            b = 0
+            for bit in bits[i: i + 8]:
+                b = (b << 1) | bit
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)  # byte stuffing
+        return bytes(out)
+
+
+# trivial tables: DC = {category 2 -> code '0' (1 bit)},
+# AC = {EOB (0x00) -> '0', 0x01 (run 0, size 1) -> '10'}
+_DC_COUNTS = [1] + [0] * 15
+_DC_SYMBOLS = bytes([0x02])
+_AC_COUNTS = [1, 1] + [0] * 14
+_AC_SYMBOLS = bytes([0x00, 0x01])
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+
+def _dqt(q: int) -> bytes:
+    return _seg(0xDB, bytes([0x00]) + bytes([q] * 64))
+
+
+def _dht() -> bytes:
+    return _seg(
+        0xC4,
+        bytes([0x00]) + bytes(_DC_COUNTS) + _DC_SYMBOLS
+        + bytes([0x10]) + bytes(_AC_COUNTS) + _AC_SYMBOLS,
+    )
+
+
+def _sof0(w: int, h: int, comps: list[tuple[int, int, int]]) -> bytes:
+    body = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(comps)])
+    for cid, hs, vs in comps:
+        body += bytes([cid, (hs << 4) | vs, 0x00])
+    return _seg(0xC0, body)
+
+
+def _sos(comp_ids: list[int]) -> bytes:
+    body = bytes([len(comp_ids)])
+    for cid in comp_ids:
+        body += bytes([cid, 0x00])
+    body += bytes([0, 63, 0])
+    return _seg(0xDA, body)
+
+
+def _gray_jpeg(dc_values: list[int], w: int, h: int, q: int = 16,
+               ac_first: int | None = None) -> bytes:
+    """Grayscale baseline JPEG: one scan, blocks with the given DC
+    values (category-2 diffs: each diff must fit 2 bits) and
+    optionally a single AC coefficient (±1) in the first block."""
+    wtr = _BitWriter()
+    pred = 0
+    first = True
+    for dc in dc_values:
+        diff = dc - pred
+        pred = dc
+        # category-2 encoding of diff ∈ {-3,-2,2,3}
+        assert diff in (-3, -2, 2, 3), "test encoder limited to cat-2"
+        wtr.write(0, 1)  # DC symbol (category 2)
+        mag = diff if diff > 0 else diff + 3
+        wtr.write(mag, 2)
+        if first and ac_first is not None:
+            assert ac_first in (-1, 1)
+            wtr.write(0b10, 2)  # AC symbol: run 0, size 1
+            wtr.write(1 if ac_first == 1 else 0, 1)
+        wtr.write(0, 1)  # EOB
+        first = False
+    return (
+        b"\xff\xd8" + _dqt(q) + _dht()
+        + _sof0(w, h, [(1, 1, 1)]) + _sos([1])
+        + wtr.bytes() + b"\xff\xd9"
+    )
+
+
+def test_flat_dc_block():
+    # DC = 3, q = 16 → flat plane of 3·16/8 + 128 = 134
+    img = decode_baseline(_gray_jpeg([3], 8, 8))
+    assert img.shape == (8, 8)
+    assert (img == 134).all()
+
+
+def test_dc_prediction_across_blocks():
+    # blocks DC 3 then 6 (diff 3): planes 134 and 140
+    img = decode_baseline(_gray_jpeg([3, 6], 16, 8))
+    assert img.shape == (8, 16)
+    assert (img[:, :8] == 134).all()
+    assert (img[:, 8:] == 140).all()
+
+
+def test_single_ac_coefficient_matches_basis():
+    # DC 3 + AC[0,1] = 1 (zigzag index 1): expected plane from an
+    # independently-built IDCT basis
+    img = decode_baseline(_gray_jpeg([3], 8, 8, ac_first=1))
+    T = np.zeros((8, 8))
+    for u in range(8):
+        c = (0.5 / np.sqrt(2.0)) if u == 0 else 0.5
+        for x in range(8):
+            T[u, x] = c * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    F = np.zeros((8, 8))
+    F[0, 0] = 3 * 16
+    F[0, 1] = 1 * 16
+    expected = np.clip(np.round(T.T @ F @ T + 128.0), 0, 255).astype(np.uint8)
+    assert (img == expected).all()
+
+
+def test_color_420_flat():
+    # 8×8 image, Y 2×2-sampled + Cb + Cr (one 16×16 MCU): flat
+    # Y=134, Cb=Cr=134 → JFIF: R=G=B only when Cb=Cr=128, so check
+    # the exact formula instead
+    # Y blocks: the one-symbol table can't encode diff 0, so use
+    # diffs 3,-2,2,-2 → DCs 3,1,3,1; only block (0,0) survives the
+    # crop, so the visible Y plane is flat 134
+    wtr = _BitWriter()
+    for diff in (3, -2, 2, -2):
+        wtr.write(0, 1)
+        wtr.write(diff if diff > 0 else diff + 3, 2)
+        wtr.write(0, 1)
+    for _ in range(2):  # Cb, Cr: DC 2 → value 132
+        wtr.write(0, 1)
+        wtr.write(2, 2)
+        wtr.write(0, 1)
+    data = (
+        b"\xff\xd8" + _dqt(16) + _dht()
+        + _sof0(8, 8, [(1, 2, 2), (2, 1, 1), (3, 1, 1)])
+        + _sos([1, 2, 3]) + wtr.bytes() + b"\xff\xd9"
+    )
+    img = decode_baseline(data)
+    assert img.shape == (8, 8, 3)
+    y, cb, cr = 134.0, 132.0, 132.0
+    exp_r = round(y + 1.402 * (cr - 128))
+    exp_g = round(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))
+    exp_b = round(y + 1.772 * (cb - 128))
+    assert (img[..., 0] == exp_r).all()
+    assert (img[..., 1] == exp_g).all()
+    assert (img[..., 2] == exp_b).all()
+
+
+def test_progressive_rejected():
+    data = (
+        b"\xff\xd8" + _dqt(16) + _dht()
+        + _seg(0xC2, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
+    )
+    with pytest.raises(NotImplementedError):
+        decode_baseline(data + _sos([1]) + b"\x6f\xff\xd9")
+
+
+def test_multimodal_real_decode_dispatches_jpeg():
+    from fastmlframework_spark.extensions.multimodal import real_decode
+
+    out = real_decode(_gray_jpeg([3], 8, 8))
+    assert out == {"width": 8, "height": 8, "checksum": 134 * 64}
+
+
+def test_bitreader_unstuffs_ff00():
+    from fastmlframework_spark.extensions.jpeg import _BitReader
+
+    r = _BitReader(b"\xff\x00\x12", 0)
+    assert r.read_bits(8) == 0xFF
+    assert r.read_bits(8) == 0x12

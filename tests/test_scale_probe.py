@@ -51,7 +51,21 @@ def test_bucketed_paths_are_subquadratic(probe, name):
     assert q["exponent"] < 1.5, f"{name} scaling exponent {q['exponent']}"
 
 
-def test_probe_covers_three_scales(probe):
+@pytest.mark.parametrize("name", _BUCKETED)
+def test_top_decade_stays_linearish(probe, name):
+    """The global fit is deflated by fixed overhead at small sfs, so
+    the honest scaling signal is the LAST decade (sf0.1 → sf1 once
+    the probe includes the mutated 10× replica).  b < 1.3 there means
+    the path is linear-with-overhead, not hiding a quadratic tail."""
+    q = probe["queries"].get(name)
+    assert q is not None, f"{name} missing from probe artifact"
+    top = q.get("exponent_top_decade")
+    if top is None:
+        pytest.skip("probe artifact predates top-decade field")
+    assert top < 1.3, f"{name} top-decade exponent {top}"
+
+
+def test_probe_covers_scales(probe):
     for name, q in probe["queries"].items():
-        assert len(q["sf"]) == 3 and len(q["sec"]) == 3, name
+        assert len(q["sf"]) >= 3 and len(q["sec"]) == len(q["sf"]), name
         assert q["sf"] == sorted(q["sf"]), name

@@ -43,7 +43,24 @@ DEFAULT_QUERIES = (
 )
 
 
-def replicate(spark, src: str, out: str, factor: int) -> None:
+def replicate(spark, src: str, out: str, factor: int,
+              mutate: bool = False) -> None:
+    """N× the testdata with disjoint key spaces.
+
+    ``mutate`` makes replica content DISTINCT so similarity structure
+    stays proportional instead of exploding (without it, every doc/
+    vector gains ``factor`` exact copies and pair-emitting dedup paths
+    scale with the inflated duplicate groups, poisoning scaling-law
+    fits):
+    - documents: replica i > 0 gets an ``r<i>`` PREFIX token (a prefix
+      survives the %7 80%-truncation planting, so near-copies also
+      stay replica-local; the planted %5/%7 dup fractions are
+      preserved because the id step is a multiple of both bases)
+    - embeddings: component 0 shifts by i·10⁻³ (cosine-1 planted
+      copies are derived in-query from the mutated vector)
+    - events: user_id shifts with the replica so the user population
+      scales with the data instead of stacking 10× events per user
+    """
     tables = (
         "lineitem", "orders", "documents", "embeddings", "events",
         "customer", "supplier", "part", "nation", "region",
@@ -52,13 +69,28 @@ def replicate(spark, src: str, out: str, factor: int) -> None:
         df = load_table(spark, src, t)
         if t in KEY_SHIFT:
             key, step = KEY_SHIFT[t]
-            df = reduce(
-                lambda a, b: a.unionByName(b),
-                [
-                    df.withColumn(key, F.col(key) + F.lit(i * step))
-                    for i in range(factor)
-                ],
-            )
+            copies = []
+            for i in range(factor):
+                cp = df.withColumn(key, F.col(key) + F.lit(i * step))
+                if mutate and i > 0:
+                    if t == "documents":
+                        cp = cp.withColumn(
+                            "text", F.concat(F.lit(f"r{i} "), F.col("text"))
+                        )
+                    elif t == "embeddings":
+                        cp = cp.withColumn(
+                            "embedding",
+                            F.expr(
+                                "transform(embedding, (x, j) -> "
+                                f"IF(j = 0, CAST(x + {i} * 0.001 AS FLOAT), x))"
+                            ),
+                        )
+                    elif t == "events":
+                        cp = cp.withColumn(
+                            "user_id", F.col("user_id") + F.lit(i * 1_000_000)
+                        )
+                copies.append(cp)
+            df = reduce(lambda a, b: a.unionByName(b), copies)
         df.write.mode("overwrite").parquet(os.path.join(out, f"{t}.parquet"))
 
 
@@ -119,8 +151,21 @@ def probe_exponents(
         slope = sum((x - xbar) * (y - ybar) for x, y in zip(xs, ys)) / sum(
             (x - xbar) ** 2 for x in xs
         )
-        out["queries"][name] = {"sf": sfs, "sec": times, "exponent": round(slope, 4)}
-        print(f"{name:28s} exponent={slope:+.3f}  times={times}")
+        # Top-decade exponent: fixed overhead deflates the global fit
+        # at small sfs (b ≈ 0.1 reads "constant cost"), so the honest
+        # scaling signal is the LAST decade, where data finally
+        # dominates.  This is what the sf1 extension certifies.
+        top = (ys[-1] - ys[-2]) / (xs[-1] - xs[-2])
+        out["queries"][name] = {
+            "sf": sfs,
+            "sec": times,
+            "exponent": round(slope, 4),
+            "exponent_top_decade": round(top, 4),
+        }
+        print(
+            f"{name:28s} exponent={slope:+.3f} top_decade={top:+.3f} "
+            f"times={times}"
+        )
     return out
 
 
@@ -140,7 +185,19 @@ def main() -> None:
         "--exponents",
         action="store_true",
         help="fit scaling exponents over the sf0.001/0.01/0.1 testdata "
-        "instead of replicating data",
+        "(plus --sf1-dir when provided) instead of replicating data",
+    )
+    ap.add_argument(
+        "--make-sf1",
+        action="store_true",
+        help="generate a mutated 10x replica of sf0.1 (an sf1-scale "
+        "set with proportional dup structure) at --out/sf1.0",
+    )
+    ap.add_argument(
+        "--sf1-dir",
+        default=None,
+        help="existing sf1.0 directory to include as the top decade "
+        "of the --exponents fit",
     )
     ap.add_argument("--json-out", default="tools/scale_probe_exponents.json")
     args = ap.parse_args()
@@ -148,11 +205,19 @@ def main() -> None:
     spark = get_spark(app_name="scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
+    if args.make_sf1:
+        out = os.path.join(args.out, "sf1.0")
+        replicate(spark, args.src, out, 10, mutate=True)
+        print(f"wrote {out}")
+        return
+
     if args.exponents:
         import json
 
         base = os.path.dirname(args.src.rstrip("/"))
         sf_dirs = [os.path.join(base, f"sf{s}") for s in ("0.001", "0.01", "0.1")]
+        if args.sf1_dir:
+            sf_dirs.append(args.sf1_dir)
         result = probe_exponents(spark, sf_dirs, list(EXPONENT_QUERIES))
         with open(args.json_out, "w") as fh:
             json.dump(result, fh, indent=1, sort_keys=True)

@@ -129,27 +129,43 @@ def pack_streams(
     )
 
 
-def mixture_weights(df: DataFrame, by: str = "source") -> DataFrame:
+def mixture_weights(
+    df: DataFrame, by: str = "source", alpha: float = 0.0
+) -> DataFrame:
     """Domain-mixture reweighting → [group, n_docs, share, weight]:
-    sampling weight per domain that moves the observed mixture to the
-    UNIFORM target (weight = target_share / observed_share; rows with
-    weight > 1 get upsampled, < 1 downsampled).  Aggregate-sized:
-    per-domain counts cross-join a broadcast 1-row total."""
+    sampling weight per domain that moves the observed mixture to a
+    TEMPERATURE-flattened target, ``target_i ∝ share_i^alpha``
+    (weight = target_share / observed_share; rows with weight > 1 get
+    upsampled, < 1 downsampled).
+
+    ``alpha = 0`` is the uniform target (every domain equal — the
+    original behavior), ``alpha = 1`` keeps the observed mixture
+    (all weights 1), and the usual multilingual/data-mixing practice
+    is ``alpha ≈ 0.3–0.7``, boosting rare domains without letting any
+    single one dominate.  Aggregate-sized: per-domain counts
+    cross-join a broadcast 1-row total (incl. the partition-function
+    sum Σ share^alpha), all map-side."""
     counts = df.groupBy(by).agg(F.count(F.lit(1)).alias("n_docs"))
     tot = counts.agg(
         F.sum("n_docs").alias("__total"),
-        F.count(F.lit(1)).alias("__n_groups"),
+        F.sum(F.pow(F.col("n_docs").cast("double"), F.lit(alpha))).alias(
+            "__z_counts"
+        ),
     )
     share = F.col("n_docs") / F.col("__total")
+    # target = n^alpha / Σ n^alpha == share^alpha / Σ share^alpha
+    # (the total^alpha factor cancels), computed on raw counts to
+    # avoid double rounding
+    target = F.pow(F.col("n_docs").cast("double"), F.lit(alpha)) / F.col(
+        "__z_counts"
+    )
     return (
         counts.crossJoin(F.broadcast(tot))
         .select(
             by,
             "n_docs",
             F.round(share, 6).alias("share"),
-            F.round((F.lit(1.0) / F.col("__n_groups")) / share, 6).alias(
-                "weight"
-            ),
+            F.round(target / share, 6).alias("weight"),
         )
     )
 
@@ -202,4 +218,69 @@ def shuffle_order(
         df.select(F.col(key_col), h.alias("__h")),
         order_cols=["__h", key_col],
         keep_cols=[key_col],
+    )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    min_doc_freq: int = 20,
+) -> DataFrame:
+    """CCNet/Dolma-style line-level boilerplate removal →
+    [key, clean_text, n_lines, n_removed].
+
+    A line that appears (exactly) in ``min_doc_freq`` or more DISTINCT
+    documents is boilerplate (headers, footers, cookie banners,
+    navigation chrome) and is dropped from every document; document
+    text is reassembled from the surviving lines in original order.
+    Documents whose every line is boilerplate come back with empty
+    ``clean_text`` (kept, so the caller decides whether to drop).
+
+    Scale shape: one explode (no shuffle — lines stay with their doc's
+    partition), one digest-grouped count for document frequencies
+    (map-side combined), and the hot-line set — at most
+    total_lines / min_doc_freq distinct values by construction — comes
+    back as a BROADCAST anti-join, so the line table is shuffled only
+    once, for the per-document reassembly."""
+    lines = df.select(
+        F.col(key_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    hot = (
+        lines.groupBy(F.md5("line").alias("line_digest"))
+        .agg(F.countDistinct(key_col).alias("doc_freq"))
+        .filter(F.col("doc_freq") >= min_doc_freq)
+        .select("line_digest")
+    )
+    kept = lines.withColumn("line_digest", F.md5("line")).join(
+        F.broadcast(hot), on="line_digest", how="left_anti"
+    )
+    rebuilt = (
+        kept.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+            ).alias("clean_text"),
+        )
+    )
+    totals = df.select(
+        F.col(key_col),
+        F.size(F.split(F.col(text_col), "\n")).cast("long").alias("n_lines"),
+    )
+    return (
+        totals.join(rebuilt, on=key_col, how="left")
+        .select(
+            key_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_lines",
+            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
     )

@@ -424,3 +424,107 @@ def corpus_resample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "corpus_mixture_temperature",
+    oracle="""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+),
+tot AS (
+  SELECT SUM(n_docs) AS total,
+         SUM(POW(n_docs * 1.0, 0.5)) AS z
+  FROM counts
+)
+SELECT source, n_docs,
+       ROUND(n_docs * 1.0 / total, 6) AS share,
+       ROUND((POW(n_docs * 1.0, 0.5) / z) / (n_docs * 1.0 / total), 6)
+           AS weight
+FROM counts, tot
+ORDER BY source
+""",
+)
+def corpus_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened mixture target (alpha = 0.5): rare
+    sources get boosted ∝ share^-0.5 instead of all the way to
+    uniform — the standard multilingual/data-mixing reweighting."""
+    docs = load_table(spark, sf_dir, "documents")
+    return xcur.mixture_weights(docs, by="source", alpha=0.5).orderBy(
+        "source"
+    )
+
+
+# Planted-boilerplate corpus: the synthetic documents are single-line
+# and duplicate-free, so boilerplate is derived deterministically in
+# both engines — a shared header line on doc_id % 3 == 0 and a shared
+# footer on doc_id % 4 == 0 (doc frequencies ≈ n/3 and n/4, far above
+# the threshold; every original text line has doc frequency 1).
+_BP_HEADER = "ALL RIGHTS RESERVED - SITE NAVIGATION - COOKIE NOTICE"
+_BP_FOOTER = "POWERED BY EXAMPLE CMS | TERMS | PRIVACY"
+
+_BP_CORPUS_SQL = f"""
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0
+            THEN '{_BP_HEADER}' || chr(10) || text ELSE text END
+       || CASE WHEN doc_id % 4 = 0
+               THEN chr(10) || '{_BP_FOOTER}' ELSE '' END AS text
+FROM documents
+"""
+
+
+@query(
+    "text_remove_boilerplate",
+    oracle=f"""
+WITH corpus AS ({_BP_CORPUS_SQL}),
+lines AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1) AS pos
+  FROM corpus
+),
+hot AS (
+  SELECT line FROM lines GROUP BY line
+  HAVING COUNT(DISTINCT doc_id) >= 20
+),
+kept AS (
+  SELECT l.* FROM lines l ANTI JOIN hot h ON l.line = h.line
+),
+rebuilt AS (
+  SELECT doc_id,
+         COUNT(*) AS n_kept,
+         STRING_AGG(line, chr(10) ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT c.doc_id,
+       COALESCE(r.clean_text, '') AS clean_text,
+       CAST(len(string_split(c.text, chr(10))) AS BIGINT) AS n_lines,
+       CAST(len(string_split(c.text, chr(10))) - COALESCE(r.n_kept, 0)
+            AS BIGINT) AS n_removed
+FROM corpus c LEFT JOIN rebuilt r ON c.doc_id = r.doc_id
+""",
+)
+def text_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal (CCNet/Dolma recipe) over a
+    corpus with planted shared header/footer lines: lines in ≥ 20
+    distinct docs are dropped everywhere, text reassembled in order.
+    Every doc keeps its original content; only the planted chrome
+    goes."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit(_BP_HEADER + "\n"),
+            ).otherwise(F.lit("")),
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.lit("\n" + _BP_FOOTER),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return xcur.remove_boilerplate_lines(
+        corpus, min_doc_freq=20
+    )

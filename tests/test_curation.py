@@ -115,3 +115,38 @@ def test_curation_pipeline_end_to_end(spark, sf_dir_small, tmp_path):
     )
     assert s["shard_rows"] == s["after_decontamination"]
     assert s["n_packs"] > 0
+
+
+def test_mixture_temperature_identities(spark, sf_dir):
+    """alpha = 1 keeps the observed mixture (all weights 1);
+    alpha = 0 equals the uniform target."""
+    from fastmlframework_spark.core.tables import load_table
+    from fastmlframework_spark.extensions.curation import mixture_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    keep = {r["source"]: r["weight"]
+            for r in mixture_weights(docs, alpha=1.0).collect()}
+    assert all(w == 1.0 for w in keep.values()), keep
+    uni = {r["source"]: r["weight"]
+           for r in mixture_weights(docs, alpha=0.0).collect()}
+    legacy = {r["source"]: r["weight"]
+              for r in mixture_weights(docs).collect()}
+    assert uni == legacy
+
+
+def test_remove_boilerplate_edge_cases(spark):
+    from fastmlframework_spark.extensions.curation import (
+        remove_boilerplate_lines,
+    )
+
+    rows = [(i, "BOILER\nunique-%d" % i) for i in range(30)]
+    rows.append((98, "BOILER"))          # all-boilerplate doc
+    rows.append((99, "only unique text"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           remove_boilerplate_lines(df, min_doc_freq=20).collect()}
+    assert out[0]["clean_text"] == "unique-0"
+    assert out[0]["n_removed"] == 1 and out[0]["n_lines"] == 2
+    assert out[98]["clean_text"] == "" and out[98]["n_removed"] == 1
+    assert out[99]["clean_text"] == "only unique text"
+    assert out[99]["n_removed"] == 0

@@ -3,8 +3,9 @@
 the §7.5 extension layer as one runnable flow:
 
     canonicalize → exact dedup → near-dup (MinHash+LSH) → components
-      → quality/repetition filter → contamination screen
-      → mixture reweighting → sequence packing → training shards
+      → line-level boilerplate removal → quality/repetition filter
+      → contamination screen → mixture reweighting → sequence packing
+      → training shards
 
     python examples/run_curation.py [--sf-dir /root/testdata/sf0.001]
                                     [--out /tmp/curation_out]
@@ -76,6 +77,20 @@ def run(spark, sf_dir: str, out: str) -> dict:
     else:
         stage2 = stage1
     n2 = stage2.count()
+
+    # 2b. line-level boilerplate removal (shared chrome across many
+    # docs goes; the synthetic corpus is single-line so this is a
+    # pass-through here, but the stage is the real CCNet/Dolma step
+    # and the planted-positive oracle is text_remove_boilerplate).
+    cleaned = xcur.remove_boilerplate_lines(stage2, min_doc_freq=20)
+    stage2 = (
+        stage2.drop("text")
+        .join(
+            cleaned.select("doc_id", F.col("clean_text").alias("text")),
+            on="doc_id",
+        )
+        .filter(F.length("text") > 0)
+    )
 
     # 3. quality + repetition screens.
     rep = xcur.repetition_stats(stage2).select("doc_id", "distinct_ratio")

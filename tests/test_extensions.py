@@ -144,13 +144,23 @@ def test_multimodal_plumbing(spark):
 
 
 def test_real_decode_compressed_formats_still_gated(spark):
+    # MP4 remains gated (ffmpeg absent); baseline JPEG is decoded
+    # natively now (extensions/jpeg.py), so a malformed JPEG payload
+    # surfaces a parse error rather than the codec gate.
     df = spark.createDataFrame(
-        [(1, b"\xff\xd8\xff\xe0 jpeg fake", "jpeg")],
+        [(1, b"\x00\x00\x00\x18ftypmp42 fake video", "mp4")],
         ["doc_id", "media_bytes", "media_format"],
     )
     out = xmm.extract_media_features(df, decode="real")
-    with pytest.raises(Exception, match="NotImplementedError|codec"):
+    with pytest.raises(Exception, match="NotImplementedError|ffmpeg|codec"):
         out.collect()
+
+    bad_jpeg = spark.createDataFrame(
+        [(1, b"\xff\xd8\xff\xe0 jpeg fake", "jpeg")],
+        ["doc_id", "media_bytes", "media_format"],
+    )
+    with pytest.raises(Exception, match="marker|Huffman|truncated|index"):
+        xmm.extract_media_features(bad_jpeg, decode="real").collect()
 
 
 def _png_bytes(width, height, channels=3, filters=(0, 1, 2, 3, 4)):

@@ -192,3 +192,20 @@ def test_bitreader_unstuffs_ff00():
     r = _BitReader(b"\xff\x00\x12", 0)
     assert r.read_bits(8) == 0xFF
     assert r.read_bits(8) == 0x12
+
+
+def test_restart_interval_resets_dc_prediction():
+    # DRI = 1: an RST0 marker after the first MCU; DC prediction must
+    # reset, so the second block's diff 3 is absolute again
+    w1 = _BitWriter()
+    w1.write(0, 1); w1.write(3, 2); w1.write(0, 1)   # block 1: DC 3
+    w2 = _BitWriter()
+    w2.write(0, 1); w2.write(3, 2); w2.write(0, 1)   # block 2: DC 3 (reset)
+    data = (
+        b"\xff\xd8" + _dqt(16) + _dht()
+        + _seg(0xDD, struct.pack(">H", 1))           # DRI = 1
+        + _sof0(16, 8, [(1, 1, 1)]) + _sos([1])
+        + w1.bytes() + b"\xff\xd0" + w2.bytes() + b"\xff\xd9"
+    )
+    img = decode_baseline(data)
+    assert (img == 134).all(), np.unique(img)

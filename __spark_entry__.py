@@ -33,30 +33,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # no green CORRECTNESS row yet come first (ever-red before
 # never-sampled), so each round's ~50-query rotation converts local
 # evidence into driver evidence fastest.  Derived at call time from
-# the CORRECTNESS_r0*.json files committed next to this module —
-# nothing hardcoded, so renames/typos can't rot (ADVICE r3 #1).
-# Harmless for a non-prefix sampler: it's still the full registry.
-def _driver_checked() -> dict[str, bool]:
-    """name -> latest driver verdict (True = green) across rounds."""
-    import glob
-    import json
-
-    here = os.path.dirname(os.path.abspath(__file__))
-    verdict: dict[str, bool] = {}
-    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r0*.json"))):
-        try:
-            rows = json.load(open(path))
-        except (OSError, ValueError):
-            continue
-        for name, r in rows.items():
-            ok = bool(r.get("rows_match")) and bool(r.get("schema_match")) \
-                and r.get("hash_match") in (True, None)
-            verdict[name] = ok
-    return verdict
-
-
+# the committed CORRECTNESS_r*.json files via the shared parser
+# (core/verdicts.py — one definition of "green" for this prioritizer
+# AND tools/registry_report.py) — nothing hardcoded, so renames/typos
+# can't rot (ADVICE r3 #1).  Harmless for a non-prefix sampler: it's
+# still the full registry.
 def _prioritized(mapping: dict) -> dict:
-    checked = _driver_checked()
+    from fastmlframework_spark.core.verdicts import latest_verdicts
+
+    checked = latest_verdicts(os.path.dirname(os.path.abspath(__file__)))
     ever_red = [k for k in mapping if checked.get(k) is False]
     never_sampled = [k for k in mapping if k not in checked]
     first = {k: mapping[k] for k in (*ever_red, *never_sampled)}

@@ -226,6 +226,7 @@ def remove_boilerplate_lines(
     key_col: str = "doc_id",
     text_col: str = "text",
     min_doc_freq: int = 20,
+    broadcast_hot: bool = True,
 ) -> DataFrame:
     """CCNet/Dolma-style line-level boilerplate removal →
     [key, clean_text, n_lines, n_removed].
@@ -237,50 +238,48 @@ def remove_boilerplate_lines(
     Documents whose every line is boilerplate come back with empty
     ``clean_text`` (kept, so the caller decides whether to drop).
 
-    Scale shape: one explode (no shuffle — lines stay with their doc's
-    partition), one digest-grouped count for document frequencies
-    (map-side combined), and the hot-line set — at most
-    total_lines / min_doc_freq distinct values by construction — comes
-    back as a BROADCAST anti-join, so the line table is shuffled only
-    once, for the per-document reassembly."""
+    Scale shape: ONE explode definition feeds both the digest-grouped
+    document-frequency count (map-side combined, digest-sized rows)
+    and the flagging join, and a single per-document aggregation
+    produces counts AND the reassembled text — no separate totals
+    scan.  The hot set is bounded by total_lines / min_doc_freq
+    distinct digests; that is broadcast-sized for real chrome on
+    real corpora but NOT in general (a 1 TB corpus at the default
+    threshold can exceed the 8 GB broadcast cap) — set
+    ``broadcast_hot=False`` to fall back to a shuffled join when the
+    corpus/threshold combination makes the hot set large."""
     lines = df.select(
         F.col(key_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
-    )
+    ).withColumn("line_digest", F.md5("line"))
     hot = (
-        lines.groupBy(F.md5("line").alias("line_digest"))
+        lines.groupBy("line_digest")
         .agg(F.countDistinct(key_col).alias("doc_freq"))
         .filter(F.col("doc_freq") >= min_doc_freq)
-        .select("line_digest")
+        .select("line_digest", F.lit(True).alias("__hot"))
     )
-    kept = lines.withColumn("line_digest", F.md5("line")).join(
-        F.broadcast(hot), on="line_digest", how="left_anti"
-    )
-    rebuilt = (
-        kept.groupBy(key_col)
+    if broadcast_hot:
+        hot = F.broadcast(hot)
+    flagged = lines.join(hot, on="line_digest", how="left")
+    return (
+        flagged.groupBy(key_col)
         .agg(
-            F.count(F.lit(1)).alias("n_kept"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.count("__hot").cast("long").alias("n_removed"),
             F.concat_ws(
                 "\n",
                 F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__hot").isNull(),
+                                F.struct("pos", "line"),
+                            )
+                        )
+                    ),
                     lambda s: s["line"],
                 ),
             ).alias("clean_text"),
         )
-    )
-    totals = df.select(
-        F.col(key_col),
-        F.size(F.split(F.col(text_col), "\n")).cast("long").alias("n_lines"),
-    )
-    return (
-        totals.join(rebuilt, on=key_col, how="left")
-        .select(
-            key_col,
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            "n_lines",
-            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
-            .cast("long")
-            .alias("n_removed"),
-        )
+        .select(key_col, "clean_text", "n_lines", "n_removed")
     )

@@ -75,7 +75,12 @@ class _BitReader:
         if self.nbits == 0:
             self._fill()
         self.nbits -= 1
-        return (self.bits >> self.nbits) & 1
+        bit = (self.bits >> self.nbits) & 1
+        # truncate consumed high bits — otherwise ``bits`` accumulates
+        # every byte ever read and each shift copies an ever-growing
+        # integer (O(bytes²) over a large scan)
+        self.bits &= (1 << self.nbits) - 1
+        return bit
 
     def read_bits(self, n: int) -> int:
         v = 0
@@ -84,14 +89,28 @@ class _BitReader:
         return v
 
     def align_to_restart(self) -> None:
-        """Drop buffered bits and consume an RSTn marker."""
+        """Drop buffered bits and consume an RSTn marker, skipping any
+        remaining entropy bytes — including stuffed 0xFF00 pairs,
+        which are DATA, not markers (an interval whose last entropy
+        byte is 0xFF is stuffed and may be left unread here)."""
         self.bits = 0
         self.nbits = 0
-        while self.data[self.pos] != 0xFF:
-            self.pos += 1
-        # skip fill bytes 0xFF then the marker id
-        while self.data[self.pos] == 0xFF and self.data[self.pos + 1] == 0xFF:
-            self.pos += 1
+        while True:
+            if self.data[self.pos] != 0xFF:
+                self.pos += 1
+                continue
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:  # stuffed data byte
+                self.pos += 2
+                continue
+            if nxt == 0xFF:  # fill byte before a marker
+                self.pos += 1
+                continue
+            break
+        if not 0xD0 <= self.data[self.pos + 1] <= 0xD7:
+            raise ValueError(
+                f"expected RSTn marker, found 0xFF{self.data[self.pos + 1]:02X}"
+            )
         self.pos += 2
 
 

@@ -121,12 +121,16 @@ def hash_sample_rows(
             F.xxhash64(F.col(key_col).cast("string"), F.lit(seed)),
             F.lit(1_000_000),
         ).alias("__hs"),
+        F.col(key_col).cast("string").alias("__k"),
         F.col(arr_col).alias("__v"),
     )
     if n > cap:
         thr = int(1_200_000 * cap / n) + 1  # 1.2× oversample, hard-trim below
         sel = sel.filter(F.col("__hs") < thr)
-    rows = sorted(sel.collect(), key=lambda r: r["__hs"])[:cap]
+    # secondary key sort: ~n²/2e6 hash ties are expected in the 1e6
+    # buckets, and tie order would otherwise follow collect (i.e.
+    # partition) order — per-machine centroids again
+    rows = sorted(sel.collect(), key=lambda r: (r["__hs"], r["__k"]))[:cap]
     return [[float(x) for x in r["__v"]] for r in rows]
 
 
@@ -149,6 +153,11 @@ def lloyd_centers(
     Empty clusters keep their previous center (MLlib behavior)."""
     import numpy as np
 
+    if not sample:
+        raise ValueError(
+            "lloyd_centers: empty fit sample (empty corpus, or a "
+            "fit_fraction filter that matched no keys)"
+        )
     X = np.asarray(sample, dtype=np.float64)
     n = X.shape[0]
     k_eff = max(1, min(k, n))

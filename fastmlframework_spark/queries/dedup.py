@@ -383,17 +383,23 @@ def dedup_embedding_lsh_covers_planted(
         F.col("vec_id").alias("key_a"),
         (F.col("vec_id") + 10000).alias("key_b"),
     )
-    found = xdedup.lsh_dup_pairs(corpus, threshold=0.999, n_planes=6).select(
+    found = xdedup.lsh_dup_pairs(corpus, threshold=0.999).select(
         "key_a", "key_b"
     )
     return planted.join(found, on=["key_a", "key_b"], how="left_semi")
 
 
-def _embedding_lsh_oracle(dim: int = 64, n_planes: int = 6,
+def _embedding_lsh_oracle(dim: int = 64, n_planes: int = 4,
                           threshold: float = 0.999) -> str:
     """Literal SQL twin of ``lsh_dup_pairs`` over the planted-copy
     corpus: seed-7 hyperplanes inlined, double-square norms and the
-    cast-first dot mirroring the Spark expressions exactly."""
+    cast-first dot mirroring the Spark expressions exactly.
+
+    ``n_planes=4`` is what the operator's adaptive default derives at
+    the driver's oracle scale (sf0.01: 550 corpus vectors →
+    max(4, ceil(log2(550/128))) = 4) — the CORRECTNESS contract runs
+    at sf=0.01 only, so the twin inlines that plane count while the
+    Spark side scales its bucket space with the corpus."""
     from fastmlframework_spark.extensions.similarity import hyperplanes
     from fastmlframework_spark.queries import lsh_sql as L
 
@@ -430,8 +436,9 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
         )
     )
-    # n_planes pinned: the oracle inlines the 6-plane layout
-    return xdedup.lsh_dup_pairs(corpus, threshold=0.999, n_planes=6)
+    # adaptive n_planes: at sf0.01 the count-derived default is 4,
+    # matching the oracle's inlined layout (see _embedding_lsh_oracle)
+    return xdedup.lsh_dup_pairs(corpus, threshold=0.999)
 
 
 @query(

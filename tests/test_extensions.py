@@ -500,3 +500,28 @@ def test_incremental_dedup_broadcasts_batch_not_index(spark, sf_dir_small):
     plan = buf.getvalue()
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_hash_sample_deterministic_across_partitioning(spark):
+    """The quantizer fit sample must not depend on partition layout
+    (review r4: hash-bucket ties were broken by collect order)."""
+    import pyspark.sql.functions as F
+
+    from fastmlframework_spark.extensions.similarity import hash_sample_rows
+
+    df = spark.range(0, 50_000).select(
+        F.col("id").alias("vec_id"), F.array(F.col("id") * 1.0).alias("v")
+    )
+    a = hash_sample_rows(df.repartition(3), "vec_id", "v", cap=5000, seed=7)
+    b = hash_sample_rows(df.repartition(17), "vec_id", "v", cap=5000, seed=7)
+    assert a == b
+    assert len(a) == 5000
+
+
+def test_lloyd_empty_sample_raises_clearly():
+    import pytest as _pytest
+
+    from fastmlframework_spark.extensions.similarity import lloyd_centers
+
+    with _pytest.raises(ValueError, match="empty fit sample"):
+        lloyd_centers([], 4)

@@ -209,3 +209,20 @@ def test_restart_interval_resets_dc_prediction():
     )
     img = decode_baseline(data)
     assert (img == 134).all(), np.unique(img)
+
+
+def test_align_to_restart_skips_stuffed_ff00():
+    from fastmlframework_spark.extensions.jpeg import _BitReader
+
+    # stuffed FF00 (entropy data) precedes the real RST0
+    r = _BitReader(b"\xff\x00\xff\xd0\x12", 0)
+    r.align_to_restart()
+    assert r.pos == 4
+    # leftover plain entropy byte, then fill byte, then RST1
+    r = _BitReader(b"\xab\xff\xff\xd1\x34", 0)
+    r.align_to_restart()
+    assert r.pos == 4
+    # a non-restart marker is an error, not silently consumed
+    r = _BitReader(b"\xff\xd9", 0)
+    with pytest.raises(ValueError):
+        r.align_to_restart()

@@ -51,13 +51,22 @@ def replicate(spark, src: str, out: str, factor: int,
     stays proportional instead of exploding (without it, every doc/
     vector gains ``factor`` exact copies and pair-emitting dedup paths
     scale with the inflated duplicate groups, poisoning scaling-law
-    fits):
-    - documents: replica i > 0 gets an ``r<i>`` PREFIX token (a prefix
-      survives the %7 80%-truncation planting, so near-copies also
-      stay replica-local; the planted %5/%7 dup fractions are
-      preserved because the id step is a multiple of both bases)
-    - embeddings: component 0 shifts by i·10⁻³ (cosine-1 planted
-      copies are derived in-query from the mutated vector)
+    fits).  The mutations must clear the operators' NEAR-dup
+    thresholds, not merely break equality (review r4: a one-token
+    prefix left 3-gram Jaccard ≈ 0.95 ≥ the 0.5 verify bar, and a
+    0.001-component shift left cosine ≈ 1−2e−6 ≥ 0.999 — every base
+    item still gained C(factor,2) cross-replica pairs):
+    - documents: replica i > 0 prefixes three replica tokens AND
+      interleaves an ``r<i>`` token after every 2 words, so EVERY
+      3-word shingle contains a replica-specific token (cross-replica
+      Jaccard ≈ 0) and the distinct-word set shifts by 4 words
+      (simhash margins move well past the hamming budget).  Planted
+      %5/%7 dup fractions are preserved: the id step is a multiple of
+      both bases and the corpus derivation runs in-query on the
+      mutated text.
+    - embeddings: a deterministic replica-specific direction
+      ``0.15·sin(13.7·i + j)`` per component j — ‖δ‖ ≈ 0.85, pushing
+      cross-replica cosine far below the 0.999 dedup thresholds.
     - events: user_id shifts with the replica so the user population
       scales with the data instead of stacking 10× events per user
     """
@@ -75,14 +84,23 @@ def replicate(spark, src: str, out: str, factor: int,
                 if mutate and i > 0:
                     if t == "documents":
                         cp = cp.withColumn(
-                            "text", F.concat(F.lit(f"r{i} "), F.col("text"))
+                            "text",
+                            F.concat(
+                                F.lit(f"ra{i} rb{i} rc{i} "),
+                                F.regexp_replace(
+                                    F.col("text"),
+                                    r"(\S+ \S+) ",
+                                    f"$1 r{i} ",
+                                ),
+                            ),
                         )
                     elif t == "embeddings":
                         cp = cp.withColumn(
                             "embedding",
                             F.expr(
                                 "transform(embedding, (x, j) -> "
-                                f"IF(j = 0, CAST(x + {i} * 0.001 AS FLOAT), x))"
+                                f"CAST(x + 0.15 * SIN({i} * 13.7 + j) "
+                                "AS FLOAT))"
                             ),
                         )
                     elif t == "events":

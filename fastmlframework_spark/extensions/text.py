@@ -277,3 +277,63 @@ def token_entropy(
             6,
         ).alias("entropy"),
     )
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    weights: list[float] | None = None,
+    bias: float = 0.0,
+    dim: int = 256,
+    seed: int = 11,
+) -> DataFrame:
+    """fastText-style hashed linear classifier applied corpus-wide →
+    [key, n_terms, score]: score = sigmoid(bias + mean_t w[h(t) % dim])
+    over whitespace tokens, with the trained weight vector shipped as
+    ONE array literal (CCNet's quality-classifier shape — the model is
+    tiny, the corpus is not; applying it is a pure map, no shuffle, no
+    Python).
+
+    ``dim`` must be a power of two: the bucket index is ``pmod`` of
+    the SIGNED JVM xxhash64, and power-of-two moduli make that equal
+    to the unsigned-hash remainder, which is what the DuckDB oracle
+    twin (queries/xxh64_sql.py) computes.  ``weights=None`` derives a
+    deterministic seed-``seed`` placeholder vector — swap in real
+    trained weights in production."""
+    if dim & (dim - 1):
+        raise ValueError("dim must be a power of two (see docstring)")
+    if weights is None:
+        import random as _random
+
+        rng = _random.Random(seed)
+        weights = [round(rng.uniform(-1.0, 1.0), 6) for _ in range(dim)]
+    if len(weights) != dim:
+        raise ValueError(f"weights must have length {dim}")
+    wlit = F.lit([float(x) for x in weights])
+    words = f"split({text_col}, '\\\\s+')"
+    total = (
+        f"aggregate(transform({words}, "
+        f"w -> element_at(__W, CAST(pmod(xxhash64(w), {dim}) + 1 AS INT))), "
+        "0.0D, (a, v) -> a + v)"
+    )
+    return (
+        df.withColumn("__W", wlit)
+        .select(
+            F.col(key_col),
+            F.expr(f"size({words})").cast("long").alias("n_terms"),
+            F.round(
+                F.lit(1.0)
+                / (
+                    F.lit(1.0)
+                    + F.exp(
+                        -(
+                            F.lit(float(bias))
+                            + F.expr(total) / F.expr(f"size({words})")
+                        )
+                    )
+                ),
+                6,
+            ).alias("score"),
+        )
+    )

@@ -192,3 +192,45 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast vocabulary join + per-doc window)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return xtext.tfidf_top_terms(docs, k=3)
+
+
+def _hashed_classifier_oracle(dim: int = 256, seed: int = 11,
+                              bias: float = 0.0) -> str:
+    """SQL twin of ``hashed_linear_score``: same seed-derived weight
+    literals, same xxhash64 buckets (power-of-two modulus of the
+    unsigned hash == pmod of the signed hash), same left-to-right
+    token-sum order."""
+    import random as _random
+
+    from fastmlframework_spark.queries import xxh64_sql as xx
+
+    rng = _random.Random(seed)
+    weights = [round(rng.uniform(-1.0, 1.0), 6) for _ in range(dim)]
+    wlist = "[" + ", ".join(f"{w}::DOUBLE" for w in weights) + "]"
+    word_hash = xx.xxh64_bytes(xx.utf8_bytes("__w"), 42)
+    total = (
+        "list_reduce(list_transform(__words, __w -> "
+        f"__WB[CAST(({word_hash}) % {dim} AS BIGINT) + 1]), "
+        "(__a, __b) -> __a + __b)"
+    )
+    return f"""
+WITH w AS (SELECT {wlist} AS __WB),
+toks AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS __words
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(__words) AS BIGINT) AS n_terms,
+       ROUND(1.0 / (1.0 + EXP(-({bias} + {total} / len(__words)))), 6)
+           AS score
+FROM toks, w
+"""
+
+
+@query("text_classifier_scores", oracle=_hashed_classifier_oracle())
+def text_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear classifier (fastText-style quality filter) over
+    every document — the apply-a-tiny-model-to-a-huge-corpus map.
+    Hash-matched oracle via the pure-SQL XXH64 twin."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return xtext.hashed_linear_score(docs)

@@ -106,3 +106,18 @@ def test_pii_standalone_ip_still_flagged(spark):
     )
     row = pii_stats(df, by="source").first()
     assert row["docs_with_ipv4"] == 1 and row["docs_with_email"] == 0
+
+
+def test_hashed_linear_score_guards(spark):
+    import pytest as _pytest
+
+    from fastmlframework_spark.extensions.text import hashed_linear_score
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with _pytest.raises(ValueError, match="power of two"):
+        hashed_linear_score(df, dim=100)
+    with _pytest.raises(ValueError, match="length"):
+        hashed_linear_score(df, weights=[0.1, 0.2], dim=256)
+    # custom weights: all-zero weights → sigmoid(bias)=0.5
+    out = hashed_linear_score(df, weights=[0.0] * 256).collect()[0]
+    assert out["score"] == 0.5 and out["n_terms"] == 3

@@ -261,7 +261,7 @@ def remove_boilerplate_lines(
     if broadcast_hot:
         hot = F.broadcast(hot)
     flagged = lines.join(hot, on="line_digest", how="left")
-    return (
+    rebuilt = (
         flagged.groupBy(key_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_lines"),
@@ -282,4 +282,18 @@ def remove_boilerplate_lines(
             ).alias("clean_text"),
         )
         .select(key_col, "clean_text", "n_lines", "n_removed")
+    )
+    # NULL-text docs explode to zero lines and would vanish from the
+    # aggregation — re-attach every input key (key-only projection:
+    # column pruning keeps this scan text-free) so the every-doc-
+    # comes-back contract holds
+    return (
+        df.select(key_col)
+        .join(rebuilt, on=key_col, how="left")
+        .select(
+            key_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+        )
     )

@@ -510,6 +510,16 @@ def embedding_dup_pairs(
     )
 
 
+def adaptive_n_planes(n: int, rows_per_bucket: int = 128) -> int:
+    """Plane count for constant expected bucket occupancy —
+    ``max(4, ceil(log2(n / rows_per_bucket)))``.  One definition
+    shared by ``lsh_dup_pairs``'s default and the oracle generators
+    that must inline the plane count for a known corpus size."""
+    import math
+
+    return max(4, math.ceil(math.log2(max(2.0, n / rows_per_bucket))))
+
+
 def lsh_dup_pairs(
     df: DataFrame,
     key_col: str = "vec_id",
@@ -527,15 +537,14 @@ def lsh_dup_pairs(
     duplicates); near-dups below cosine 1.0 may straddle a plane —
     raise recall with fewer planes or multi-probe unions.
 
-    ``n_planes`` defaults to ``max(4, ceil(log2(n / rows_per_bucket)))``
-    — with a FIXED plane count bucket occupancy grows linearly in the
-    corpus and the within-bucket verify turns quadratic (sf1 probe:
+    ``n_planes`` defaults to ``adaptive_n_planes(count)`` — with a
+    FIXED plane count bucket occupancy grows linearly in the corpus
+    and the within-bucket verify turns quadratic (sf1 probe:
     top-decade b = 0.78 and climbing at pinned 6 planes); constant
-    expected occupancy keeps it linear.  Callers with a pinned-plane
-    oracle contract (the registered queries) pass ``n_planes``
+    expected occupancy keeps it linear.  A pinned-plane oracle twin
+    must inline ``adaptive_n_planes`` of the oracle-scale corpus size
+    (same function — see ``queries/dedup.py``) or pass ``n_planes``
     explicitly."""
-    import math
-
     from fastmlframework_spark.extensions.similarity import (
         hyperplanes,
         vec_dim,
@@ -544,8 +553,7 @@ def lsh_dup_pairs(
 
     dim = vec_dim(df, vec_col)
     if n_planes is None:
-        n = df.count()
-        n_planes = max(4, math.ceil(math.log2(max(2.0, n / rows_per_bucket))))
+        n_planes = adaptive_n_planes(df.count(), rows_per_bucket)
     planes = hyperplanes(dim, n_planes, seed)
     norm = (
         f"sqrt(aggregate({vec_col}, 0.0D, (a, v) -> a + cast(v as double)*v))"

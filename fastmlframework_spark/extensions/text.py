@@ -279,6 +279,16 @@ def token_entropy(
     )
 
 
+def placeholder_weights(dim: int, seed: int = 11) -> list[float]:
+    """Deterministic stand-in weight vector for the hashed classifier —
+    ONE derivation shared by the Spark operator and its DuckDB oracle
+    generator (queries/text.py), so the two can't drift."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    return [round(rng.uniform(-1.0, 1.0), 6) for _ in range(dim)]
+
+
 def hashed_linear_score(
     df: DataFrame,
     key_col: str = "doc_id",
@@ -301,13 +311,10 @@ def hashed_linear_score(
     twin (queries/xxh64_sql.py) computes.  ``weights=None`` derives a
     deterministic seed-``seed`` placeholder vector — swap in real
     trained weights in production."""
-    if dim & (dim - 1):
+    if dim <= 0 or dim & (dim - 1):
         raise ValueError("dim must be a power of two (see docstring)")
     if weights is None:
-        import random as _random
-
-        rng = _random.Random(seed)
-        weights = [round(rng.uniform(-1.0, 1.0), 6) for _ in range(dim)]
+        weights = placeholder_weights(dim, seed)
     if len(weights) != dim:
         raise ValueError(f"weights must have length {dim}")
     wlit = F.lit([float(x) for x in weights])

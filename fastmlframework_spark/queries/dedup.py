@@ -389,21 +389,27 @@ def dedup_embedding_lsh_covers_planted(
     return planted.join(found, on=["key_a", "key_b"], how="left_semi")
 
 
-def _embedding_lsh_oracle(dim: int = 64, n_planes: int = 4,
-                          threshold: float = 0.999) -> str:
-    """Literal SQL twin of ``lsh_dup_pairs`` over the planted-copy
-    corpus: seed-7 hyperplanes inlined, double-square norms and the
-    cast-first dot mirroring the Spark expressions exactly.
+# The CORRECTNESS contract runs at sf=0.01 only; its embeddings
+# fixture has 500 vectors, so the planted-copy corpus below holds 550.
+# The oracle inlines the plane count the operator's adaptive default
+# derives for that size — via the SAME adaptive_n_planes function, so
+# a formula change can't desynchronize the twin (a fixture-size change
+# still would; the constant is asserted in tests/test_extensions.py).
+_ORACLE_EMBED_CORPUS_ROWS = 550
 
-    ``n_planes=4`` is what the operator's adaptive default derives at
-    the driver's oracle scale (sf0.01: 550 corpus vectors →
-    max(4, ceil(log2(550/128))) = 4) — the CORRECTNESS contract runs
-    at sf=0.01 only, so the twin inlines that plane count while the
-    Spark side scales its bucket space with the corpus."""
+
+def _embedding_lsh_oracle(dim: int = 64, threshold: float = 0.999) -> str:
+    """Literal SQL twin of ``lsh_dup_pairs`` over the planted-copy
+    corpus: seed-7 hyperplanes inlined (adaptive plane count at the
+    oracle-scale corpus size), double-square norms and the cast-first
+    dot mirroring the Spark expressions exactly."""
+    from fastmlframework_spark.extensions.dedup import adaptive_n_planes
     from fastmlframework_spark.extensions.similarity import hyperplanes
     from fastmlframework_spark.queries import lsh_sql as L
 
-    planes = hyperplanes(dim, n_planes, seed=7)
+    planes = hyperplanes(
+        dim, adaptive_n_planes(_ORACLE_EMBED_CORPUS_ROWS), seed=7
+    )
     return f"""
 WITH corpus AS (
   SELECT vec_id, embedding AS v FROM ({_EMBED_CORPUS_SQL}) e

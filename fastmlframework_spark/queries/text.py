@@ -197,15 +197,13 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _hashed_classifier_oracle(dim: int = 256, seed: int = 11,
                               bias: float = 0.0) -> str:
     """SQL twin of ``hashed_linear_score``: same seed-derived weight
-    literals, same xxhash64 buckets (power-of-two modulus of the
-    unsigned hash == pmod of the signed hash), same left-to-right
-    token-sum order."""
-    import random as _random
-
+    literals (via the shared ``placeholder_weights``), same xxhash64
+    buckets (power-of-two modulus of the unsigned hash == pmod of the
+    signed hash), same left-to-right token-sum order."""
+    from fastmlframework_spark.extensions.text import placeholder_weights
     from fastmlframework_spark.queries import xxh64_sql as xx
 
-    rng = _random.Random(seed)
-    weights = [round(rng.uniform(-1.0, 1.0), 6) for _ in range(dim)]
+    weights = placeholder_weights(dim, seed)
     wlist = "[" + ", ".join(f"{w}::DOUBLE" for w in weights) + "]"
     word_hash = xx.xxh64_bytes(xx.utf8_bytes("__w"), 42)
     total = (

@@ -525,3 +525,23 @@ def test_lloyd_empty_sample_raises_clearly():
 
     with _pytest.raises(ValueError, match="empty fit sample"):
         lloyd_centers([], 4)
+
+
+def test_embedding_lsh_oracle_corpus_size_assumption(spark, sf_dir):
+    """The dedup_embedding_lsh oracle inlines the adaptive plane count
+    for a 550-row sf0.01 planted corpus; if the driver fixture ever
+    changes size past a plane-count boundary, fail HERE with a clear
+    message instead of with an opaque driver hash mismatch."""
+    from fastmlframework_spark.extensions.dedup import adaptive_n_planes
+    from fastmlframework_spark.queries.dedup import (
+        _ORACLE_EMBED_CORPUS_ROWS,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count() + emb.filter(F.col("vec_id") % 10 == 0).count()
+    assert adaptive_n_planes(n) == adaptive_n_planes(
+        _ORACLE_EMBED_CORPUS_ROWS
+    ), (
+        f"sf0.01 planted corpus now has {n} rows; regenerate the "
+        "dedup_embedding_lsh oracle plane count"
+    )

@@ -64,9 +64,11 @@ def replicate(spark, src: str, out: str, factor: int,
       %5/%7 dup fractions are preserved: the id step is a multiple of
       both bases and the corpus derivation runs in-query on the
       mutated text.
-    - embeddings: a deterministic replica-specific direction
-      ``0.15·sin(13.7·i + j)`` per component j — ‖δ‖ ≈ 0.85, pushing
-      cross-replica cosine far below the 0.999 dedup thresholds.
+    - embeddings: a deterministic replica-specific direction from an
+      integer hash of (replica, component) with magnitude 0.15/axis —
+      ‖δ‖ ≈ 0.7, pushing cross-replica cosine far below the 0.999
+      dedup thresholds at ANY factor (a sin(a·i + j) form had angular
+      near-resonances that re-aligned certain replica pairs).
     - events: user_id shifts with the replica so the user population
       scales with the data instead of stacking 10× events per user
     """
@@ -95,12 +97,16 @@ def replicate(spark, src: str, out: str, factor: int,
                             ),
                         )
                     elif t == "embeddings":
+                        # integer-hash shift, not sin(a*i+j): angular
+                        # near-resonances make some replica pairs
+                        # nearly collinear again at factor >= 62
                         cp = cp.withColumn(
                             "embedding",
                             F.expr(
                                 "transform(embedding, (x, j) -> "
-                                f"CAST(x + 0.15 * SIN({i} * 13.7 + j) "
-                                "AS FLOAT))"
+                                f"CAST(x + 0.15 * (CAST(({i} * 73856093 "
+                                "+ j * 19349663) % 1000 AS DOUBLE) / 500.0 "
+                                "- 1.0) AS FLOAT))"
                             ),
                         )
                     elif t == "events":

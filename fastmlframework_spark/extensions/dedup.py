@@ -36,6 +36,21 @@ def _spread(df: DataFrame) -> DataFrame:
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
+def _materialize_release(out: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Eagerly materialize a compact pair output via localCheckpoint,
+    then release the cached intermediates backing its lineage.  The
+    shingle/signature caches are reused by 2-4 branches of one plan;
+    without this, repeated dedup calls in a long session accumulate
+    executor storage (ADVICE r3 — same leak class as the fixed
+    pq_topk cache).  Values and schema are unchanged; the trade is
+    eager execution at call time, consistent with
+    ``connected_components``/``semantic_dedup`` in this module."""
+    out = out.localCheckpoint(eager=True)
+    for c in cached:
+        c.unpersist()
+    return out
+
+
 def exact_dedup(
     df: DataFrame, key_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -121,7 +136,7 @@ def ngram_jaccard_pairs(
         .filter(F.col("__jacc") >= threshold)
         .select("key_a", "key_b", F.round("__jacc", 6).alias("jaccard"))
     )
-    return out
+    return _materialize_release(out, sh)
 
 
 # Universal-hash constants: h_j(x) = a_j*x31 + b_j where x31 is the
@@ -245,7 +260,7 @@ def minhash_lsh_pairs(
     )
     if verify_threshold is not None:
         out = out.filter(F.col("sig_agreement") >= verify_threshold)
-    return out
+    return _materialize_release(out, sig)
 
 
 def simhash(
@@ -344,7 +359,7 @@ def simhash_pairs(
     # on raw candidates shuffles the whole candidate volume.  Filtering
     # first means the distinct only carries pairs that actually pass
     # the hamming budget.
-    return (
+    out = (
         a.join(b, on=["blk", "blk_val"])
         .filter(F.col("key_a") < F.col("key_b"))
         .withColumn("hamming", F.bit_count(F.expr("ha ^ hb")))
@@ -352,6 +367,7 @@ def simhash_pairs(
         .select("key_a", "key_b", "hamming")
         .distinct()
     )
+    return _materialize_release(out, sh)
 
 
 def _s64(v: int) -> int:
@@ -753,7 +769,7 @@ def ngram_jaccard_pairs_prefix(
         .filter(F.col("__jacc") >= threshold)
         .select("key_a", "key_b", F.round("__jacc", 6).alias("jaccard"))
     )
-    return out
+    return _materialize_release(out, sh)
 
 
 def incremental_exact_dedup(

@@ -1,0 +1,330 @@
+"""Corpus-filtering operators for LLM training-data pipelines
+(SURVEY.md §7.5 extension layer): rule-based quality gates, n-gram
+language-model scoring, importance resampling, and length-bucketed
+batch packing.
+
+Published shapes, Spark-first expression:
+
+- ``gopher_rules`` — the rule battery from Gopher (Rae et al. 2021,
+  §A.1.1) / refined in Dolma & FineWeb: word-count bounds, mean word
+  length, symbol-to-word ratio, bullet/ellipsis line fractions,
+  alphabetic-word fraction, stopword presence.  One projection over
+  the corpus (regexp counters + array HOFs), then a tiny per-source
+  aggregate — map-side combined, no join, one scan at any scale.
+- ``chargram_nll`` — the CCNet/KenLM perplexity-filter shape (Wenzek
+  et al. 2019) with a hashed character-bigram LM standing in for the
+  external KenLM binary: bucket counts are a dim-bounded aggregate,
+  the model broadcasts back as ONE 1-row map, and scoring is a pure
+  map over the corpus.  Two scans total, shuffle bounded by ``dim``.
+- ``dsir_weights`` — Data Selection via Importance Resampling (Xie et
+  al. 2023): hashed unigram bucket distributions for a target slice
+  vs the raw corpus, per-document log importance weight
+  Σ_t [ln p_target(b(t)) − ln p_raw(b(t))].  Same broadcast-model
+  plan as ``chargram_nll``.
+- ``length_bucket_packing`` — dynamic-batching report: documents are
+  bucketed to padded sequence lengths, batch counts derive from a
+  fixed token budget, and the padding efficiency of each bucket is
+  returned.  Pure integer arithmetic → bit-exact across engines.
+
+Everything is JVM-side expressions (no Python UDFs); the hashed-model
+operators share the power-of-two ``pmod(xxhash64)`` bucket contract
+with ``extensions/text.hashed_linear_score`` so the DuckDB oracle
+twins reuse the pure-SQL XXH64 generator (queries/xxh64_sql.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# Stopword list for the Gopher "contains at least k stopwords" rule —
+# shared with the oracle generator (queries/filtering.py) so the two
+# derivations cannot drift.
+GOPHER_STOPWORDS = ("the", "a", "and", "of", "to", "is")
+
+# Rule thresholds (Gopher §A.1.1 defaults, word-count floor kept at
+# the paper's 50 — the synthetic corpus straddles it, which is what
+# makes the report non-degenerate in tests).
+GOPHER_THRESHOLDS = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_symbol_word_ratio": 0.1,
+    "max_bullet_line_frac": 0.9,
+    "max_ellipsis_line_frac": 0.3,
+    "min_alpha_word_frac": 0.8,
+    "min_stopword_types": 2,
+}
+
+
+def _words(text_col: str) -> Column:
+    return F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit("")
+    )
+
+
+def gopher_rule_flags(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Per-document Gopher rule flags: appends one boolean ``fail_*``
+    column per rule plus ``passes`` (all rules clear).  NULL text
+    fails the word-count rule and passes nothing.
+
+    Every signal is a per-row expression — regexp counters for the
+    char-class ratios, array HOFs for the word/line fractions — so
+    the whole battery is a single map-only projection that
+    whole-stage-codegens into the scan."""
+    th = GOPHER_THRESHOLDS
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(t, r"\s+"), lambda w: w != F.lit(""))
+    n_words = F.size(words)
+    lines = F.filter(F.split(t, r"\n"), lambda l: l != F.lit(""))
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    mean_word_len = (
+        F.length(t) - F.regexp_count(t, F.lit(r"\s"))
+    ) / F.greatest(n_words, F.lit(1))
+    symbol_ratio = (
+        F.regexp_count(t, F.lit(r"#"))
+        + F.regexp_count(t, F.lit(r"\.\.\.|…"))
+    ) / F.greatest(n_words, F.lit(1))
+    bullet_frac = (
+        F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]")))
+        / n_lines
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$")))
+        / n_lines
+    )
+    alpha_frac = F.size(
+        F.filter(words, lambda w: w.rlike(r"[A-Za-z]"))
+    ) / F.greatest(n_words, F.lit(1))
+    stop_types = sum(
+        F.array_contains(words, s).cast("int") for s in GOPHER_STOPWORDS
+    )
+    flags = {
+        "fail_words": (n_words < th["min_words"])
+        | (n_words > th["max_words"]),
+        "fail_word_len": (mean_word_len < th["min_mean_word_len"])
+        | (mean_word_len > th["max_mean_word_len"]),
+        "fail_symbol": symbol_ratio > th["max_symbol_word_ratio"],
+        "fail_bullet": bullet_frac > th["max_bullet_line_frac"],
+        "fail_ellipsis": ellipsis_frac > th["max_ellipsis_line_frac"],
+        "fail_alpha": alpha_frac < th["min_alpha_word_frac"],
+        "fail_stopword": stop_types < th["min_stopword_types"],
+    }
+    out = df.withColumns(flags)
+    passes = None
+    for name in flags:
+        c = ~F.col(name)
+        passes = c if passes is None else passes & c
+    return out.withColumn("passes", passes)
+
+
+def gopher_rules(
+    df: DataFrame, by: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-group Gopher rule report → [by, n_docs, fail_* counts,
+    n_pass].  One corpus scan + a tiny map-side-combined aggregate."""
+    flagged = gopher_rule_flags(df, text_col)
+    fail_cols = [c for c in flagged.columns if c.startswith("fail_")]
+    return flagged.groupBy(by).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[F.sum(F.col(c).cast("long")).alias(f"n_{c}") for c in fail_cols],
+        F.sum(F.col("passes").cast("long")).alias("n_pass"),
+    )
+
+
+def _bucket_sql(expr: str, dim: int) -> str:
+    """Power-of-two xxhash64 bucket of a string expression (Spark SQL
+    fragment).  pmod of the signed hash == unsigned-hash remainder for
+    power-of-two ``dim`` — the contract the DuckDB twin relies on."""
+    if dim <= 0 or dim & (dim - 1):
+        raise ValueError("dim must be a power of two")
+    return f"pmod(xxhash64({expr}), {dim})"
+
+
+def chargram_nll(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 1024,
+) -> DataFrame:
+    """Hashed character-bigram LM negative log-likelihood per document
+    → [key, n_bigrams, nll] (nats/bigram, Laplace-smoothed, round 6).
+
+    The CCNet perplexity-filter shape without the external KenLM
+    dependency: the "model" is the corpus's own bucketed bigram
+    distribution, so high-NLL documents are the ones whose character
+    statistics diverge from the corpus (noise, encoding damage,
+    non-linguistic content).  Plan: one explode→groupBy bounded by
+    ``dim`` buckets (map-side combined), the model broadcasts back as
+    a single 1-row map, scoring is a map-only HOF ``aggregate`` —
+    left-to-right summation, mirrored exactly by the oracle's
+    ``list_reduce``.  Documents shorter than 2 chars (or NULL) drop."""
+    bg = f"transform(sequence(1, length({text_col}) - 1), i -> substring({text_col}, i, 2))"
+    bucket = _bucket_sql("__g", dim)
+    base = df.filter(
+        F.col(text_col).isNotNull() & (F.length(text_col) >= 2)
+    )
+    counts = (
+        base.select(F.explode(F.expr(bg)).alias("__g"))
+        .groupBy(F.expr(bucket).alias("__bucket"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    # Dense-array model, not a map: Spark's element_at over MapType is
+    # a linear scan, so a 1024-entry map probed once per bigram per
+    # row would dominate the query.  The one-time map→array transform
+    # runs on the 1-row model frame; per-row lookups are O(1).
+    model = counts.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("__bucket", "__c"))
+        ).alias("__m"),
+        F.sum("__c").alias("__total"),
+    ).select(
+        F.expr(
+            f"transform(sequence(0, {dim - 1}), __i -> "
+            "coalesce(element_at(__m, CAST(__i AS BIGINT)), 0L))"
+        ).alias("__arr"),
+        "__total",
+    )
+    logp = (
+        f"ln((element_at(__arr, CAST({bucket} AS INT) + 1) + 1) * 1.0D"
+        f" / (__total + {dim}))"
+    )
+    total = f"aggregate({bg}, 0.0D, (__a, __g) -> __a + {logp})"
+    return (
+        base.crossJoin(F.broadcast(model))
+        .select(
+            F.col(key_col),
+            F.expr(f"size({bg})").cast("long").alias("n_bigrams"),
+            F.round(
+                -F.expr(total) / F.expr(f"size({bg})"), 6
+            ).alias("nll"),
+        )
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: Column,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 256,
+) -> DataFrame:
+    """DSIR per-document log importance weight → [key, n_tokens,
+    log_weight] (round 6): Σ over whitespace tokens of
+    ln p_target(bucket(t)) − ln p_raw(bucket(t)), hashed-unigram
+    bucket distributions with Laplace smoothing.
+
+    ``target`` is a boolean Column over ``df`` selecting the slice
+    whose distribution documents should be reweighted toward (DSIR
+    resamples with probability ∝ exp(log_weight)).  Both bucket
+    distributions come from ONE pass each over a dim-bounded
+    aggregate; the two tiny models broadcast back as a single 1-row
+    frame and scoring is a map-only HOF — no shuffle touches the
+    corpus itself."""
+    bucket = _bucket_sql("__w", dim)
+    base = df.filter(F.col(text_col).isNotNull()).withColumn(
+        "__is_target", target.cast("boolean")
+    )
+    toks = base.select(
+        "__is_target",
+        F.explode(
+            F.filter(
+                F.split(F.col(text_col), r"\s+"),
+                lambda w: w != F.lit(""),
+            )
+        ).alias("__w"),
+    )
+    counts = toks.groupBy(F.expr(bucket).alias("__bucket")).agg(
+        F.sum(F.col("__is_target").cast("long")).alias("__ct"),
+        F.count(F.lit(1)).alias("__cr"),
+    )
+    # Dense arrays for O(1) per-token lookups (see chargram_nll).
+    model = counts.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("__bucket", "__ct"))
+        ).alias("__mt"),
+        F.map_from_entries(
+            F.collect_list(F.struct("__bucket", "__cr"))
+        ).alias("__mr"),
+        F.sum("__ct").alias("__tt"),
+        F.sum("__cr").alias("__tr"),
+    ).select(
+        F.expr(
+            f"transform(sequence(0, {dim - 1}), __i -> "
+            "coalesce(element_at(__mt, CAST(__i AS BIGINT)), 0L))"
+        ).alias("__at"),
+        F.expr(
+            f"transform(sequence(0, {dim - 1}), __i -> "
+            "coalesce(element_at(__mr, CAST(__i AS BIGINT)), 0L))"
+        ).alias("__ar"),
+        "__tt",
+        "__tr",
+    )
+    words = f"filter(split({text_col}, '\\\\s+'), __x -> __x != '')"
+    term = (
+        f"ln((element_at(__at, CAST({bucket} AS INT) + 1) + 1) * 1.0D"
+        f" / (__tt + {dim}))"
+        f" - ln((element_at(__ar, CAST({bucket} AS INT) + 1) + 1) * 1.0D"
+        f" / (__tr + {dim}))"
+    )
+    total = f"aggregate({words}, 0.0D, (__a, __w) -> __a + {term})"
+    return base.crossJoin(F.broadcast(model)).select(
+        F.col(key_col),
+        F.expr(f"size({words})").cast("long").alias("n_tokens"),
+        F.round(F.expr(total), 6).alias("log_weight"),
+    )
+
+
+# Padded sequence-length buckets for dynamic batching (ascending).
+LENGTH_BUCKETS = (16, 32, 64, 128)
+
+
+def length_bucket_packing(
+    df: DataFrame,
+    text_col: str = "text",
+    budget: int = 512,
+) -> DataFrame:
+    """Length-bucketed batching report → [bucket, n_docs, sum_tokens,
+    capacity, n_batches, pad_ratio]: documents are padded up to the
+    smallest bucket ≥ their whitespace-token count (overflow clamps to
+    the largest), a batch holds ``budget // bucket`` sequences, and
+    ``pad_ratio`` is real tokens over allocated slots — the padding
+    efficiency dynamic batching buys over one global max-length pad.
+
+    Integer arithmetic end-to-end (ceil-div as (n+c-1)//c), so the
+    oracle comparison is exact; the only aggregate is per-bucket
+    (≤ len(LENGTH_BUCKETS) groups)."""
+    n = F.size(_words(text_col))
+    bucket: Column = F.lit(LENGTH_BUCKETS[-1])
+    for b in reversed(LENGTH_BUCKETS[:-1]):
+        bucket = F.when(n <= b, F.lit(b)).otherwise(bucket)
+    per_bucket = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(bucket.alias("bucket"), n.alias("__n"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n").alias("sum_tokens"),
+        )
+    )
+    capacity = F.lit(budget) / F.col("bucket")
+    cap = F.floor(capacity).cast("long")
+    n_batches = F.floor(
+        (F.col("n_docs") + cap - 1) / cap
+    ).cast("long")
+    return per_bucket.select(
+        F.col("bucket").cast("long"),
+        F.col("n_docs"),
+        F.col("sum_tokens").cast("long"),
+        cap.alias("capacity"),
+        n_batches.alias("n_batches"),
+        F.round(
+            F.col("sum_tokens")
+            * 1.0
+            / (n_batches * cap * F.col("bucket")),
+            6,
+        ).alias("pad_ratio"),
+    )

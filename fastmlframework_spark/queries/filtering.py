@@ -1,0 +1,236 @@
+"""Oracle-checked queries for the corpus-filtering extensions
+(``extensions/filtering.py``): Gopher rule gates, hashed char-bigram
+LM scoring (perplexity-filter shape), DSIR importance weights, and
+length-bucketed batch packing — all over the documents table.
+
+Oracle discipline: identical expression shapes and left-to-right
+float-summation order (Spark ``aggregate`` ≡ DuckDB ``list_reduce``),
+explicit BIGINT casts where DuckDB would widen to HUGEINT, and the
+hashed-bucket ops reuse the pure-SQL XXH64 twin
+(queries/xxh64_sql.py) with the power-of-two ``pmod`` contract from
+``extensions/text.hashed_linear_score``.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from fastmlframework_spark.core.tables import load_table
+from fastmlframework_spark.extensions import filtering as xfilt
+from fastmlframework_spark.queries import xxh64_sql as xx
+from fastmlframework_spark.queries.registry import query
+
+_WORDS_SQL = r"list_filter(string_split_regex(COALESCE(text, ''), '\s+'), __x -> __x <> '')"
+_LINES_SQL = r"list_filter(string_split_regex(COALESCE(text, ''), '\n'), __x -> __x <> '')"
+
+
+def _gopher_oracle() -> str:
+    th = xfilt.GOPHER_THRESHOLDS
+    stop_types = " + ".join(
+        f"CAST(list_contains(ws, '{s}') AS INT)"
+        for s in xfilt.GOPHER_STOPWORDS
+    )
+    return f"""
+WITH base AS (
+  SELECT source,
+         COALESCE(text, '') AS t,
+         {_WORDS_SQL} AS ws,
+         {_LINES_SQL} AS ls
+  FROM documents
+),
+sig AS (
+  SELECT source,
+         len(ws) AS n_words,
+         (LENGTH(t) - len(regexp_extract_all(t, '\\s'))) * 1.0
+             / GREATEST(len(ws), 1) AS mean_word_len,
+         (len(regexp_extract_all(t, '#'))
+          + len(regexp_extract_all(t, '\\.\\.\\.|…'))) * 1.0
+             / GREATEST(len(ws), 1) AS symbol_ratio,
+         len(list_filter(ls, __l -> regexp_matches(__l, '^\\s*[-*•]')))
+             * 1.0 / GREATEST(len(ls), 1) AS bullet_frac,
+         len(list_filter(ls, __l -> regexp_matches(__l, '(\\.\\.\\.|…)\\s*$')))
+             * 1.0 / GREATEST(len(ls), 1) AS ellipsis_frac,
+         len(list_filter(ws, __w -> regexp_matches(__w, '[A-Za-z]')))
+             * 1.0 / GREATEST(len(ws), 1) AS alpha_frac,
+         {stop_types} AS stop_types
+  FROM base
+),
+fl AS (
+  SELECT source,
+         (n_words < {th["min_words"]} OR n_words > {th["max_words"]})
+             AS fail_words,
+         (mean_word_len < {th["min_mean_word_len"]}
+          OR mean_word_len > {th["max_mean_word_len"]}) AS fail_word_len,
+         symbol_ratio > {th["max_symbol_word_ratio"]} AS fail_symbol,
+         bullet_frac > {th["max_bullet_line_frac"]} AS fail_bullet,
+         ellipsis_frac > {th["max_ellipsis_line_frac"]} AS fail_ellipsis,
+         alpha_frac < {th["min_alpha_word_frac"]} AS fail_alpha,
+         stop_types < {th["min_stopword_types"]} AS fail_stopword
+  FROM sig
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CAST(fail_words AS INT)) AS BIGINT) AS n_fail_words,
+       CAST(SUM(CAST(fail_word_len AS INT)) AS BIGINT) AS n_fail_word_len,
+       CAST(SUM(CAST(fail_symbol AS INT)) AS BIGINT) AS n_fail_symbol,
+       CAST(SUM(CAST(fail_bullet AS INT)) AS BIGINT) AS n_fail_bullet,
+       CAST(SUM(CAST(fail_ellipsis AS INT)) AS BIGINT) AS n_fail_ellipsis,
+       CAST(SUM(CAST(fail_alpha AS INT)) AS BIGINT) AS n_fail_alpha,
+       CAST(SUM(CAST(fail_stopword AS INT)) AS BIGINT) AS n_fail_stopword,
+       CAST(SUM(CAST(NOT (fail_words OR fail_word_len OR fail_symbol
+                          OR fail_bullet OR fail_ellipsis OR fail_alpha
+                          OR fail_stopword) AS INT)) AS BIGINT) AS n_pass
+FROM fl GROUP BY source
+"""
+
+
+@query("quality_gopher_rules", oracle=_gopher_oracle())
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-battery report per source (Rae et al. 2021 §A.1.1):
+    one map-only projection of regexp/array-HOF signals, one tiny
+    per-source aggregate."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    return xfilt.gopher_rules(docs, by="source")
+
+
+def _chargram_oracle(dim: int = 1024) -> str:
+    """SQL twin of ``chargram_nll``: same xxhash64 buckets (unsigned
+    % dim == pmod of the signed hash for power-of-two dim), same
+    Laplace smoothing, same left-to-right bigram summation.  The hash
+    runs once per DISTINCT bigram (a map CTE), not per occurrence —
+    the pure-SQL XXH64 is ~1000 ops per call."""
+    g_hash = xx.xxh64_bytes(xx.utf8_bytes("__g"), 42)
+    return f"""
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  WHERE text IS NOT NULL AND LENGTH(text) >= 2
+),
+bg AS (
+  SELECT doc_id,
+         list_transform(range(1, LENGTH(text)),
+                        __i -> substr(text, CAST(__i AS INT), 2)) AS bgs
+  FROM d
+),
+dist AS (SELECT DISTINCT unnest(bgs) AS __g FROM bg),
+hb AS (
+  SELECT __g AS g, CAST(({g_hash}) % {dim} AS BIGINT) AS bucket FROM dist
+),
+bm AS (SELECT MAP(list(g), list(bucket)) AS m FROM hb),
+cnt AS (
+  SELECT h.bucket, COUNT(*) AS c
+  FROM (SELECT unnest(bgs) AS g FROM bg) u JOIN hb h ON u.g = h.g
+  GROUP BY 1
+),
+arr AS (
+  SELECT list(COALESCE(c.c, 0) ORDER BY gr.i) AS A,
+         SUM(COALESCE(c.c, 0)) AS total
+  FROM range(0, {dim}) gr(i) LEFT JOIN cnt c ON c.bucket = gr.i
+)
+SELECT doc_id,
+       CAST(len(bgs) AS BIGINT) AS n_bigrams,
+       ROUND(-(list_reduce([0.0::DOUBLE] || list_transform(bgs, __g ->
+           ln((A[CAST(m[__g][1] AS INT) + 1] + 1) * 1.0
+              / (total + {dim}))),
+           (__a, __b) -> __a + __b)) / len(bgs), 6) AS nll
+FROM bg, bm, arr
+"""
+
+
+@query("text_chargram_nll", oracle=_chargram_oracle())
+def text_chargram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed char-bigram LM negative log-likelihood per document —
+    the CCNet/KenLM perplexity-filter shape; dim-bounded count
+    aggregate + broadcast 1-row model + map-only scoring."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return xfilt.chargram_nll(docs)
+
+
+def _dsir_oracle(dim: int = 256, target_lang: str = "en") -> str:
+    """SQL twin of ``dsir_weights`` with lang='{target}' as the DSIR
+    target slice; per-DISTINCT-token hash map, dense bucket arrays,
+    left-to-right token summation."""
+    w_hash = xx.xxh64_bytes(xx.utf8_bytes("__w2"), 42)
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang, {_WORDS_SQL} AS ws
+  FROM documents WHERE text IS NOT NULL
+),
+dist AS (SELECT DISTINCT unnest(ws) AS __w2 FROM d),
+hb AS (
+  SELECT __w2 AS w, CAST(({w_hash}) % {dim} AS BIGINT) AS bucket
+  FROM dist
+),
+bm AS (SELECT MAP(list(w), list(bucket)) AS m FROM hb),
+cnt AS (
+  SELECT h.bucket,
+         SUM(CASE WHEN u.lang = '{target_lang}' THEN 1 ELSE 0 END) AS ct,
+         COUNT(*) AS cr
+  FROM (SELECT lang, unnest(ws) AS w FROM d) u JOIN hb h ON u.w = h.w
+  GROUP BY 1
+),
+arrs AS (
+  SELECT list(COALESCE(c.ct, 0) ORDER BY g.i) AS a_t,
+         list(COALESCE(c.cr, 0) ORDER BY g.i) AS a_r,
+         SUM(COALESCE(c.ct, 0)) AS tt,
+         SUM(COALESCE(c.cr, 0)) AS tr
+  FROM range(0, {dim}) g(i) LEFT JOIN cnt c ON c.bucket = g.i
+)
+SELECT doc_id,
+       CAST(len(ws) AS BIGINT) AS n_tokens,
+       ROUND(list_reduce([0.0::DOUBLE] || list_transform(ws, __w ->
+           ln((a_t[CAST(m[__w][1] AS INT) + 1] + 1) * 1.0 / (tt + {dim}))
+         - ln((a_r[CAST(m[__w][1] AS INT) + 1] + 1) * 1.0 / (tr + {dim}))),
+           (__a, __b) -> __a + __b), 6) AS log_weight
+FROM d, bm, arrs
+"""
+
+
+@query("dsir_importance_weights", oracle=_dsir_oracle())
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. 2023) log importance weight of every document
+    toward the lang='en' slice — hashed-unigram bucket distributions,
+    broadcast two-model frame, map-only scoring."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    return xfilt.dsir_weights(docs, target=F.col("lang") == "en")
+
+
+def _packing_oracle(budget: int = 512) -> str:
+    buckets = xfilt.LENGTH_BUCKETS
+    case = " ".join(
+        f"WHEN n <= {b} THEN {b}" for b in buckets[:-1]
+    )
+    return f"""
+WITH d AS (
+  SELECT len({_WORDS_SQL}) AS n
+  FROM documents WHERE text IS NOT NULL
+),
+b AS (
+  SELECT CASE {case} ELSE {buckets[-1]} END AS bucket, n FROM d
+),
+g AS (
+  SELECT bucket, COUNT(*) AS n_docs, SUM(n) AS sum_tokens
+  FROM b GROUP BY 1
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       n_docs,
+       CAST(sum_tokens AS BIGINT) AS sum_tokens,
+       CAST({budget} // bucket AS BIGINT) AS capacity,
+       CAST((n_docs + {budget} // bucket - 1) // ({budget} // bucket)
+            AS BIGINT) AS n_batches,
+       ROUND(sum_tokens * 1.0 /
+             ((n_docs + {budget} // bucket - 1) // ({budget} // bucket)
+              * ({budget} // bucket) * bucket), 6) AS pad_ratio
+FROM g
+"""
+
+
+@query("pack_length_buckets", oracle=_packing_oracle())
+def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed dynamic-batching report: padded buckets, batch
+    counts under a fixed token budget, per-bucket padding efficiency.
+    Integer arithmetic end-to-end — bit-exact across engines."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    return xfilt.length_bucket_packing(docs)

@@ -41,6 +41,7 @@ _QUERY_MODULES = (
     "fastmlframework_spark.queries.llmprep",
     "fastmlframework_spark.queries.curation",
     "fastmlframework_spark.queries.quality",
+    "fastmlframework_spark.queries.filtering",
 )
 
 

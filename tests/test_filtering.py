@@ -1,0 +1,138 @@
+"""Invariant tests for the corpus-filtering extensions
+(extensions/filtering.py): Gopher rule semantics on hand-built
+documents, LM-scoring direction (typical text scores lower NLL than
+noise), DSIR weight direction (target-like docs weigh higher), and
+exact packing arithmetic."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from fastmlframework_spark.extensions.filtering import (
+    GOPHER_THRESHOLDS,
+    chargram_nll,
+    dsir_weights,
+    gopher_rule_flags,
+    gopher_rules,
+    length_bucket_packing,
+)
+
+GOOD = (
+    "the quick brown fox jumps over a lazy dog and then the fox "
+    "runs off to the woods of the north where it is seen again " * 3
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_gopher_flags_per_rule(spark):
+    rows = [
+        (1, "s", GOOD),                                   # passes all
+        (2, "s", "too short"),                            # fail_words
+        (3, "s", None),                                   # NULL → fail_words
+        (4, "s", " ".join(["# #"] * 60)),                 # symbols, no stopwords
+        (5, "s", "\n".join(["- bullet item the a of"] * 60)),  # bullet lines
+        (6, "s", "\n".join(["the a trailing off..."] * 60)),   # ellipsis lines
+        (7, "s", " ".join(["12345"] * 60)),               # no alpha words
+        (8, "s", " ".join(["w"] * 60)),                   # mean word len < 3
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in gopher_rule_flags(_docs(spark, rows)).collect()
+    }
+    assert got[1]["passes"] and not any(
+        got[1][c] for c in got[1].asDict() if c.startswith("fail_")
+    )
+    assert got[2]["fail_words"] and not got[2]["passes"]
+    assert got[3]["fail_words"] and not got[3]["passes"]
+    assert got[4]["fail_symbol"] and got[4]["fail_stopword"]
+    assert got[5]["fail_bullet"]
+    assert got[6]["fail_ellipsis"]
+    assert got[7]["fail_alpha"]
+    assert got[8]["fail_word_len"]
+
+
+def test_gopher_report_counts(spark):
+    rows = [(i, "a" if i % 2 else "b", GOOD if i < 6 else "tiny doc")
+            for i in range(10)]
+    rep = {r["source"]: r for r in gopher_rules(_docs(spark, rows)).collect()}
+    assert rep["a"]["n_docs"] == 5 and rep["b"]["n_docs"] == 5
+    # docs 6..9 are short: two in each source parity class
+    assert rep["a"]["n_fail_words"] + rep["b"]["n_fail_words"] == 4
+    assert rep["a"]["n_pass"] + rep["b"]["n_pass"] == 6
+
+
+def test_gopher_thresholds_sane():
+    th = GOPHER_THRESHOLDS
+    assert th["min_words"] < th["max_words"]
+    assert th["min_mean_word_len"] < th["max_mean_word_len"]
+
+
+def test_chargram_nll_direction(spark):
+    # Corpus of English-like text + one doc of line-noise: the noise
+    # doc's character bigrams are rare under the corpus model → its
+    # NLL must be the maximum.
+    rows = [(i, "s", GOOD) for i in range(20)]
+    rows.append((99, "s", "qzx jvk wqq zzj xqv kjz " * 10))
+    out = chargram_nll(_docs(spark, rows)).collect()
+    by_id = {r["doc_id"]: r["nll"] for r in out}
+    assert by_id[99] == max(by_id.values())
+    assert all(v > 0 for v in by_id.values())
+
+
+def test_chargram_nll_drops_short_and_null(spark):
+    rows = [(1, "s", GOOD), (2, "s", None), (3, "s", "x")]
+    out = chargram_nll(_docs(spark, rows)).collect()
+    assert sorted(r["doc_id"] for r in out) == [1]
+
+
+def test_dsir_weights_direction(spark):
+    # Target slice speaks "alpha"; the rest speaks "beta".  An unseen
+    # doc written in alpha-vocabulary must out-weigh one written in
+    # beta-vocabulary.
+    alpha = "sun moon star sky cloud " * 8
+    beta = "bolt gear cog wire pipe " * 8
+    rows = [(i, "t", alpha) for i in range(10)]
+    rows += [(i + 10, "r", beta) for i in range(10)]
+    rows += [(100, "q", "sun star sky moon sun"), (101, "q", "gear cog pipe wire bolt")]
+    df = _docs(spark, rows)
+    out = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_weights(df, target=F.col("source") == "t").collect()
+    }
+    assert out[100] > 0 > out[101]
+    assert out[100] > out[101]
+
+
+def test_dsir_zero_tokens(spark):
+    rows = [(1, "t", "a b c"), (2, "r", "")]
+    out = {
+        r["doc_id"]: r
+        for r in dsir_weights(
+            _docs(spark, rows), target=F.col("source") == "t"
+        ).collect()
+    }
+    assert out[2]["n_tokens"] == 0 and out[2]["log_weight"] == 0.0
+
+
+def test_length_bucket_packing_exact(spark):
+    # 3 docs of 10 tokens (bucket 16, capacity 32) and 40 docs of 50
+    # tokens (bucket 64, capacity 8 → 5 batches).
+    rows = [(i, "s", " ".join(["w"] * 10)) for i in range(3)]
+    rows += [(i + 3, "s", " ".join(["w"] * 50)) for i in range(40)]
+    out = {r["bucket"]: r for r in
+           length_bucket_packing(_docs(spark, rows)).collect()}
+    assert out[16]["n_docs"] == 3
+    assert out[16]["capacity"] == 32 and out[16]["n_batches"] == 1
+    assert out[16]["pad_ratio"] == round(30 / (32 * 16), 6)
+    assert out[64]["n_docs"] == 40 and out[64]["capacity"] == 8
+    assert out[64]["n_batches"] == 5
+    assert out[64]["pad_ratio"] == round(2000 / (5 * 8 * 64), 6)
+
+
+def test_packing_overflow_clamps_to_top_bucket(spark):
+    rows = [(1, "s", " ".join(["w"] * 500))]
+    out = length_bucket_packing(_docs(spark, rows)).collect()
+    assert len(out) == 1 and out[0]["bucket"] == 128

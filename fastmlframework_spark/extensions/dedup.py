@@ -816,3 +816,98 @@ def incremental_exact_dedup(
     return bd.join(F.broadcast(collisions), on="__d", how="left_anti").drop(
         "__d"
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact duplicate-passage detection → per-document report
+    [key, n_words, n_dup_windows, n_spans, dup_words, dup_frac]
+    for every document containing at least one duplicated passage.
+
+    The substring-dedup shape of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better") re-expressed for
+    Spark: instead of a corpus-global suffix array, every stride-1
+    word ``n``-gram window is digested, windows whose digest occurs
+    ``min_count``+ times corpus-wide are duplicated passages, and a
+    per-document ordered merge collapses overlapping/adjacent window
+    positions (gap ≤ n, all intervals length n) into maximal spans —
+    ``dup_words`` is the exact word coverage of those spans.
+
+    Plan at scale: the window explode is ~doc_len rows/doc (what the
+    suffix array costs too); the digest groupBy is map-side combined;
+    the join back carries only duplicated digests; the span merge is
+    a per-document ordered window — everything linear, no pairwise
+    comparison anywhere (the classic pair-join substring approach is
+    quadratic in duplicate-cluster size).  Documents shorter than
+    ``n`` words fall back to one whole-document window, so tiny exact
+    dups still surface."""
+    words = f"filter(split({text_col}, '\\\\s+'), __x -> __x != '')"
+    arr = (
+        f"transform(sequence(1, greatest(size({words}) - {n - 1}, 1)),"
+        f" i -> md5(concat_ws(' ', slice({words}, i, {n}))))"
+    )
+    wins = (
+        _spread(df.filter(F.col(text_col).isNotNull()))
+        .select(
+            F.col(key_col),
+            F.expr(f"size({words})").alias("n_words"),
+            F.posexplode(F.expr(arr)).alias("__p0", "__dg"),
+        )
+        .select(
+            key_col, "n_words", (F.col("__p0") + 1).alias("pos"), "__dg"
+        )
+    )
+    dup_digests = (
+        wins.groupBy("__dg")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .filter(F.col("__cnt") >= min_count)
+        .select("__dg")
+    )
+    dup = wins.join(dup_digests, on="__dg")
+    w = Window.partitionBy(key_col).orderBy("pos")
+    spans = (
+        dup.withColumn("__prev", F.lag("pos").over(w))
+        .withColumn(
+            "__brk",
+            (F.col("__prev").isNull() | (F.col("pos") - F.col("__prev") > n))
+            .cast("long"),
+        )
+        .withColumn(
+            "__span",
+            F.sum("__brk").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy(key_col, "n_words", "__span")
+        .agg(
+            F.count(F.lit(1)).alias("__nw"),
+            F.min("pos").alias("__lo"),
+            F.max("pos").alias("__hi"),
+        )
+    )
+    return (
+        spans.groupBy(key_col, "n_words")
+        .agg(
+            F.sum("__nw").alias("n_dup_windows"),
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(
+                F.least(
+                    F.col("__hi") - F.col("__lo") + n, F.col("n_words")
+                )
+            ).alias("dup_words"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(
+                F.least(
+                    F.col("dup_words") / F.col("n_words"), F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+    )

@@ -595,3 +595,67 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return xdedup.incremental_exact_dedup(batch, seen)
+
+
+_SPAN_N = 10
+
+_SPAN_ORACLE = f"""
+WITH corpus AS ({_CORPUS_SQL}),
+d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), __x -> __x <> '') AS ws
+  FROM corpus WHERE text IS NOT NULL
+),
+wins AS (
+  SELECT doc_id, len(ws) AS n_words,
+         unnest(range(1, greatest(len(ws) - {_SPAN_N - 1}, 1) + 1)) AS pos,
+         ws
+  FROM d
+),
+wd AS (
+  SELECT doc_id, n_words, pos,
+         md5(array_to_string(ws[pos:pos + {_SPAN_N - 1}], ' ')) AS dg
+  FROM wins
+),
+dd AS (SELECT dg FROM wd GROUP BY dg HAVING COUNT(*) >= 2),
+dup AS (SELECT wd.* FROM wd JOIN dd USING (dg)),
+sp AS (
+  SELECT doc_id, n_words, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                   OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                      > {_SPAN_N}
+              THEN 1 ELSE 0 END AS brk
+  FROM dup
+),
+sp2 AS (
+  SELECT doc_id, n_words, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS span
+  FROM sp
+),
+agg AS (
+  SELECT doc_id, n_words, span, COUNT(*) AS nw,
+         MIN(pos) AS lo, MAX(pos) AS hi
+  FROM sp2 GROUP BY 1, 2, 3
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(SUM(nw) AS BIGINT) AS n_dup_windows,
+       COUNT(*) AS n_spans,
+       CAST(SUM(LEAST(hi - lo + {_SPAN_N}, n_words)) AS BIGINT) AS dup_words,
+       ROUND(LEAST(SUM(LEAST(hi - lo + {_SPAN_N}, n_words)) * 1.0 / n_words,
+                   1.0), 6) AS dup_frac
+FROM agg GROUP BY doc_id, n_words
+"""
+
+
+@query("dedup_duplicate_spans", oracle=_SPAN_ORACLE)
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-passage report over the planted corpus (Lee et
+    al. 2022 substring-dedup shape): stride-1 word 10-gram digests,
+    corpus-wide duplicated windows merged into maximal per-document
+    spans with exact word coverage.  Exact copies surface fully
+    covered; the 80%-truncated near-copies surface as partial-prefix
+    spans on both members."""
+    corpus = _corpus(spark, sf_dir)
+    return xdedup.duplicate_spans(corpus, n=_SPAN_N)

@@ -136,3 +136,54 @@ def test_packing_overflow_clamps_to_top_bucket(spark):
     rows = [(1, "s", " ".join(["w"] * 500))]
     out = length_bucket_packing(_docs(spark, rows)).collect()
     assert len(out) == 1 and out[0]["bucket"] == 128
+
+
+def test_duplicate_spans_semantics(spark):
+    from fastmlframework_spark.extensions.dedup import duplicate_spans
+
+    # Docs 1 and 2 share an identical 12-word passage embedded at
+    # different offsets in otherwise-unique text; doc 3 is unique.
+    shared = " ".join(f"s{i}" for i in range(12))
+    u = lambda tag, k: " ".join(f"{tag}{i}" for i in range(k))
+    rows = [
+        (1, "x", f"{u('a', 15)} {shared} {u('b', 15)}"),
+        (2, "x", f"{u('c', 5)} {shared} {u('d', 25)}"),
+        (3, "x", u("e", 40)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["doc_id"]: r for r in duplicate_spans(df, n=10).collect()}
+    # Only the two sharing docs are reported, one span each.
+    assert sorted(out) == [1, 2]
+    for k in (1, 2):
+        assert out[k]["n_spans"] == 1
+        # 12-word shared passage → 3 stride-1 10-gram windows, span
+        # covers exactly the 12 shared words.
+        assert out[k]["n_dup_windows"] == 3
+        assert out[k]["dup_words"] == 12
+    assert out[1]["n_words"] == 42 and out[1]["dup_frac"] == round(12 / 42, 6)
+
+
+def test_duplicate_spans_exact_copy_full_coverage(spark):
+    from fastmlframework_spark.extensions.dedup import duplicate_spans
+
+    text = " ".join(f"w{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, "x", text), (2, "x", text)],
+        "doc_id long, source string, text string",
+    )
+    out = {r["doc_id"]: r for r in duplicate_spans(df, n=10).collect()}
+    assert sorted(out) == [1, 2]
+    for k in (1, 2):
+        assert out[k]["dup_frac"] == 1.0 and out[k]["dup_words"] == 30
+
+
+def test_duplicate_spans_short_doc_clamps(spark):
+    from fastmlframework_spark.extensions.dedup import duplicate_spans
+
+    df = spark.createDataFrame(
+        [(1, "x", "tiny dup doc"), (2, "x", "tiny dup doc")],
+        "doc_id long, source string, text string",
+    )
+    out = {r["doc_id"]: r for r in duplicate_spans(df, n=10).collect()}
+    for k in (1, 2):
+        assert out[k]["dup_words"] == 3 and out[k]["dup_frac"] == 1.0

@@ -33,6 +33,10 @@ _BUCKETED = (
     "shuffle_training_order",
     "semantic_dedup_planted",
     "knn_density_by_label",
+    "text_chargram_nll",
+    "dsir_importance_weights",
+    "quality_gopher_rules",
+    "pack_length_buckets",
 )
 
 

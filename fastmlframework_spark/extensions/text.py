@@ -344,3 +344,38 @@ def hashed_linear_score(
             ).alias("score"),
         )
     )
+
+
+def zipf_fit(
+    df: DataFrame, by: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Zipf-law fit of the per-group token frequency distribution →
+    [by, n_tokens, n_distinct_tokens, zipf_slope, zipf_intercept]
+    (least-squares of ln(freq) on ln(rank); natural text sits near
+    slope −1, templated/generated corpora drift toward 0).
+
+    Corpus-health diagnostic complementing ``token_entropy``: the
+    token-count aggregate is the only corpus-sized shuffle (map-side
+    combined, keys bounded by vocabulary), ranking is a per-group
+    window over the vocabulary-sized count table, and the fit itself
+    is one ``regr_slope``/``regr_intercept`` aggregate.  Rank ties
+    break (count desc, token asc) identically in the DuckDB twin."""
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(by),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("__tok"),
+    ).filter(F.col("__tok") != F.lit(""))
+    counts = tok.groupBy(by, "__tok").agg(F.count(F.lit(1)).alias("__c"))
+    w = Window.partitionBy(by).orderBy(F.desc("__c"), F.asc("__tok"))
+    ranked = counts.withColumn("__r", F.row_number().over(w))
+    return ranked.groupBy(by).agg(
+        F.sum("__c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct_tokens"),
+        F.round(
+            F.regr_slope(F.log("__c"), F.log("__r")), 6
+        ).alias("zipf_slope"),
+        F.round(
+            F.regr_intercept(F.log("__c"), F.log("__r")), 6
+        ).alias("zipf_intercept"),
+    )

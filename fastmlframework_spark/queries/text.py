@@ -232,3 +232,36 @@ def text_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hash-matched oracle via the pure-SQL XXH64 twin."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return xtext.hashed_linear_score(docs)
+
+
+@query(
+    "text_zipf_fit",
+    oracle="""
+WITH tok AS (
+  SELECT source, unnest(string_split_regex(text, '\\s+')) AS t
+  FROM documents
+),
+c AS (
+  SELECT source, t, COUNT(*) AS c FROM tok WHERE t <> '' GROUP BY 1, 2
+),
+r AS (
+  SELECT source, c,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY c DESC, t ASC) AS r
+  FROM c
+)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       COUNT(*) AS n_distinct_tokens,
+       ROUND(regr_slope(ln(c), ln(r)), 6) AS zipf_slope,
+       ROUND(regr_intercept(ln(c), ln(r)), 6) AS zipf_intercept
+FROM r GROUP BY source
+""",
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law slope/intercept of the token frequency distribution
+    per source — corpus-health diagnostic (natural text ≈ −1,
+    templated corpora drift toward 0); vocabulary-bounded shuffle +
+    one regr_* aggregate."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    return xtext.zipf_fit(docs, by="source")

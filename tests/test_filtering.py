@@ -187,3 +187,23 @@ def test_duplicate_spans_short_doc_clamps(spark):
     out = {r["doc_id"]: r for r in duplicate_spans(df, n=10).collect()}
     for k in (1, 2):
         assert out[k]["dup_words"] == 3 and out[k]["dup_frac"] == 1.0
+
+
+def test_zipf_fit_direction(spark):
+    from fastmlframework_spark.extensions.text import zipf_fit
+
+    # Zipfian corpus: token w_i appears ~N/i times → slope near -1.
+    # Uniform corpus: every token equally often → slope 0.
+    zipf_tokens = []
+    for i in range(1, 30):
+        zipf_tokens += [f"w{i:02d}"] * (300 // i)
+    uniform_tokens = [f"u{i:02d}" for i in range(1, 30)] * 10
+    df = spark.createDataFrame(
+        [(1, "zipf", " ".join(zipf_tokens)),
+         (2, "flat", " ".join(uniform_tokens))],
+        "doc_id long, source string, text string",
+    )
+    out = {r["source"]: r for r in zipf_fit(df).collect()}
+    assert out["zipf"]["zipf_slope"] < -0.8
+    assert abs(out["flat"]["zipf_slope"]) < 0.05
+    assert out["flat"]["n_distinct_tokens"] == 29

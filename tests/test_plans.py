@@ -302,3 +302,53 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir_small):
+    """Spark's InjectRuntimeFilter: when a selective dimension filters
+    a shuffle join, the fact side's scan gains a
+    might_contain(bloom_filter, xxhash64(key)) predicate built from
+    the dimension's keys — at 100 TB this drops non-matching fact rows
+    at the scan instead of carrying them through the shuffle.  Pinned
+    here with the only non-default knob being the application-side
+    size floor (defaults assume a ≥10 GB fact scan); the control shows
+    no injection when the dimension has no selective predicate."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{sf_dir_small}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir_small}/orders.parquet")
+        urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        j = (
+            li.join(urgent, li.l_orderkey == urgent.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        assert "might_contain" in plan, plan
+        # control: no selective predicate on the creation side → no filter
+        j2 = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        buf2 = io.StringIO()
+        with contextlib.redirect_stdout(buf2):
+            j2.explain("formatted")
+        assert "might_contain" not in buf2.getvalue()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -44,11 +44,17 @@ def _materialize_release(out: DataFrame, *cached: DataFrame) -> DataFrame:
     executor storage (ADVICE r3 — same leak class as the fixed
     pq_topk cache).  Values and schema are unchanged; the trade is
     eager execution at call time, consistent with
-    ``connected_components``/``semantic_dedup`` in this module."""
-    out = out.localCheckpoint(eager=True)
+    ``connected_components``/``semantic_dedup`` in this module.
+
+    The checkpointed handle's explain() shows only `Scan ExistingRDD`,
+    so the un-checkpointed frame rides along as ``_plan_evidence`` —
+    the plan that actually executed during materialization — for
+    tools/plan_report.py and plan tests."""
+    ckpt = out.localCheckpoint(eager=True)
     for c in cached:
         c.unpersist()
-    return out
+    ckpt._plan_evidence = out
+    return ckpt
 
 
 def exact_dedup(

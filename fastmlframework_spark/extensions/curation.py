@@ -297,3 +297,54 @@ def remove_boilerplate_lines(
             F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
         )
     )
+
+
+def epochs_plan(
+    df: DataFrame,
+    budget_tokens: int,
+    by: str = "source",
+    text_col: str = "text",
+    alpha: float = 0.0,
+) -> DataFrame:
+    """Token-budget training plan → [by, n_docs, tokens_available,
+    target_share, tokens_needed, epochs]: given a total training
+    budget and a temperature-flattened target mixture
+    (target_i ∝ tokens_i^alpha, as ``mixture_weights``), how many
+    tokens each domain must contribute and how many EPOCHS of it that
+    means — epochs > 1 is deliberate repetition, the data-constrained
+    regime of Muennighoff et al. 2023 ("Scaling Data-Constrained
+    Language Models"), where a planner caps repeats per domain.
+
+    Aggregate-sized end-to-end: one corpus scan for per-domain token
+    sums, a broadcast 1-row partition function, then pure arithmetic.
+    ``tokens_needed`` floors (exact in both engines — no cross-engine
+    round-half ambiguity on doubles)."""
+    toks = F.size(
+        F.filter(
+            F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit("")
+        )
+    )
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(by), toks.alias("__t")
+    )
+    counts = base.groupBy(by).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__t").alias("__avail"),
+    )
+    tot = counts.agg(
+        F.sum(F.pow(F.col("__avail").cast("double"), F.lit(alpha))).alias(
+            "__z"
+        )
+    )
+    target = F.pow(F.col("__avail").cast("double"), F.lit(alpha)) / F.col(
+        "__z"
+    )
+    needed = F.floor(F.lit(float(budget_tokens)) * target).cast("long")
+    return counts.crossJoin(F.broadcast(tot)).select(
+        by,
+        "n_docs",
+        F.col("__avail").cast("long").alias("tokens_available"),
+        F.round(target, 6).alias("target_share"),
+        needed.alias("tokens_needed"),
+        F.round(needed / F.col("__avail"), 6).alias("epochs"),
+    )

@@ -528,3 +528,42 @@ def text_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return xcur.remove_boilerplate_lines(
         corpus, min_doc_freq=20
     )
+
+
+_EPOCHS_BUDGET = 100_000
+_EPOCHS_ALPHA = 0.5
+
+
+@query(
+    "corpus_epochs_plan",
+    oracle=f"""
+WITH t AS (
+  SELECT source,
+         len(list_filter(string_split_regex(text, '\\s+'),
+                         __x -> __x <> '')) AS t
+  FROM documents WHERE text IS NOT NULL
+),
+c AS (
+  SELECT source, COUNT(*) AS n_docs, SUM(t) AS avail FROM t GROUP BY 1
+),
+z AS (SELECT SUM(POW(avail, {_EPOCHS_ALPHA})) AS z FROM c)
+SELECT source,
+       n_docs,
+       CAST(avail AS BIGINT) AS tokens_available,
+       ROUND(POW(avail, {_EPOCHS_ALPHA}) / z, 6) AS target_share,
+       CAST(FLOOR({_EPOCHS_BUDGET} * POW(avail, {_EPOCHS_ALPHA}) / z)
+            AS BIGINT) AS tokens_needed,
+       ROUND(CAST(FLOOR({_EPOCHS_BUDGET} * POW(avail, {_EPOCHS_ALPHA}) / z)
+                  AS BIGINT) * 1.0 / avail, 6) AS epochs
+FROM c, z
+""",
+)
+def corpus_epochs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget training plan under a temperature-0.5 target
+    mixture: per-source token mass, required contribution toward a
+    100k-token budget, and the implied epoch count (epochs > 1 =
+    deliberate repetition — the data-constrained planning shape)."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    return xcur.epochs_plan(
+        docs, _EPOCHS_BUDGET, alpha=_EPOCHS_ALPHA
+    )

@@ -150,3 +150,21 @@ def test_remove_boilerplate_edge_cases(spark):
     assert out[98]["clean_text"] == "" and out[98]["n_removed"] == 1
     assert out[99]["clean_text"] == "only unique text"
     assert out[99]["n_removed"] == 0
+
+
+def test_epochs_plan_arithmetic(spark):
+    from fastmlframework_spark.extensions.curation import epochs_plan
+
+    # Source a: 2 docs x 10 tokens; source b: 1 doc x 30 tokens.
+    rows = [(1, "a", " ".join(["w"] * 10)), (2, "a", " ".join(["w"] * 10)),
+            (3, "b", " ".join(["w"] * 30))]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    # alpha=0: uniform target — each source must contribute half of 100.
+    out = {r["source"]: r for r in epochs_plan(df, 100, alpha=0.0).collect()}
+    assert out["a"]["tokens_available"] == 20
+    assert out["a"]["tokens_needed"] == 50 and out["b"]["tokens_needed"] == 50
+    assert out["a"]["epochs"] == 2.5          # repetition regime
+    assert out["b"]["epochs"] == round(50 / 30, 6)
+    # alpha=1: proportional target — every source exactly budget/total.
+    out1 = {r["source"]: r for r in epochs_plan(df, 100, alpha=1.0).collect()}
+    assert out1["a"]["epochs"] == out1["b"]["epochs"] == 2.0

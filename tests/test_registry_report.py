@@ -26,3 +26,16 @@ def test_coverage_block_is_current():
         "COVERAGE.md registry-report block is stale — run "
         "tools/registry_report.py"
     )
+
+
+def test_readme_query_counts_current():
+    from tools.registry_report import README_LINE, readme_line
+
+    readme = os.path.join(os.path.dirname(_COVERAGE), "README.md")
+    with open(readme) as fh:
+        doc = fh.read()
+    m = README_LINE.search(doc)
+    assert m, "query-count line missing from README.md"
+    assert m.group(0) == readme_line(), (
+        "README.md query counts are stale — run tools/registry_report.py"
+    )

@@ -200,6 +200,101 @@ def minhash_signatures(
     return base.withColumns(cols).drop("__h")
 
 
+def _banded(
+    sig: DataFrame, key_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """[key, band, band_digest] from a signature frame: each band's
+    slot-concatenation hashed to one 64-bit digest (the LSH bucket
+    key)."""
+    rows_per_band = num_hashes // bands
+    from functools import reduce
+
+    frames = []
+    for b in range(bands):
+        slots = [f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)]
+        digest = F.xxhash64(*[F.col(s) for s in slots])
+        frames.append(
+            sig.select(
+                F.col(key_col),
+                F.lit(b).alias("band"),
+                digest.alias("band_digest"),
+            )
+        )
+    return reduce(lambda x, y: x.unionByName(y), frames)
+
+
+def minhash_band_index(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """The persisted LSH index of a corpus → [key, band, band_digest]
+    (``bands`` rows per document).  Production pipelines materialize
+    this once and probe it at ingest time
+    (``incremental_minhash_dedup``) — 8-16 bytes/row × bands, never
+    recomputed from text."""
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    sig = minhash_signatures(df, key_col, text_col, n, num_hashes, seed)
+    return _banded(sig, key_col, num_hashes, bands)
+
+
+def incremental_minhash_dedup(
+    new_batch: DataFrame,
+    corpus_index: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Ingest-time NEAR-dup screen of a new batch against the corpus
+    LSH index → [key, n_corpus_matches] for every batch document
+    (0 = novel, survivors of a drop-matches policy).
+
+    The near-dup twin of ``incremental_exact_dedup`` with the same
+    scale contract: ``corpus_index`` (bands rows per corpus doc, built
+    once by ``minhash_band_index``) is the HUGE side and is scanned
+    ONCE with a BROADCAST probe of the small batch's band digests —
+    the index is never shuffled, no signature recomputation for the
+    corpus, and the candidate count per batch doc is exact band-
+    collision fan-in."""
+    batch_bands = minhash_band_index(
+        new_batch.filter(F.col(text_col).isNotNull()),
+        key_col, text_col, n, num_hashes, bands, seed,
+    ).select(
+        F.col(key_col).alias("__bk"), "band", "band_digest"
+    )
+    matches = (
+        corpus_index.join(
+            F.broadcast(batch_bands), on=["band", "band_digest"]
+        )
+        .select("__bk", F.col(key_col).alias("__ck"))
+        .distinct()
+        .groupBy("__bk")
+        .agg(F.count(F.lit(1)).alias("n_corpus_matches"))
+    )
+    keys = (
+        new_batch.filter(F.col(text_col).isNotNull())
+        .select(F.col(key_col).alias("__bk"))
+        .distinct()
+    )
+    return (
+        keys.join(F.broadcast(matches), on="__bk", how="left")
+        .select(
+            F.col("__bk").alias(key_col),
+            F.coalesce("n_corpus_matches", F.lit(0)).alias(
+                "n_corpus_matches"
+            ),
+        )
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     key_col: str = "doc_id",
@@ -220,23 +315,8 @@ def minhash_lsh_pairs(
     """
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, key_col, text_col, n, num_hashes, seed).cache()
-
-    band_frames = []
-    for b in range(bands):
-        slots = [f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)]
-        digest = F.xxhash64(*[F.col(s) for s in slots])
-        band_frames.append(
-            sig.select(
-                F.col(key_col),
-                F.lit(b).alias("band"),
-                digest.alias("band_digest"),
-            )
-        )
-    from functools import reduce
-
-    banded = reduce(lambda x, y: x.unionByName(y), band_frames)
+    banded = _banded(sig, key_col, num_hashes, bands)
     left = banded.select(F.col(key_col).alias("key_a"), "band", "band_digest")
     right = banded.select(F.col(key_col).alias("key_b"), "band", "band_digest")
     cand = (

@@ -111,8 +111,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the surviving pair sets match row-for-row, value-for-value.
 
 
-def _minhash_lsh_oracle(num_hashes: int = 8, bands: int = 4,
-                        threshold: float = 0.5) -> str:
+def _mh_sql_parts(num_hashes: int = 8, bands: int = 4):
+    """Shared SQL pieces for the minhash twins: (hlist, sig_cols,
+    band_eq) — per-shingle hash list, signature-slot projections, and
+    the brute band-agreement predicate over aliases a/b."""
     from fastmlframework_spark.extensions.dedup import _mh_constants
     from fastmlframework_spark.queries import xxh64_sql as xx
 
@@ -153,6 +155,12 @@ def _minhash_lsh_oracle(num_hashes: int = 8, bands: int = 4,
         f"CASE WHEN a.mh_{j} = b.mh_{j} THEN 1 ELSE 0 END"
         for j in range(num_hashes)
     )
+    return hlist, sig_cols, band_eq, agree
+
+
+def _minhash_lsh_oracle(num_hashes: int = 8, bands: int = 4,
+                        threshold: float = 0.5) -> str:
+    hlist, sig_cols, band_eq, agree = _mh_sql_parts(num_hashes, bands)
     return f"""
 WITH corpus AS ({_CORPUS_SQL}),
 hashed AS (SELECT doc_id, {hlist} AS __H FROM corpus),
@@ -659,3 +667,49 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans on both members."""
     corpus = _corpus(spark, sf_dir)
     return xdedup.duplicate_spans(corpus, n=_SPAN_N)
+
+
+def _incremental_near_oracle(num_hashes: int = 8, bands: int = 4) -> str:
+    hlist, sig_cols, band_eq, _agree = _mh_sql_parts(num_hashes, bands)
+    return f"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+batch AS (
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 200000,
+         substring(text, 1, CAST(FLOOR(LENGTH(text) * 0.8) AS INT))
+  FROM documents WHERE doc_id % 7 = 0
+),
+hc AS (SELECT doc_id, {hlist} AS __H FROM corpus),
+sc AS (SELECT doc_id, {sig_cols} FROM hc),
+hb AS (SELECT doc_id, {hlist} AS __H FROM batch),
+sb AS (SELECT doc_id, {sig_cols} FROM hb)
+SELECT b.doc_id,
+       CAST(COUNT(DISTINCT a.doc_id) AS BIGINT) AS n_corpus_matches
+FROM sb b LEFT JOIN sc a ON ({band_eq})
+GROUP BY b.doc_id
+"""
+
+
+@query("dedup_incremental_near", oracle=_incremental_near_oracle())
+def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time NEAR-dup screen: the new batch (exact copies +
+    80%%-truncations of corpus docs) probes the corpus's persisted
+    MinHash band index — index scanned once with a broadcast probe,
+    never shuffled, no corpus signature recomputation.  Per batch doc:
+    how many distinct corpus docs share an LSH band (0 = novel)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    index = xdedup.minhash_band_index(docs)
+    batch = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+        .unionByName(
+            docs.filter(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                F.expr(
+                    "substring(text, 1, CAST(FLOOR(LENGTH(text) * 0.8) AS INT))"
+                ).alias("text"),
+            )
+        )
+    )
+    return xdedup.incremental_minhash_dedup(batch, index)

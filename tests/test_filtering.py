@@ -207,3 +207,26 @@ def test_zipf_fit_direction(spark):
     assert out["zipf"]["zipf_slope"] < -0.8
     assert abs(out["flat"]["zipf_slope"]) < 0.05
     assert out["flat"]["n_distinct_tokens"] == 29
+
+
+def test_incremental_minhash_dedup_directions(spark):
+    from fastmlframework_spark.extensions.dedup import (
+        incremental_minhash_dedup,
+        minhash_band_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, " ".join(f"c{i}w{j}" for j in range(30))) for i in range(20)],
+        "doc_id long, text string",
+    )
+    index = minhash_band_index(corpus)
+    # Batch: one exact copy of corpus doc 3, one novel doc.
+    batch = spark.createDataFrame(
+        [(100, " ".join(f"c3w{j}" for j in range(30))),
+         (101, " ".join(f"z{j}" for j in range(30)))],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["n_corpus_matches"]
+           for r in incremental_minhash_dedup(batch, index).collect()}
+    assert out[100] >= 1     # copy collides with its original
+    assert out[101] == 0     # novel doc is clean

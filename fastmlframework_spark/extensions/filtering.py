@@ -172,10 +172,14 @@ def chargram_nll(
         .groupBy(F.expr(bucket).alias("__bucket"))
         .agg(F.count(F.lit(1)).alias("__c"))
     )
-    # Dense-array model, not a map: Spark's element_at over MapType is
-    # a linear scan, so a 1024-entry map probed once per bigram per
-    # row would dominate the query.  The one-time map→array transform
-    # runs on the 1-row model frame; per-row lookups are O(1).
+    # Dense LOG-PROB array, not a count map: Spark's element_at over
+    # MapType is a linear scan (a 1024-entry map probed once per
+    # bigram per row would dominate), and folding the Laplace ln into
+    # the one-time model transform drops ~n_chars ln()/divisions per
+    # row from the hot loop — each term is the SAME double either way,
+    # so the oracle's per-occurrence computation still matches bit-
+    # for-bit.  The map→array transform runs on the 1-row model frame;
+    # per-row lookups are O(1) array indexing.
     model = counts.agg(
         F.map_from_entries(
             F.collect_list(F.struct("__bucket", "__c"))
@@ -184,23 +188,23 @@ def chargram_nll(
     ).select(
         F.expr(
             f"transform(sequence(0, {dim - 1}), __i -> "
-            "coalesce(element_at(__m, CAST(__i AS BIGINT)), 0L))"
-        ).alias("__arr"),
-        "__total",
+            "ln((coalesce(element_at(__m, CAST(__i AS BIGINT)), 0L) + 1)"
+            f" * 1.0D / (__total + {dim})))"
+        ).alias("__arr")
     )
-    logp = (
-        f"ln((element_at(__arr, CAST({bucket} AS INT) + 1) + 1) * 1.0D"
-        f" / (__total + {dim}))"
+    total = (
+        f"aggregate({bg}, 0.0D, (__a, __g) -> "
+        f"__a + element_at(__arr, CAST({bucket} AS INT) + 1))"
     )
-    total = f"aggregate({bg}, 0.0D, (__a, __g) -> __a + {logp})"
+    # windows are stride-1, so n_bigrams == length - 1 exactly (the
+    # filter guarantees length >= 2) — no second array materialization
+    n_bg = (F.length(text_col) - 1).cast("long")
     return (
         base.crossJoin(F.broadcast(model))
         .select(
             F.col(key_col),
-            F.expr(f"size({bg})").cast("long").alias("n_bigrams"),
-            F.round(
-                -F.expr(total) / F.expr(f"size({bg})"), 6
-            ).alias("nll"),
+            n_bg.alias("n_bigrams"),
+            F.round(-F.expr(total) / n_bg, 6).alias("nll"),
         )
     )
 

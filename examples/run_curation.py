@@ -3,9 +3,11 @@
 the §7.5 extension layer as one runnable flow:
 
     canonicalize → exact dedup → near-dup (MinHash+LSH) → components
-      → line-level boilerplate removal → quality/repetition filter
-      → contamination screen → mixture reweighting → sequence packing
-      → training shards
+      → line-level boilerplate removal → Gopher rule battery
+      → quality/repetition filter → chargram-LM tail cut
+      → contamination screen → duplicate-passage audit
+      → mixture reweighting + token-budget epochs plan
+      → sequence packing → training shards
 
     python examples/run_curation.py [--sf-dir /root/testdata/sf0.001]
                                     [--out /tmp/curation_out]
@@ -30,6 +32,7 @@ from fastmlframework_spark.core.session import get_spark  # noqa: E402
 from fastmlframework_spark.core.tables import load_table  # noqa: E402
 from fastmlframework_spark.extensions import curation as xcur  # noqa: E402
 from fastmlframework_spark.extensions import dedup as xdedup  # noqa: E402
+from fastmlframework_spark.extensions import filtering as xfilt  # noqa: E402
 from fastmlframework_spark.extensions.text import canonicalize, quality_score  # noqa: E402
 from fastmlframework_spark.sources.shards import write_training_shards  # noqa: E402
 
@@ -92,14 +95,29 @@ def run(spark, sf_dir: str, out: str) -> dict:
         .filter(F.length("text") > 0)
     )
 
-    # 3. quality + repetition screens.
+    # 3. quality screens: the Gopher rule battery, repetition and
+    # heuristic quality scores, and the chargram-LM tail cut (drop the
+    # 1% of documents whose character statistics diverge most from the
+    # corpus — the perplexity-filter step).
+    flags = xfilt.gopher_rule_flags(stage2).select("doc_id", "passes")
     rep = xcur.repetition_stats(stage2).select("doc_id", "distinct_ratio")
     q = quality_score(stage2).select("doc_id", "quality")
+    nll = xfilt.chargram_nll(stage2).select("doc_id", "nll")
+    nll_cut = nll.agg(
+        F.expr("percentile_approx(nll, 0.99)").alias("p99")
+    ).first()["p99"]
     stage3 = (
-        stage2.join(rep, on="doc_id")
+        stage2.join(flags, on="doc_id")
+        .join(rep, on="doc_id")
         .join(q, on="doc_id")
-        .filter((F.col("distinct_ratio") >= 0.3) & (F.col("quality") >= 0.2))
-        .drop("distinct_ratio", "quality")
+        .join(nll, on="doc_id")
+        .filter(
+            F.col("passes")
+            & (F.col("distinct_ratio") >= 0.3)
+            & (F.col("quality") >= 0.2)
+            & (F.col("nll") <= F.lit(float(nll_cut)))
+        )
+        .drop("passes", "distinct_ratio", "quality", "nll")
         .cache()
     )
     n3 = stage3.count()
@@ -118,8 +136,20 @@ def run(spark, sf_dir: str, out: str) -> dict:
     stage4 = stage3.join(contaminated, on="doc_id", how="left_anti").cache()
     n4 = stage4.count()
 
-    # 5. mixture weights + deterministic weighted downsample report.
+    # 4b. duplicate-passage audit (report-only: exact/near dedup
+    # already ran, so what remains is PARTIAL passage overlap — the
+    # substring-dedup signal a doc-level pass can't remove).
+    n_span_docs = xdedup.duplicate_spans(stage4).count()
+
+    # 5. mixture weights + the token-budget epochs plan (2x the
+    # surviving token mass under a temperature-0.5 target — epochs > 2
+    # flags domains the plan would over-repeat).
     weights = xcur.mixture_weights(stage4, by="source")
+    total_tokens = stage4.select(
+        F.sum(F.size(F.split("text", r"\s+"))).alias("t")
+    ).first()["t"]
+    plan = xcur.epochs_plan(stage4, int(2 * total_tokens), alpha=0.5)
+    max_epochs = plan.agg(F.max("epochs").alias("m")).first()["m"]
 
     # 6. pack into context windows, then materialize training shards.
     packed = xcur.pack_streams(stage4, ctx=512, shards=8)
@@ -131,6 +161,7 @@ def run(spark, sf_dir: str, out: str) -> dict:
     )
 
     weights.write.mode("overwrite").parquet(os.path.join(out, "weights"))
+    plan.write.mode("overwrite").parquet(os.path.join(out, "epochs_plan"))
     packed.write.mode("overwrite").parquet(os.path.join(out, "packs"))
     summary = {
         "input_docs": n0,
@@ -139,6 +170,8 @@ def run(spark, sf_dir: str, out: str) -> dict:
         "after_quality": n3,
         "after_decontamination": n4,
         "n_packs": n_packs,
+        "dup_span_docs": n_span_docs,
+        "max_planned_epochs": float(max_epochs),
         "shards": manifest["n_shards"],
         "shard_rows": manifest["total_rows"],
     }

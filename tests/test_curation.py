@@ -115,6 +115,10 @@ def test_curation_pipeline_end_to_end(spark, sf_dir_small, tmp_path):
     )
     assert s["shard_rows"] == s["after_decontamination"]
     assert s["n_packs"] > 0
+    # post-dedup the corpus should carry few duplicated passages, and
+    # a 2x-token budget can need >2 epochs only of small domains
+    assert 0 <= s["dup_span_docs"] <= s["after_decontamination"]
+    assert s["max_planned_epochs"] >= 1.0
 
 
 def test_mixture_temperature_identities(spark, sf_dir):

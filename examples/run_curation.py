@@ -102,10 +102,15 @@ def run(spark, sf_dir: str, out: str) -> dict:
     flags = xfilt.gopher_rule_flags(stage2).select("doc_id", "passes")
     rep = xcur.repetition_stats(stage2).select("doc_id", "distinct_ratio")
     q = quality_score(stage2).select("doc_id", "quality")
-    nll = xfilt.chargram_nll(stage2).select("doc_id", "nll")
+    # cache: the chargram plan (corpus bigram explode + model build +
+    # scoring) feeds BOTH the percentile action and the stage-3 join —
+    # uncached it would execute twice.
+    nll = xfilt.chargram_nll(stage2).select("doc_id", "nll").cache()
     nll_cut = nll.agg(
         F.expr("percentile_approx(nll, 0.99)").alias("p99")
     ).first()["p99"]
+    if nll_cut is None:  # degenerate corpus: nothing survived to score
+        nll_cut = float("inf")
     stage3 = (
         stage2.join(flags, on="doc_id")
         .join(rep, on="doc_id")
@@ -121,6 +126,7 @@ def run(spark, sf_dir: str, out: str) -> dict:
         .cache()
     )
     n3 = stage3.count()
+    nll.unpersist()
 
     # 4. contamination screen against the planted eval excerpts.
     evals = docs.filter(F.col("doc_id") % 37 == 0).select(
@@ -145,11 +151,14 @@ def run(spark, sf_dir: str, out: str) -> dict:
     # surviving token mass under a temperature-0.5 target — epochs > 2
     # flags domains the plan would over-repeat).
     weights = xcur.mixture_weights(stage4, by="source")
-    total_tokens = stage4.select(
-        F.sum(F.size(F.split("text", r"\s+"))).alias("t")
-    ).first()["t"]
+    # same empty-filtered tokenizer epochs_plan uses, so the 2x budget
+    # is measured in the plan's own token units
+    toks = F.size(
+        F.filter(F.split("text", r"\s+"), lambda w: w != F.lit(""))
+    )
+    total_tokens = stage4.select(F.sum(toks).alias("t")).first()["t"] or 0
     plan = xcur.epochs_plan(stage4, int(2 * total_tokens), alpha=0.5)
-    max_epochs = plan.agg(F.max("epochs").alias("m")).first()["m"]
+    max_epochs = plan.agg(F.max("epochs").alias("m")).first()["m"] or 0.0
 
     # 6. pack into context windows, then materialize training shards.
     packed = xcur.pack_streams(stage4, ctx=512, shards=8)

@@ -115,10 +115,12 @@ def test_curation_pipeline_end_to_end(spark, sf_dir_small, tmp_path):
     )
     assert s["shard_rows"] == s["after_decontamination"]
     assert s["n_packs"] > 0
-    # post-dedup the corpus should carry few duplicated passages, and
-    # a 2x-token budget can need >2 epochs only of small domains
+    # post-dedup the corpus should carry few duplicated passages
     assert 0 <= s["dup_span_docs"] <= s["after_decontamination"]
-    assert s["max_planned_epochs"] >= 1.0
+    # a 2x-token budget forces max(epochs) >= sum(needed)/sum(avail)
+    # ~= 2 for ANY mixture — anything materially below 2 means the
+    # budget or temperature scaling broke (floor slack only)
+    assert s["max_planned_epochs"] >= 1.9
 
 
 def test_mixture_temperature_identities(spark, sf_dir):

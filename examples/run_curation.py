@@ -115,12 +115,17 @@ def run(spark, sf_dir: str, out: str) -> dict:
         stage2.join(flags, on="doc_id")
         .join(rep, on="doc_id")
         .join(q, on="doc_id")
-        .join(nll, on="doc_id")
+        # left join: the scorer drops sub-2-char docs (no bigrams) —
+        # they must fall through to the rule screens, not vanish here
+        .join(nll, on="doc_id", how="left")
         .filter(
             F.col("passes")
             & (F.col("distinct_ratio") >= 0.3)
             & (F.col("quality") >= 0.2)
-            & (F.col("nll") <= F.lit(float(nll_cut)))
+            & (
+                F.col("nll").isNull()
+                | (F.col("nll") <= F.lit(float(nll_cut)))
+            )
         )
         .drop("passes", "distinct_ratio", "quality", "nll")
         .cache()

@@ -205,22 +205,19 @@ def _banded(
 ) -> DataFrame:
     """[key, band, band_digest] from a signature frame: each band's
     slot-concatenation hashed to one 64-bit digest (the LSH bucket
-    key)."""
+    key).  One explode over an inline (band, digest) struct array —
+    a single pass over ``sig``, so the signatures are computed ONCE
+    even when ``sig`` is not cached (a 4-way union of selects would
+    re-derive the per-shingle hashing per band)."""
     rows_per_band = num_hashes // bands
-    from functools import reduce
-
-    frames = []
+    entries = []
     for b in range(bands):
         slots = [f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)]
         digest = F.xxhash64(*[F.col(s) for s in slots])
-        frames.append(
-            sig.select(
-                F.col(key_col),
-                F.lit(b).alias("band"),
-                digest.alias("band_digest"),
-            )
-        )
-    return reduce(lambda x, y: x.unionByName(y), frames)
+        entries.append(F.struct(F.lit(b).alias("band"), digest.alias("band_digest")))
+    return sig.select(
+        F.col(key_col), F.explode(F.array(*entries)).alias("__bd")
+    ).select(key_col, "__bd.band", "__bd.band_digest")
 
 
 def minhash_band_index(
@@ -263,10 +260,15 @@ def incremental_minhash_dedup(
     ONCE with a BROADCAST probe of the small batch's band digests —
     the index is never shuffled, no signature recomputation for the
     corpus, and the candidate count per batch doc is exact band-
-    collision fan-in."""
+    collision fan-in.
+
+    NULL-text batch docs have no content to collide on and come back
+    with 0 matches (novel), keeping the one-row-per-batch-document
+    contract — and matching the SQL twin's LEFT JOIN, which reports
+    them as zero rather than dropping them."""
+    with_text = new_batch.filter(F.col(text_col).isNotNull())
     batch_bands = minhash_band_index(
-        new_batch.filter(F.col(text_col).isNotNull()),
-        key_col, text_col, n, num_hashes, bands, seed,
+        with_text, key_col, text_col, n, num_hashes, bands, seed
     ).select(
         F.col(key_col).alias("__bk"), "band", "band_digest"
     )
@@ -279,11 +281,7 @@ def incremental_minhash_dedup(
         .groupBy("__bk")
         .agg(F.count(F.lit(1)).alias("n_corpus_matches"))
     )
-    keys = (
-        new_batch.filter(F.col(text_col).isNotNull())
-        .select(F.col(key_col).alias("__bk"))
-        .distinct()
-    )
+    keys = new_batch.select(F.col(key_col).alias("__bk")).distinct()
     return (
         keys.join(F.broadcast(matches), on="__bk", how="left")
         .select(
@@ -941,7 +939,7 @@ def duplicate_spans(
         _spread(df.filter(F.col(text_col).isNotNull()))
         .select(
             F.col(key_col),
-            F.expr(f"size({words})").alias("n_words"),
+            F.expr(f"size({words})").cast("long").alias("n_words"),
             F.posexplode(F.expr(arr)).alias("__p0", "__dg"),
         )
         .select(

@@ -551,9 +551,9 @@ SELECT source,
        n_docs,
        CAST(avail AS BIGINT) AS tokens_available,
        ROUND(POW(avail, {_EPOCHS_ALPHA}) / z, 6) AS target_share,
-       CAST(FLOOR({_EPOCHS_BUDGET} * POW(avail, {_EPOCHS_ALPHA}) / z)
+       CAST(FLOOR({_EPOCHS_BUDGET} * (POW(avail, {_EPOCHS_ALPHA}) / z))
             AS BIGINT) AS tokens_needed,
-       ROUND(CAST(FLOOR({_EPOCHS_BUDGET} * POW(avail, {_EPOCHS_ALPHA}) / z)
+       ROUND(CAST(FLOOR({_EPOCHS_BUDGET} * (POW(avail, {_EPOCHS_ALPHA}) / z))
                   AS BIGINT) * 1.0 / avail, 6) AS epochs
 FROM c, z
 """,

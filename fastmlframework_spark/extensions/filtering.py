@@ -293,10 +293,12 @@ def length_bucket_packing(
 ) -> DataFrame:
     """Length-bucketed batching report → [bucket, n_docs, sum_tokens,
     capacity, n_batches, pad_ratio]: documents are padded up to the
-    smallest bucket ≥ their whitespace-token count (overflow clamps to
-    the largest), a batch holds ``budget // bucket`` sequences, and
-    ``pad_ratio`` is real tokens over allocated slots — the padding
-    efficiency dynamic batching buys over one global max-length pad.
+    smallest bucket ≥ their whitespace-token count (overflow TRUNCATES
+    to the largest — a doc can't occupy more than its sequence slot),
+    a batch holds ``budget // bucket`` sequences, and ``pad_ratio`` is
+    occupied slot-tokens over allocated slots — the padding efficiency
+    dynamic batching buys over one global max-length pad.  Truncation
+    is what makes pad_ratio ≤ 1 an invariant (hypothesis-pinned).
 
     Integer arithmetic end-to-end (ceil-div as (n+c-1)//c), so the
     oracle comparison is exact; the only aggregate is per-bucket
@@ -311,7 +313,7 @@ def length_bucket_packing(
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum("__n").alias("sum_tokens"),
+            F.sum(F.least("__n", F.col("bucket"))).alias("sum_tokens"),
         )
     )
     capacity = F.lit(budget) / F.col("bucket")

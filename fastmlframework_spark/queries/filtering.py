@@ -211,7 +211,8 @@ b AS (
   SELECT CASE {case} ELSE {buckets[-1]} END AS bucket, n FROM d
 ),
 g AS (
-  SELECT bucket, COUNT(*) AS n_docs, SUM(n) AS sum_tokens
+  SELECT bucket, COUNT(*) AS n_docs,
+         SUM(LEAST(n, bucket)) AS sum_tokens
   FROM b GROUP BY 1
 )
 SELECT CAST(bucket AS BIGINT) AS bucket,

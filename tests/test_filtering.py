@@ -136,6 +136,9 @@ def test_packing_overflow_clamps_to_top_bucket(spark):
     rows = [(1, "s", " ".join(["w"] * 500))]
     out = length_bucket_packing(_docs(spark, rows)).collect()
     assert len(out) == 1 and out[0]["bucket"] == 128
+    # overflow docs truncate to the slot: occupied tokens == bucket
+    assert out[0]["sum_tokens"] == 128
+    assert out[0]["pad_ratio"] == round(128 / (1 * 4 * 128), 6)
 
 
 def test_duplicate_spans_semantics(spark):

@@ -1,0 +1,115 @@
+"""Hypothesis property tests for the corpus-filtering family:
+conservation and reference-implementation equivalence on random
+inputs (the same property-based discipline as
+test_curation_properties.py)."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings, strategies as st
+
+from fastmlframework_spark.extensions.dedup import duplicate_spans
+from fastmlframework_spark.extensions.filtering import (
+    LENGTH_BUCKETS,
+    chargram_nll,
+    length_bucket_packing,
+)
+
+_SETTINGS = dict(max_examples=8, deadline=None)
+
+_word = st.text(alphabet="abcdefg", min_size=1, max_size=6)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=200), min_size=1, max_size=25
+    )
+)
+def test_packing_conserves_docs_and_bounds_pad_ratio(spark, token_counts):
+    """Every document lands in exactly one bucket; pad_ratio is in
+    (0, 1]; capacity*n_batches covers n_docs — the defining batching
+    invariants, on random length distributions."""
+    rows = [
+        (i, "s", " ".join(["w"] * n)) for i, n in enumerate(token_counts)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    out = length_bucket_packing(df).collect()
+    assert sum(r["n_docs"] for r in out) == len(token_counts)
+    for r in out:
+        assert r["bucket"] in LENGTH_BUCKETS
+        assert 0 < r["pad_ratio"] <= 1.0
+        assert r["capacity"] * r["n_batches"] >= r["n_docs"]
+        # one fewer batch must NOT fit
+        assert r["capacity"] * (r["n_batches"] - 1) < r["n_docs"]
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(_word, min_size=3, max_size=12),
+    st.integers(min_value=0, max_value=5),
+)
+def test_duplicate_spans_vs_reference(spark, shared_words, offset):
+    """Planting one shared passage inside two otherwise-unique docs:
+    coverage equals the reference interval-union computation for
+    whatever window set actually repeats."""
+    n = 3
+    shared = " ".join(shared_words)
+    pre = " ".join(f"u{offset}x{i}" for i in range(offset))
+    doc1 = f"{pre} {shared}".strip()
+    doc2 = f"{shared} " + " ".join(f"v{i}" for i in range(4))
+    df = spark.createDataFrame(
+        [(1, "s", doc1), (2, "s", doc2), (3, "s", "q r s t u v w")],
+        "doc_id long, source string, text string",
+    )
+    out = {r["doc_id"]: r for r in duplicate_spans(df, n=n).collect()}
+    k = len(shared_words)
+    if k >= n:
+        # shared k-word run → k-n+1 windows in each doc, one span of
+        # exactly k words (no other cross-doc n-gram repeats by
+        # construction: u*/v*/q.. prefixes are disjoint vocabularies)
+        assert set(out) == {1, 2}
+        for d in (1, 2):
+            assert out[d]["n_dup_windows"] == k - n + 1
+            assert out[d]["dup_words"] == k
+    else:
+        # doc shorter than any window can only surface via the
+        # whole-doc fallback window, which is unique here
+        assert 3 not in out
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_word, min_size=2, max_size=30))
+def test_chargram_nll_matches_reference(spark, words):
+    """Spark NLL equals a pure-Python reference on a 1-doc corpus:
+    model = the doc's own bucketed bigram counts."""
+    text = " ".join(words)
+    df = spark.createDataFrame(
+        [(1, "s", text)], "doc_id long, source string, text string"
+    )
+    [row] = chargram_nll(df, dim=64).collect()
+
+    # reference: same hashing via Spark's xxhash64 (query the engine
+    # for the bucket of each bigram — one tiny local DataFrame)
+    bgs = [text[i : i + 2] for i in range(len(text) - 1)]
+    bdf = spark.createDataFrame([(g,) for g in bgs], "g string")
+    import pyspark.sql.functions as F
+
+    buckets = [
+        r["b"]
+        for r in bdf.select(
+            F.expr("pmod(xxhash64(g), 64)").alias("b")
+        ).collect()
+    ]
+    from collections import Counter
+
+    c = Counter(buckets)
+    total = len(buckets)
+    nll = -sum(
+        math.log((c[b] + 1) * 1.0 / (total + 64)) for b in buckets
+    ) / len(bgs)
+    assert row["n_bigrams"] == len(bgs)
+    assert abs(row["nll"] - nll) < 1e-5

@@ -149,6 +149,7 @@ def chargram_nll(
     key_col: str = "doc_id",
     text_col: str = "text",
     dim: int = 1024,
+    fit_modulus: int = 1,
 ) -> DataFrame:
     """Hashed character-bigram LM negative log-likelihood per document
     → [key, n_bigrams, nll] (nats/bigram, Laplace-smoothed, round 6).
@@ -161,14 +162,25 @@ def chargram_nll(
     ``dim`` buckets (map-side combined), the model broadcasts back as
     a single 1-row map, scoring is a map-only HOF ``aggregate`` —
     left-to-right summation, mirrored exactly by the oracle's
-    ``list_reduce``.  Documents shorter than 2 chars (or NULL) drop."""
+    ``list_reduce``.  Documents shorter than 2 chars (or NULL) drop.
+
+    ``fit_modulus`` > 1 fits the model on the deterministic
+    ``key % fit_modulus == 0`` document slice (the CCNet recipe — at
+    100 TB the LM trains on a sample, scoring stays corpus-wide);
+    a frequency model is stable under uniform subsampling, and the
+    modulus form keeps the oracle twin a one-line WHERE clause."""
     bg = f"transform(sequence(1, length({text_col}) - 1), i -> substring({text_col}, i, 2))"
     bucket = _bucket_sql("__g", dim)
     base = df.filter(
         F.col(text_col).isNotNull() & (F.length(text_col) >= 2)
     )
+    fit_on = (
+        base.filter(F.col(key_col) % fit_modulus == 0)
+        if fit_modulus > 1
+        else base
+    )
     counts = (
-        base.select(F.explode(F.expr(bg)).alias("__g"))
+        fit_on.select(F.explode(F.expr(bg)).alias("__g"))
         .groupBy(F.expr(bucket).alias("__bucket"))
         .agg(F.count(F.lit(1)).alias("__c"))
     )

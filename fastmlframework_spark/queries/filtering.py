@@ -94,12 +94,13 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return xfilt.gopher_rules(docs, by="source")
 
 
-def _chargram_oracle(dim: int = 1024) -> str:
+def _chargram_oracle(dim: int = 1024, fit_modulus: int = 4) -> str:
     """SQL twin of ``chargram_nll``: same xxhash64 buckets (unsigned
     % dim == pmod of the signed hash for power-of-two dim), same
     Laplace smoothing, same left-to-right bigram summation.  The hash
     runs once per DISTINCT bigram (a map CTE), not per occurrence —
-    the pure-SQL XXH64 is ~1000 ops per call."""
+    the pure-SQL XXH64 is ~1000 ops per call.  The count CTE fits on
+    the doc_id % fit_modulus slice, mirroring the Spark arg."""
     g_hash = xx.xxh64_bytes(xx.utf8_bytes("__g"), 42)
     return f"""
 WITH d AS (
@@ -119,7 +120,9 @@ hb AS (
 bm AS (SELECT MAP(list(g), list(bucket)) AS m FROM hb),
 cnt AS (
   SELECT h.bucket, COUNT(*) AS c
-  FROM (SELECT unnest(bgs) AS g FROM bg) u JOIN hb h ON u.g = h.g
+  FROM (SELECT unnest(bgs) AS g FROM bg
+        WHERE doc_id % {fit_modulus} = 0) u
+  JOIN hb h ON u.g = h.g
   GROUP BY 1
 ),
 arr AS (
@@ -141,9 +144,11 @@ FROM bg, bm, arr
 def text_chargram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed char-bigram LM negative log-likelihood per document —
     the CCNet/KenLM perplexity-filter shape; dim-bounded count
-    aggregate + broadcast 1-row model + map-only scoring."""
+    aggregate + broadcast 1-row model + map-only scoring; the model
+    fits on the deterministic doc_id % 4 slice (the train-on-a-
+    sample, score-everything shape), scoring covers every doc."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return xfilt.chargram_nll(docs)
+    return xfilt.chargram_nll(docs, fit_modulus=4)
 
 
 def _dsir_oracle(dim: int = 256, target_lang: str = "en") -> str:

@@ -995,3 +995,95 @@ def duplicate_spans(
             ),
         )
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """Rewrite the corpus with duplicated passages REMOVED → [key,
+    clean_text, n_words, n_removed]: the transform stage of Lee et
+    al. 2022 substring dedup (``duplicate_spans`` is its report twin).
+
+    Ownership: for every duplicated window digest the globally first
+    occurrence — smallest (key, pos), assigned with one row_number
+    window per digest — is canonical and stays; every other
+    occurrence is foreign.  A document drops exactly the word
+    positions covered by its foreign windows (merged to maximal
+    spans, clamped to the document), so one copy of every passage
+    survives corpus-wide, including within-document repeats.
+
+    Rebuilt documents are single-space joined (the whitespace-token
+    model this family already normalizes to); documents with nothing
+    to remove keep their text byte-identical.  Plan: the window
+    explode + two digest-partitioned windows + a per-document ordered
+    merge — linear end-to-end, no pair join, same scale shape as
+    ``duplicate_spans``."""
+    words = f"filter(split({text_col}, '\\\\s+'), __x -> __x != '')"
+    arr = (
+        f"transform(sequence(1, greatest(size({words}) - {n - 1}, 1)),"
+        f" i -> md5(concat_ws(' ', slice({words}, i, {n}))))"
+    )
+    wins = (
+        _spread(df.filter(F.col(text_col).isNotNull()))
+        .select(
+            F.col(key_col),
+            F.expr(f"size({words})").cast("long").alias("__nw"),
+            F.posexplode(F.expr(arr)).alias("__p0", "__dg"),
+        )
+        .select(key_col, "__nw", (F.col("__p0") + 1).alias("pos"), "__dg")
+    )
+    wdg = Window.partitionBy("__dg")
+    worder = wdg.orderBy(key_col, "pos")
+    foreign = (
+        wins.withColumn("__cnt", F.count(F.lit(1)).over(wdg))
+        .withColumn("__rn", F.row_number().over(worder))
+        .filter((F.col("__cnt") >= min_count) & (F.col("__rn") >= 2))
+        .select(key_col, "__nw", "pos")
+    )
+    w = Window.partitionBy(key_col).orderBy("pos")
+    spans = (
+        foreign.withColumn("__prev", F.lag("pos").over(w))
+        .withColumn(
+            "__brk",
+            (F.col("__prev").isNull() | (F.col("pos") - F.col("__prev") > n))
+            .cast("long"),
+        )
+        .withColumn(
+            "__span",
+            F.sum("__brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy(key_col, "__span")
+        .agg(
+            F.min("pos").alias("lo"),
+            F.least(
+                F.max("pos") + F.lit(n - 1), F.max("__nw")
+            ).alias("hi"),
+        )
+        .groupBy(key_col)
+        .agg(F.collect_list(F.struct("lo", "hi")).alias("__spans"))
+    )
+    out = df.join(spans, on=key_col, how="left")
+    kept = (
+        f"filter(sequence(1, size({words})), __p -> "
+        "NOT exists(__spans, __s -> __p >= __s.lo AND __p <= __s.hi))"
+    )
+    rebuilt = (
+        f"concat_ws(' ', transform({kept}, "
+        f"__p -> element_at({words}, CAST(__p AS INT))))"
+    )
+    return out.select(
+        F.col(key_col),
+        F.when(F.col("__spans").isNull(), F.col(text_col))
+        .otherwise(F.expr(rebuilt))
+        .alias("clean_text"),
+        F.expr(f"size({words})").cast("long").alias("n_words"),
+        F.when(F.col("__spans").isNull(), F.lit(0).cast("long"))
+        .otherwise(
+            (F.expr(f"size({words})") - F.expr(f"size({kept})")).cast("long")
+        )
+        .alias("n_removed"),
+    )

@@ -713,3 +713,84 @@ def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return xdedup.incremental_minhash_dedup(batch, index)
+
+
+_REMOVE_SPANS_ORACLE = f"""
+WITH corpus AS ({_CORPUS_SQL}),
+d AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\\s+'), __x -> __x <> '') AS ws
+  FROM corpus
+),
+wins AS (
+  SELECT doc_id, len(ws) AS nw,
+         unnest(range(1, greatest(len(ws) - {_SPAN_N - 1}, 1) + 1)) AS pos,
+         ws
+  FROM d WHERE text IS NOT NULL
+),
+wd AS (
+  SELECT doc_id, nw, pos,
+         md5(array_to_string(ws[pos:pos + {_SPAN_N - 1}], ' ')) AS dg
+  FROM wins
+),
+fr AS (
+  SELECT doc_id, nw, pos FROM (
+    SELECT doc_id, nw, pos,
+           COUNT(*) OVER (PARTITION BY dg) AS cnt,
+           ROW_NUMBER() OVER (PARTITION BY dg ORDER BY doc_id, pos) AS rn
+    FROM wd
+  ) WHERE cnt >= 2 AND rn >= 2
+),
+sp AS (
+  SELECT doc_id, nw, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                   OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                      > {_SPAN_N}
+              THEN 1 ELSE 0 END AS brk
+  FROM fr
+),
+sp2 AS (
+  SELECT doc_id, nw, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS span
+  FROM sp
+),
+agg AS (
+  SELECT doc_id, span, MIN(pos) AS lo,
+         LEAST(MAX(pos) + {_SPAN_N - 1}, MAX(nw)) AS hi
+  FROM sp2 GROUP BY 1, 2
+),
+sl AS (
+  SELECT doc_id, list({{'lo': lo, 'hi': hi}}) AS spans FROM agg GROUP BY 1
+)
+SELECT d.doc_id,
+       CASE WHEN sl.spans IS NULL THEN d.text
+            -- COALESCE: DuckDB's array_to_string over an empty list is
+            -- NULL; Spark's concat_ws is '' (fully-removed docs)
+            ELSE COALESCE(array_to_string(list_transform(
+                list_filter(range(1, len(ws) + 1), __p ->
+                    len(list_filter(sl.spans,
+                        __s -> __p >= __s.lo AND __p <= __s.hi)) = 0),
+                __p -> ws[CAST(__p AS INT)]), ' '), '')
+       END AS clean_text,
+       CAST(len(ws) AS BIGINT) AS n_words,
+       CASE WHEN sl.spans IS NULL THEN CAST(0 AS BIGINT)
+            ELSE CAST(len(ws) - len(
+                list_filter(range(1, len(ws) + 1), __p ->
+                    len(list_filter(sl.spans,
+                        __s -> __p >= __s.lo AND __p <= __s.hi)) = 0))
+                AS BIGINT)
+       END AS n_removed
+FROM d LEFT JOIN sl ON d.doc_id = sl.doc_id
+"""
+
+
+@query("dedup_remove_spans", oracle=_REMOVE_SPANS_ORACLE)
+def dedup_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL stage of substring dedup over the planted corpus:
+    one canonical copy of every duplicated 10-gram passage survives
+    (smallest (doc_id, pos) owns it), every other occurrence's covered
+    words are cut and the text rebuilt — exact copies come back empty,
+    truncated near-copies lose their shared prefix, originals are
+    byte-identical."""
+    return xdedup.remove_duplicate_spans(_corpus(spark, sf_dir), n=_SPAN_N)

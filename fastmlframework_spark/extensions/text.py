@@ -379,3 +379,51 @@ def zipf_fit(
             F.regr_intercept(F.log("__c"), F.log("__r")), 6
         ).alias("zipf_intercept"),
     )
+
+
+def vocab_coverage_curve(
+    df: DataFrame,
+    vocab_sizes: tuple[int, ...] = (8, 16, 24, 32),
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-occurrence coverage of the top-``v`` vocabulary for each
+    candidate size → [vocab_size, covered_tokens, total_tokens,
+    coverage] — the tokenizer-sizing curve (what fraction of the
+    corpus a v-entry word vocabulary explains; the knee locates the
+    OOV/size trade-off).
+
+    One corpus-sized token count (map-side combined, vocabulary-
+    bounded keys), a vocabulary-sized rank window, then a tiny
+    cross-join of the ranked table with the candidate sizes — all
+    post-shuffle work is proportional to |vocab| × |sizes|, never to
+    the corpus.  Rank ties break (count desc, token asc)."""
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("__tok")
+    ).filter(F.col("__tok") != F.lit(""))
+    counts = tok.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
+    w = Window.orderBy(F.desc("__c"), F.asc("__tok"))
+    ranked = counts.withColumn("__r", F.row_number().over(w))
+    sizes = F.explode(
+        F.array(*[F.lit(int(v)) for v in vocab_sizes])
+    ).alias("vocab_size")
+    return (
+        ranked.crossJoin(ranked.sparkSession.range(1).select(sizes))
+        .groupBy("vocab_size")
+        .agg(
+            F.sum(
+                F.when(F.col("__r") <= F.col("vocab_size"), F.col("__c"))
+                .otherwise(F.lit(0))
+            ).alias("covered_tokens"),
+            F.sum("__c").alias("total_tokens"),
+        )
+        .select(
+            F.col("vocab_size").cast("long"),
+            F.col("covered_tokens").cast("long"),
+            F.col("total_tokens").cast("long"),
+            F.round(
+                F.col("covered_tokens") * 1.0 / F.col("total_tokens"), 6
+            ).alias("coverage"),
+        )
+    )

@@ -265,3 +265,32 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     one regr_* aggregate."""
     docs = load_table(spark, sf_dir, "documents").select("source", "text")
     return xtext.zipf_fit(docs, by="source")
+
+
+@query(
+    "text_vocab_coverage",
+    oracle="""
+WITH tok AS (
+  SELECT unnest(string_split_regex(text, '\\s+')) AS t FROM documents
+),
+c AS (SELECT t, COUNT(*) AS c FROM tok WHERE t <> '' GROUP BY t),
+r AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, t ASC) AS r FROM c
+),
+v AS (SELECT unnest([8, 16, 24, 32]) AS vocab_size)
+SELECT CAST(v.vocab_size AS BIGINT) AS vocab_size,
+       CAST(SUM(CASE WHEN r.r <= v.vocab_size THEN r.c ELSE 0 END)
+            AS BIGINT) AS covered_tokens,
+       CAST(SUM(r.c) AS BIGINT) AS total_tokens,
+       ROUND(SUM(CASE WHEN r.r <= v.vocab_size THEN r.c ELSE 0 END) * 1.0
+             / SUM(r.c), 6) AS coverage
+FROM r, v GROUP BY v.vocab_size
+""",
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: fraction of token occurrences the
+    top-v word vocabulary explains, for candidate sizes 8/16/24/32 —
+    the tokenizer-sizing diagnostic; corpus-sized work is one
+    map-combined token count."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    return xtext.vocab_coverage_curve(docs)

@@ -287,3 +287,17 @@ def test_nll_terciles_shape(spark):
         assert set(buckets) <= {"head", "middle", "tail"}
         assert sum(buckets.values()) == 15
         assert buckets.get("head", 0) >= 1
+
+
+def test_vocab_coverage_monotone(spark):
+    from fastmlframework_spark.extensions.text import vocab_coverage_curve
+
+    rows = [(i, "s", GOOD) for i in range(5)]
+    out = sorted(
+        vocab_coverage_curve(_docs(spark, rows)).collect(),
+        key=lambda r: r["vocab_size"],
+    )
+    covs = [r["coverage"] for r in out]
+    assert covs == sorted(covs)           # monotone in vocab size
+    assert covs[-1] == 1.0                # full vocab covers everything
+    assert all(r["total_tokens"] == out[0]["total_tokens"] for r in out)

@@ -405,11 +405,17 @@ def knn_graph(
     w = Window.partitionBy(query_key_col).orderBy(
         F.desc("cosine"), F.asc(key_col)
     )
-    return (
+    out = (
         sym.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_key_col, key_col, "cosine", "rank")
     )
+    # eager-checkpoint + release, same discipline as the dedup pair
+    # paths (ADVICE r3 cache-leak class): the half-pair cache would
+    # otherwise persist for the session
+    from fastmlframework_spark.extensions.dedup import _materialize_release
+
+    return _materialize_release(out, pairs)
 
 
 def lsh_topk_multiprobe(

@@ -278,4 +278,9 @@ def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = xfilt.chargram_nll(docs, fit_modulus=4).join(
         docs.select("doc_id", "lang"), on="doc_id"
     )
-    return xfilt.nll_terciles(scored, by="lang")
+    # the tercile aggregate AND the bucketing join both read the
+    # scored frame — eager-checkpoint it so the corpus-wide chargram
+    # scoring runs once, not per branch
+    return xfilt.nll_terciles(
+        scored.localCheckpoint(eager=True), by="lang"
+    )

@@ -227,3 +227,56 @@ def resample_interpolate_exact(
         ).alias("filled_scaled"),
         F.col("__s").isNull().alias("is_gap"),
     )
+
+
+def seasonal_baseline(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Seasonal (hour-of-day conditioned) anomaly baseline →
+    [key, hour, n_events, mean_value, std_value, n_anomalies]:
+    per-(key, hour) sample mean/std form the seasonal-naive expected
+    band; events beyond ``z_threshold`` sample standard deviations
+    count as anomalies.  The seasonality-aware complement of the
+    global per-key z-score screen (``events_value_outliers``) — a
+    diurnal metric flags correctly against its own hour's baseline
+    instead of the 24h blend.
+
+    Two passes over events, both key×24-bounded aggregates (map-side
+    combined); the stats frame broadcasts back for the anomaly count.
+    NULL values are excluded from both the baseline and the count;
+    ``std`` is the sample deviation (``stddev_samp`` ≡ DuckDB
+    ``stddev``), and single-event cells (std NULL/0) report zero
+    anomalies rather than dividing by zero."""
+    base = df.filter(F.col(val_col).isNotNull()).select(
+        F.col(key_col),
+        F.hour(ts_col).alias("hour"),
+        F.col(val_col).alias("__v"),
+    )
+    stats = base.groupBy(key_col, "hour").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.avg("__v").alias("__mean"),
+        F.stddev_samp("__v").alias("__std"),
+    )
+    flagged = base.join(F.broadcast(stats), on=[key_col, "hour"]).withColumn(
+        "__anom",
+        F.when(
+            F.col("__std").isNull() | (F.col("__std") == 0), F.lit(0)
+        ).otherwise(
+            (
+                F.abs(F.col("__v") - F.col("__mean"))
+                > z_threshold * F.col("__std")
+            ).cast("int")
+        ),
+    )
+    return flagged.groupBy(key_col, "hour").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("__v"), 6).alias("mean_value"),
+        F.round(F.coalesce(F.stddev_samp("__v"), F.lit(0.0)), 6).alias(
+            "std_value"
+        ),
+        F.sum("__anom").cast("long").alias("n_anomalies"),
+    )

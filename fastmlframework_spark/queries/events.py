@@ -529,3 +529,39 @@ def events_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("channel")
     )
+
+
+@query(
+    "events_seasonal_baseline",
+    oracle="""
+WITH b AS (
+  SELECT event_type, EXTRACT(hour FROM ts) AS hour, value AS v
+  FROM events WHERE value IS NOT NULL
+),
+s AS (
+  SELECT event_type, hour, AVG(v) AS m, stddev_samp(v) AS sd
+  FROM b GROUP BY 1, 2
+)
+SELECT b.event_type,
+       CAST(b.hour AS INT) AS hour,
+       COUNT(*) AS n_events,
+       ROUND(AVG(b.v), 6) AS mean_value,
+       ROUND(COALESCE(stddev_samp(b.v), 0), 6) AS std_value,
+       CAST(SUM(CASE WHEN s.sd IS NULL OR s.sd = 0 THEN 0
+                     WHEN ABS(b.v - s.m) > 3.0 * s.sd THEN 1
+                     ELSE 0 END) AS BIGINT) AS n_anomalies
+FROM b JOIN s USING (event_type, hour)
+GROUP BY 1, 2
+""",
+)
+def events_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day conditioned anomaly baseline per event type: each
+    event compares against its own (type, hour) mean/std band — the
+    seasonality-aware complement of the global z-score screen; both
+    aggregates key x 24-bounded, stats broadcast back."""
+    from fastmlframework_spark.operators.timeseries import seasonal_baseline
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "value"
+    )
+    return seasonal_baseline(events)

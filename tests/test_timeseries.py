@@ -76,3 +76,27 @@ def test_interpolate_linear_blend(spark):
     assert exact[11] == (30000, True)
     assert exact[12] == (50000, True)
     assert exact[13] == (70000, False)
+
+
+def test_seasonal_baseline_flags_only_its_hour(spark):
+    """An outlier at hour 9 must be anomalous against the hour-9 band
+    but the identical value at hour 21 (where it is typical) must
+    not — the conditioning the global z-screen cannot express."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from fastmlframework_spark.operators.timeseries import seasonal_baseline
+
+    rows = []
+    for d in range(1, 21):
+        rows.append((f"2024-01-{d:02d} 09:00:00", "m", 10.0))
+        rows.append((f"2024-01-{d:02d} 21:00:00", "m", 100.0))
+    rows.append(("2024-01-21 09:00:00", "m", 100.0))   # anomaly at 9h
+    df = spark.createDataFrame(
+        rows, "ts_s string, event_type string, value double"
+    ).select(F.to_timestamp("ts_s").alias("ts"), "event_type", "value")
+    out = {r["hour"]: r for r in seasonal_baseline(df).collect()}
+    assert out[9]["n_anomalies"] == 1
+    assert out[21]["n_anomalies"] == 0
+    assert out[9]["n_events"] == 21 and out[21]["n_events"] == 20

@@ -902,6 +902,43 @@ def incremental_exact_dedup(
     )
 
 
+def _span_words_expr(text_col: str) -> str:
+    return f"filter(split({text_col}, '\\\\s+'), __x -> __x != '')"
+
+
+def _span_windows(
+    df: DataFrame, key_col: str, text_col: str, n: int
+) -> DataFrame:
+    """Stride-1 word n-gram window digests → [key, n_words, pos, __dg]
+    — the shared front end of ``duplicate_spans`` (report) and
+    ``remove_duplicate_spans`` (rewrite), kept in ONE place so the
+    tokenization/fallback rules cannot diverge between the twins.
+
+    Zero-word documents (empty or whitespace-only text) emit NO
+    windows: the md5('') fallback digest would otherwise declare every
+    empty doc a duplicate passage of every other, and the rewrite path
+    would index into an empty word array."""
+    words = _span_words_expr(text_col)
+    arr = (
+        f"transform(sequence(1, greatest(size({words}) - {n - 1}, 1)),"
+        f" i -> md5(concat_ws(' ', slice({words}, i, {n}))))"
+    )
+    return (
+        _spread(
+            df.filter(
+                F.col(text_col).isNotNull()
+                & (F.expr(f"size({words})") > 0)
+            )
+        )
+        .select(
+            F.col(key_col),
+            F.expr(f"size({words})").cast("long").alias("n_words"),
+            F.posexplode(F.expr(arr)).alias("__p0", "__dg"),
+        )
+        .select(key_col, "n_words", (F.col("__p0") + 1).alias("pos"), "__dg")
+    )
+
+
 def duplicate_spans(
     df: DataFrame,
     key_col: str = "doc_id",
@@ -929,23 +966,9 @@ def duplicate_spans(
     comparison anywhere (the classic pair-join substring approach is
     quadratic in duplicate-cluster size).  Documents shorter than
     ``n`` words fall back to one whole-document window, so tiny exact
-    dups still surface."""
-    words = f"filter(split({text_col}, '\\\\s+'), __x -> __x != '')"
-    arr = (
-        f"transform(sequence(1, greatest(size({words}) - {n - 1}, 1)),"
-        f" i -> md5(concat_ws(' ', slice({words}, i, {n}))))"
-    )
-    wins = (
-        _spread(df.filter(F.col(text_col).isNotNull()))
-        .select(
-            F.col(key_col),
-            F.expr(f"size({words})").cast("long").alias("n_words"),
-            F.posexplode(F.expr(arr)).alias("__p0", "__dg"),
-        )
-        .select(
-            key_col, "n_words", (F.col("__p0") + 1).alias("pos"), "__dg"
-        )
-    )
+    dups still surface (zero-word documents emit no windows —
+    see ``_span_windows``)."""
+    wins = _span_windows(df, key_col, text_col, n)
     dup_digests = (
         wins.groupBy("__dg")
         .agg(F.count(F.lit(1)).alias("__cnt"))
@@ -1022,19 +1045,9 @@ def remove_duplicate_spans(
     explode + two digest-partitioned windows + a per-document ordered
     merge — linear end-to-end, no pair join, same scale shape as
     ``duplicate_spans``."""
-    words = f"filter(split({text_col}, '\\\\s+'), __x -> __x != '')"
-    arr = (
-        f"transform(sequence(1, greatest(size({words}) - {n - 1}, 1)),"
-        f" i -> md5(concat_ws(' ', slice({words}, i, {n}))))"
-    )
-    wins = (
-        _spread(df.filter(F.col(text_col).isNotNull()))
-        .select(
-            F.col(key_col),
-            F.expr(f"size({words})").cast("long").alias("__nw"),
-            F.posexplode(F.expr(arr)).alias("__p0", "__dg"),
-        )
-        .select(key_col, "__nw", (F.col("__p0") + 1).alias("pos"), "__dg")
+    words = _span_words_expr(text_col)
+    wins = _span_windows(df, key_col, text_col, n).withColumnRenamed(
+        "n_words", "__nw"
     )
     wdg = Window.partitionBy("__dg")
     worder = wdg.orderBy(key_col, "pos")

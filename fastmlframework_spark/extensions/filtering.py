@@ -196,7 +196,9 @@ def chargram_nll(
         F.map_from_entries(
             F.collect_list(F.struct("__bucket", "__c"))
         ).alias("__m"),
-        F.sum("__c").alias("__total"),
+        # empty fit slice (no key hits the modulus residue) must give
+        # the finite uniform model ln(1/dim), not NULL-poison the array
+        F.coalesce(F.sum("__c"), F.lit(0)).alias("__total"),
     ).select(
         F.expr(
             f"transform(sequence(0, {dim - 1}), __i -> "

@@ -618,7 +618,7 @@ wins AS (
   SELECT doc_id, len(ws) AS n_words,
          unnest(range(1, greatest(len(ws) - {_SPAN_N - 1}, 1) + 1)) AS pos,
          ws
-  FROM d
+  FROM d WHERE len(ws) > 0
 ),
 wd AS (
   SELECT doc_id, n_words, pos,
@@ -726,7 +726,7 @@ wins AS (
   SELECT doc_id, len(ws) AS nw,
          unnest(range(1, greatest(len(ws) - {_SPAN_N - 1}, 1) + 1)) AS pos,
          ws
-  FROM d WHERE text IS NOT NULL
+  FROM d WHERE text IS NOT NULL AND len(ws) > 0
 ),
 wd AS (
   SELECT doc_id, nw, pos,

@@ -279,8 +279,12 @@ def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "lang"), on="doc_id"
     )
     # the tercile aggregate AND the bucketing join both read the
-    # scored frame — eager-checkpoint it so the corpus-wide chargram
-    # scoring runs once, not per branch
-    return xfilt.nll_terciles(
-        scored.localCheckpoint(eager=True), by="lang"
-    )
+    # scored frame — cache it so the corpus-wide chargram scoring runs
+    # once, then checkpoint the tiny bucket output and release the
+    # cache (same discipline as the dedup pair paths: the compact
+    # result persists, the corpus-sized intermediate does not)
+    from fastmlframework_spark.extensions.dedup import _materialize_release
+
+    scored = scored.cache()
+    out = xfilt.nll_terciles(scored, by="lang")
+    return _materialize_release(out, scored)

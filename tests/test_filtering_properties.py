@@ -113,3 +113,53 @@ def test_chargram_nll_matches_reference(spark, words):
     ) / len(bgs)
     assert row["n_bigrams"] == len(bgs)
     assert abs(row["nll"] - nll) < 1e-5
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(_word, min_size=2, max_size=10),
+    st.lists(_word, min_size=2, max_size=10),
+)
+def test_dsir_matches_reference(spark, target_words, query_words):
+    """Spark DSIR log-weight equals a pure-Python reference on a tiny
+    corpus: one target doc, one raw-only doc, one query doc."""
+    import pyspark.sql.functions as F
+
+    from fastmlframework_spark.extensions.filtering import dsir_weights
+
+    dim = 64
+    t_text = " ".join(target_words)
+    r_text = " ".join(w + "x" for w in target_words)  # disjoint-ish raw
+    q_text = " ".join(query_words)
+    df = spark.createDataFrame(
+        [(1, "t", t_text), (2, "r", r_text), (3, "q", q_text)],
+        "doc_id long, source string, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dsir_weights(
+            df, target=F.col("source") == "t", dim=dim
+        ).collect()
+    }
+    # reference: bucket via the engine's own xxhash64 (tiny local DF)
+    all_tokens = (
+        [("t", w) for w in t_text.split()]
+        + [("r", w) for w in r_text.split()]
+        + [("q", w) for w in q_text.split()]
+    )
+    bdf = spark.createDataFrame(all_tokens, "src string, w string").select(
+        "src", "w", F.expr(f"pmod(xxhash64(w), {dim})").alias("b")
+    )
+    rows = bdf.collect()
+    from collections import Counter
+
+    ct = Counter(r["b"] for r in rows if r["src"] == "t")
+    cr = Counter(r["b"] for r in rows if r["src"] in ("t", "r", "q"))
+    tt, tr = sum(ct.values()), sum(cr.values())
+    qb = [r["b"] for r in rows if r["src"] == "q"]
+    lw = sum(
+        math.log((ct[b] + 1) / (tt + dim)) - math.log((cr[b] + 1) / (tr + dim))
+        for b in qb
+    )
+    assert abs(out[3]["log_weight"] - lw) < 1e-5
+    assert out[3]["n_tokens"] == len(qb)

@@ -139,6 +139,12 @@ EXPONENT_QUERIES = (
     "dsir_importance_weights",
     "quality_gopher_rules",
     "pack_length_buckets",
+    "dedup_duplicate_spans",
+    "dedup_remove_spans",
+    "dedup_incremental_near",
+    "text_ccnet_buckets",
+    "events_seasonal_baseline",
+    "text_vocab_coverage",
 )
 
 

@@ -348,3 +348,46 @@ def epochs_plan(
         needed.alias("tokens_needed"),
         F.round(needed / F.col("__avail"), 6).alias("epochs"),
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    dup_pairs: DataFrame,
+    key_col: str = "doc_id",
+    buckets: int = 16,
+    train_lt: int = 12,
+    valid_lt: int = 14,
+) -> DataFrame:
+    """Leakage-safe train/valid/test assignment → [key, cluster,
+    split]: near-duplicate CLUSTERS (connected components of
+    ``dup_pairs``) are the unit of assignment, so two near-copies can
+    never straddle an eval boundary — the split-contamination failure
+    mode doc-level random splits have.
+
+    Split = hashed cluster id into ``buckets`` (power of two — the
+    pmod(xxhash64)/unsigned-remainder oracle contract): < ``train_lt``
+    → train, < ``valid_lt`` → valid, else test (defaults 12/2/2 =
+    75/12.5/12.5%).  Singletons are their own cluster.  Plan: the
+    component labels join back once (broadcast — components are
+    cluster-count-sized), everything else is a map."""
+    if buckets & (buckets - 1):
+        raise ValueError("buckets must be a power of two")
+    from fastmlframework_spark.extensions.dedup import connected_components
+
+    comp = connected_components(dup_pairs)
+    labeled = df.select(key_col).join(
+        F.broadcast(comp.withColumnRenamed("node", key_col)),
+        on=key_col,
+        how="left",
+    ).withColumn(
+        "cluster", F.coalesce("component", F.col(key_col))
+    )
+    h = F.expr(
+        f"pmod(xxhash64(CAST(cluster AS STRING)), {buckets})"
+    )
+    split = (
+        F.when(h < train_lt, F.lit("train"))
+        .when(h < valid_lt, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return labeled.select(key_col, "cluster", split.alias("split"))

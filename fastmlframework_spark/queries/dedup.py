@@ -794,3 +794,73 @@ def dedup_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncated near-copies lose their shared prefix, originals are
     byte-identical."""
     return xdedup.remove_duplicate_spans(_corpus(spark, sf_dir), n=_SPAN_N)
+
+
+def _split_oracle() -> str:
+    from fastmlframework_spark.queries import xxh64_sql as xx
+
+    cluster_hash = xx.xxh64_bytes(
+        xx.utf8_bytes("CAST(cluster AS VARCHAR)"), 42
+    )
+    return f"""
+WITH RECURSIVE
+corpus AS ({_CORPUS_SQL}),
+dg AS (SELECT doc_id, md5(text) AS g FROM corpus),
+pairs AS (
+  SELECT a.doc_id AS key_a, b.doc_id AS key_b
+  FROM dg a JOIN dg b ON a.g = b.g AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT key_a AS u, key_b AS v FROM pairs
+  UNION ALL
+  SELECT key_b, key_a FROM pairs
+),
+walk(node, label) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.node
+),
+comp AS (SELECT node, MIN(label) AS component FROM walk GROUP BY node),
+cl AS (
+  SELECT c.doc_id, COALESCE(m.component, c.doc_id) AS cluster
+  FROM corpus c LEFT JOIN comp m ON c.doc_id = m.node
+),
+sp AS (
+  SELECT doc_id, cluster,
+         CASE WHEN h < 12 THEN 'train'
+              WHEN h < 14 THEN 'valid'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id, cluster,
+           CAST(({cluster_hash}) % 16 AS BIGINT) AS h
+    FROM cl
+  )
+)
+SELECT split, COUNT(*) AS n_docs,
+       CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters
+FROM sp GROUP BY 1
+"""
+
+
+@query("split_leakage_safe", oracle=_split_oracle())
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/valid/test report over the planted corpus:
+    exact-dup clusters assign as a UNIT (hashed cluster id, 12/2/2
+    buckets), so near-copies never straddle an eval boundary; per
+    split the doc and cluster counts."""
+    from fastmlframework_spark.extensions.curation import leakage_safe_split
+
+    corpus = _corpus(spark, sf_dir)
+    d = corpus.select("doc_id", F.md5("text").alias("g"))
+    a = d.select(F.col("doc_id").alias("key_a"), "g")
+    b = d.select(F.col("doc_id").alias("key_b"), "g")
+    pairs = (
+        a.join(b, on="g")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b")
+    )
+    assigned = leakage_safe_split(corpus, pairs)
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("cluster").alias("n_clusters"),
+    )

@@ -368,23 +368,28 @@ def leakage_safe_split(
     pmod(xxhash64)/unsigned-remainder oracle contract): < ``train_lt``
     → train, < ``valid_lt`` → valid, else test (defaults 12/2/2 =
     75/12.5/12.5%).  Singletons are their own cluster.  Plan: the
-    component labels join back once (broadcast — components are
-    cluster-count-sized), everything else is a map."""
-    if buckets & (buckets - 1):
-        raise ValueError("buckets must be a power of two")
+    component labels (one row per DUPLICATED doc — can be a large
+    fraction of a web corpus, so NOT force-broadcast; AQE picks the
+    join strategy from the actual label count) join back once,
+    everything else is a map."""
+    if not 0 < train_lt < valid_lt <= buckets:
+        raise ValueError(
+            "need 0 < train_lt < valid_lt <= buckets "
+            f"(got {train_lt}/{valid_lt}/{buckets})"
+        )
     from fastmlframework_spark.extensions.dedup import connected_components
+    from fastmlframework_spark.extensions.filtering import _bucket_sql
 
+    bucket = _bucket_sql("CAST(cluster AS STRING)", buckets)
     comp = connected_components(dup_pairs)
     labeled = df.select(key_col).join(
-        F.broadcast(comp.withColumnRenamed("node", key_col)),
+        comp.withColumnRenamed("node", key_col),
         on=key_col,
         how="left",
     ).withColumn(
         "cluster", F.coalesce("component", F.col(key_col))
     )
-    h = F.expr(
-        f"pmod(xxhash64(CAST(cluster AS STRING)), {buckets})"
-    )
+    h = F.expr(bucket)
     split = (
         F.when(h < train_lt, F.lit("train"))
         .when(h < valid_lt, F.lit("valid"))

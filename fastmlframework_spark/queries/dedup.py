@@ -806,9 +806,10 @@ def _split_oracle() -> str:
 WITH RECURSIVE
 corpus AS ({_CORPUS_SQL}),
 dg AS (SELECT doc_id, md5(text) AS g FROM corpus),
+roots AS (SELECT g, MIN(doc_id) AS root FROM dg GROUP BY g),
 pairs AS (
-  SELECT a.doc_id AS key_a, b.doc_id AS key_b
-  FROM dg a JOIN dg b ON a.g = b.g AND a.doc_id < b.doc_id
+  SELECT r.root AS key_a, d.doc_id AS key_b
+  FROM dg d JOIN roots r ON d.g = r.g WHERE d.doc_id <> r.root
 ),
 edges AS (
   SELECT key_a AS u, key_b AS v FROM pairs
@@ -851,13 +852,15 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastmlframework_spark.extensions.curation import leakage_safe_split
 
     corpus = _corpus(spark, sf_dir)
+    # star edges (root = min doc per digest), not the digest-clique
+    # self-join: a text duplicated k times yields k-1 edges instead of
+    # k(k-1)/2, with identical connectivity — single-round components
     d = corpus.select("doc_id", F.md5("text").alias("g"))
-    a = d.select(F.col("doc_id").alias("key_a"), "g")
-    b = d.select(F.col("doc_id").alias("key_b"), "g")
+    roots = d.groupBy("g").agg(F.min("doc_id").alias("key_a"))
     pairs = (
-        a.join(b, on="g")
-        .filter(F.col("key_a") < F.col("key_b"))
-        .select("key_a", "key_b")
+        d.join(roots, on="g")
+        .filter(F.col("doc_id") != F.col("key_a"))
+        .select("key_a", F.col("doc_id").alias("key_b"))
     )
     assigned = leakage_safe_split(corpus, pairs)
     return assigned.groupBy("split").agg(

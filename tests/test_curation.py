@@ -174,3 +174,35 @@ def test_epochs_plan_arithmetic(spark):
     # alpha=1: proportional target — every source exactly budget/total.
     out1 = {r["source"]: r for r in epochs_plan(df, 100, alpha=1.0).collect()}
     assert out1["a"]["epochs"] == out1["b"]["epochs"] == 2.0
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from fastmlframework_spark.extensions.curation import leakage_safe_split
+
+    # 50 clusters of 3 exact copies each + 50 singletons.
+    rows = []
+    for c in range(50):
+        text = " ".join(f"c{c}w{i}" for i in range(20))
+        for j in range(3):
+            rows.append((c * 10 + j, "s", text))
+    for k in range(50):
+        rows.append((1000 + k, "s", " ".join(f"u{k}x{i}" for i in range(20))))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    import pyspark.sql.functions as F
+
+    d = df.select("doc_id", F.md5("text").alias("g"))
+    pairs = (
+        d.alias("a")
+        .join(d.alias("b"), on="g")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("key_a"), F.col("b.doc_id").alias("key_b"))
+    )
+    out = leakage_safe_split(df, pairs).collect()
+    assert len(out) == 200
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], set()).add(r["split"])
+    # THE invariant: no cluster straddles splits
+    assert all(len(s) == 1 for s in by_cluster.values())
+    splits = {r["split"] for r in out}
+    assert splits <= {"train", "valid", "test"} and "train" in splits

@@ -31,6 +31,15 @@ from fastmlframework_spark.queries.registry import bench_queries
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # --sf 1 → /root/testdata/sf1 (CLI beats env: the env var is the
+    # driver's standing default, the flag is an explicit one-off ask).
+    args = sys.argv[1:]
+    if "--sf" in args:
+        sf_arg = args[args.index("--sf") + 1]
+        sf_dir = os.path.join(
+            os.path.dirname(sf_dir.rstrip("/") or "/root/testdata"),
+            f"sf{sf_arg}",
+        )
     sf = _sf_from_dir(sf_dir)
     # Console progress bars write \r-interleaved noise that lands in
     # the caller's stdout tail capture — off for a clean final line.
@@ -56,7 +65,10 @@ def main() -> None:
             print(f"bench: warm-up {name} failed: {exc}", file=sys.stderr)
     spark.catalog.clearCache()
 
-    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    # Best-of-3 by default: round-4's only >1.5× vs-r3 delta was pure
+    # session variance (same code, 2.30 s builder vs 4.16 s driver);
+    # three passes bound single-pass scheduling/GC noise to ~15%.
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     for name in sorted(queries):
         best = None
@@ -105,7 +117,25 @@ def main() -> None:
         # File + stderr only — an unwritable checkout must never cost
         # the stdout contract line after all queries already ran.
         print(f"bench: BENCH_FULL.json write failed: {exc}", file=sys.stderr)
+    _regenerate_registry_report(here)
     print(_final_line(timings, ok, sf), flush=True)
+
+
+def _regenerate_registry_report(here: str) -> None:
+    """Self-heal the COVERAGE.md/README registry block at round close:
+    the driver writes CORRECTNESS_r{N}.json AFTER the builder's last
+    commit, so a block committed mid-round goes stale the moment the
+    driver lands its artifact (this is exactly how round 4 ended with
+    one red doc-drift test).  bench.py runs at round close — past the
+    last driver artifact — so regenerating here keeps the committed
+    block current.  Never interferes with the stdout contract."""
+    try:
+        sys.path.insert(0, os.path.join(here, "tools"))
+        import registry_report
+
+        registry_report.rewrite()
+    except Exception as exc:
+        print(f"bench: registry report regen failed: {exc}", file=sys.stderr)
 
 
 def _final_line(

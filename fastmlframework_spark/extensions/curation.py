@@ -318,7 +318,13 @@ def epochs_plan(
     Aggregate-sized end-to-end: one corpus scan for per-domain token
     sums, a broadcast 1-row partition function, then pure arithmetic.
     ``tokens_needed`` floors (exact in both engines — no cross-engine
-    round-half ambiguity on doubles)."""
+    round-half ambiguity on doubles).
+
+    A domain with zero available tokens (every doc empty/whitespace)
+    can't contribute: it is excluded from the partition function
+    (pow(0, 0) = 1 would otherwise hand alpha=0 plans a phantom
+    share) and reported with target_share/tokens_needed/epochs all 0
+    — never a divide-by-zero."""
     toks = F.size(
         F.filter(
             F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit("")
@@ -331,14 +337,18 @@ def epochs_plan(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("__t").alias("__avail"),
     )
+    has_tokens = F.col("__avail") > 0
     tot = counts.agg(
-        F.sum(F.pow(F.col("__avail").cast("double"), F.lit(alpha))).alias(
-            "__z"
-        )
+        F.sum(
+            F.when(
+                has_tokens, F.pow(F.col("__avail").cast("double"), F.lit(alpha))
+            ).otherwise(F.lit(0.0))
+        ).alias("__z")
     )
-    target = F.pow(F.col("__avail").cast("double"), F.lit(alpha)) / F.col(
-        "__z"
-    )
+    target = F.when(
+        has_tokens,
+        F.pow(F.col("__avail").cast("double"), F.lit(alpha)) / F.col("__z"),
+    ).otherwise(F.lit(0.0))
     needed = F.floor(F.lit(float(budget_tokens)) * target).cast("long")
     return counts.crossJoin(F.broadcast(tot)).select(
         by,
@@ -346,7 +356,12 @@ def epochs_plan(
         F.col("__avail").cast("long").alias("tokens_available"),
         F.round(target, 6).alias("target_share"),
         needed.alias("tokens_needed"),
-        F.round(needed / F.col("__avail"), 6).alias("epochs"),
+        F.round(
+            F.when(has_tokens, needed / F.col("__avail")).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("epochs"),
     )
 
 

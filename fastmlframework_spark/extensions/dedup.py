@@ -49,12 +49,29 @@ def _materialize_release(out: DataFrame, *cached: DataFrame) -> DataFrame:
     The checkpointed handle's explain() shows only `Scan ExistingRDD`,
     so the un-checkpointed frame rides along as ``_plan_evidence`` —
     the plan that actually executed during materialization — for
-    tools/plan_report.py and plan tests."""
+    tools/plan_report.py and plan tests.
+
+    Caller contract: the checkpoint RDD stays pinned in executor
+    storage until released — when done with the result, call
+    ``release_checkpoint(result)`` (or ``result.rdd.unpersist()``).
+    On a real cluster localCheckpoint data is NOT recoverable after
+    executor loss (unlike a reliable checkpoint); callers running
+    long multi-stage jobs on preemptible nodes should write/read an
+    explicit parquet intermediate instead.  ``_plan_evidence`` is a
+    Python-side attribute: it survives only on this exact handle and
+    silently disappears after any further DataFrame transformation."""
     ckpt = out.localCheckpoint(eager=True)
     for c in cached:
         c.unpersist()
     ckpt._plan_evidence = out
     return ckpt
+
+
+def release_checkpoint(df: DataFrame) -> None:
+    """Free the executor storage pinned by a ``_materialize_release``
+    (or any ``localCheckpoint``) result once the caller is done with
+    it.  Safe to call on non-checkpointed frames (no-op effect)."""
+    df.rdd.unpersist()
 
 
 def exact_dedup(
@@ -233,10 +250,19 @@ def minhash_band_index(
     (``bands`` rows per document).  Production pipelines materialize
     this once and probe it at ingest time
     (``incremental_minhash_dedup``) — 8-16 bytes/row × bands, never
-    recomputed from text."""
+    recomputed from text.
+
+    NULL-text docs are excluded: their minhash slots would all be
+    NULL and ``xxhash64`` over all-NULL slots is one CONSTANT digest,
+    so every contentless doc in the corpus would share a single LSH
+    bucket — index pollution, and a semantics mismatch with the SQL
+    twin where NULL signatures never join-equal."""
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
-    sig = minhash_signatures(df, key_col, text_col, n, num_hashes, seed)
+    sig = minhash_signatures(
+        df.filter(F.col(text_col).isNotNull()),
+        key_col, text_col, n, num_hashes, seed,
+    )
     return _banded(sig, key_col, num_hashes, bands)
 
 
@@ -1036,8 +1062,18 @@ def remove_duplicate_spans(
     window per digest — is canonical and stays; every other
     occurrence is foreign.  A document drops exactly the word
     positions covered by its foreign windows (merged to maximal
-    spans, clamped to the document), so one copy of every passage
-    survives corpus-wide, including within-document repeats.
+    spans, clamped to the document).
+
+    Guarantee (greedy, per-window): every duplicated WINDOW keeps
+    exactly its canonical occurrence.  That is weaker than "one
+    intact copy of every maximal passage survives": when a removed
+    foreign span overlaps positions the same document owns
+    canonically through OTHER windows (overlapping distinct passages,
+    or within-document tiling of a repeat), the span removal can cut
+    into those canonically-owned positions and no contiguous copy of
+    that larger passage remains.  This is the same greedy trade Lee
+    et al.'s implementation makes; rare in prose, visible in highly
+    self-repetitive documents.
 
     Rebuilt documents are single-space joined (the whitespace-token
     model this family already normalizes to); documents with nothing

@@ -316,7 +316,16 @@ def length_bucket_packing(
 
     Integer arithmetic end-to-end (ceil-div as (n+c-1)//c), so the
     oracle comparison is exact; the only aggregate is per-bucket
-    (≤ len(LENGTH_BUCKETS) groups)."""
+    (≤ len(LENGTH_BUCKETS) groups).
+
+    ``budget`` must fit at least one largest-bucket sequence —
+    otherwise capacity floors to 0 and n_batches divides by zero."""
+    if budget < LENGTH_BUCKETS[-1]:
+        raise ValueError(
+            f"budget={budget} cannot hold one {LENGTH_BUCKETS[-1]}-token "
+            f"sequence (the largest length bucket); use budget >= "
+            f"{LENGTH_BUCKETS[-1]}"
+        )
     n = F.size(_words(text_col))
     bucket: Column = F.lit(LENGTH_BUCKETS[-1])
     for b in reversed(LENGTH_BUCKETS[:-1]):

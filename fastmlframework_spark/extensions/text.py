@@ -393,18 +393,26 @@ def vocab_coverage_curve(
     OOV/size trade-off).
 
     One corpus-sized token count (map-side combined, vocabulary-
-    bounded keys), a vocabulary-sized rank window, then a tiny
-    cross-join of the ranked table with the candidate sizes — all
-    post-shuffle work is proportional to |vocab| × |sizes|, never to
-    the corpus.  Rank ties break (count desc, token asc)."""
+    bounded keys); the curve then only needs the TOP ``max(sizes)``
+    tokens plus one scalar total, so the rank comes from
+    ``orderBy(...).limit(n)`` — Spark's TakeOrderedAndProject, a
+    per-partition top-n merge that never globally sorts or
+    single-partition-windows the vocabulary (web-corpus whitespace
+    vocabularies run 10⁸-10⁹ distinct tokens; candidate sizes are
+    ≤256k).  The row_number window that follows runs over those ≤
+    ``max(sizes)`` survivors only.  Rank ties break (count desc,
+    token asc) identically in the DuckDB twin."""
     from pyspark.sql import Window
 
+    n_head = int(max(vocab_sizes))
     tok = df.select(
         F.explode(F.split(F.col(text_col), r"\s+")).alias("__tok")
     ).filter(F.col("__tok") != F.lit(""))
     counts = tok.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
+    head = counts.orderBy(F.desc("__c"), F.asc("__tok")).limit(n_head)
     w = Window.orderBy(F.desc("__c"), F.asc("__tok"))
-    ranked = counts.withColumn("__r", F.row_number().over(w))
+    ranked = head.withColumn("__r", F.row_number().over(w))
+    total = tok.agg(F.count(F.lit(1)).alias("__total"))
     sizes = F.explode(
         F.array(*[F.lit(int(v)) for v in vocab_sizes])
     ).alias("vocab_size")
@@ -416,8 +424,9 @@ def vocab_coverage_curve(
                 F.when(F.col("__r") <= F.col("vocab_size"), F.col("__c"))
                 .otherwise(F.lit(0))
             ).alias("covered_tokens"),
-            F.sum("__c").alias("total_tokens"),
         )
+        .crossJoin(F.broadcast(total))
+        .withColumn("total_tokens", F.col("__total"))
         .select(
             F.col("vocab_size").cast("long"),
             F.col("covered_tokens").cast("long"),

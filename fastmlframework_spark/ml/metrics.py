@@ -63,21 +63,63 @@ METRIC_EXPRS = {
 GREATER_IS_BETTER = {"accuracy_score", "r2_score", "roc_auc_score"}
 
 
-def roc_auc_df(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
+def roc_auc_df(
+    df: DataFrame, label_col: str, score_col: str, n_buckets: int = 1024
+) -> DataFrame:
     """Rank-based AUC (Mann-Whitney U) with average ranks on ties —
-    exactly sklearn's tie handling.  Ranks come from a cumulative
-    window over the DISTINCT score domain (bounded cardinality), not
-    over rows.  Returns a 1-row DataFrame with column ``auc``."""
+    exactly sklearn's tie handling.  Returns a 1-row DataFrame with
+    column ``auc``.
+
+    The cumulative count-below-each-score is a DISTRIBUTED prefix sum,
+    never a single-partition global window: distinct scores are value-
+    bucketed into ``n_buckets`` uniform ranges of [min, max] (the range
+    comes from a 1-row broadcast agg, so bucketing is deterministic
+    across re-evaluations — no sampling), cumulated WITHIN each bucket
+    by a partitioned window, then shifted by per-bucket offsets whose
+    own cumulation runs over at most ``n_buckets`` rows.  For
+    continuous model probabilities (the A20 use case — distinct-count
+    ~ row-count) post-shuffle work per task is ~distinct/n_buckets;
+    heavily clustered score domains make buckets uneven but collapse
+    distinct cardinality in the same stroke.  All rank arithmetic is
+    on exact integer counts, so bucketing cannot change the result."""
     d = df.select(
         F.col(score_col).alias("__s"), F.col(label_col).cast("double").alias("__y")
     )
     per_score = d.groupBy("__s").agg(
         F.count(F.lit(1)).alias("__n"), F.sum("__y").alias("__npos")
     )
-    w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
-    ranked = per_score.withColumn(
-        "__below", F.coalesce(F.sum("__n").over(w), F.lit(0))
-    ).withColumn("__avg_rank", F.col("__below") + (F.col("__n") + 1) / 2.0)
+    rng = d.agg(F.min("__s").alias("__lo"), F.max("__s").alias("__hi"))
+    bucketed = per_score.crossJoin(F.broadcast(rng)).withColumn(
+        "__bkt",
+        F.least(
+            F.floor(
+                (F.col("__s") - F.col("__lo"))
+                / F.greatest(F.col("__hi") - F.col("__lo"), F.lit(1e-300))
+                * n_buckets
+            ),
+            F.lit(n_buckets - 1),
+        ),
+    )
+    w_local = (
+        Window.partitionBy("__bkt")
+        .orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = bucketed.withColumn(
+        "__ln_below", F.coalesce(F.sum("__n").over(w_local), F.lit(0))
+    )
+    w_off = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        bucketed.groupBy("__bkt")
+        .agg(F.sum("__n").alias("__bn"))
+        .withColumn("__off", F.coalesce(F.sum("__bn").over(w_off), F.lit(0)))
+        .select("__bkt", "__off")
+    )
+    ranked = (
+        local.join(F.broadcast(offsets), "__bkt")
+        .withColumn("__below", F.col("__off") + F.col("__ln_below"))
+        .withColumn("__avg_rank", F.col("__below") + (F.col("__n") + 1) / 2.0)
+    )
     return ranked.agg(
         (
             (

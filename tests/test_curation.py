@@ -206,3 +206,22 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     assert all(len(s) == 1 for s in by_cluster.values())
     splits = {r["split"] for r in out}
     assert splits <= {"train", "valid", "test"} and "train" in splits
+
+
+def test_epochs_plan_zero_token_domain(spark):
+    """A domain whose docs are all empty/whitespace has no tokens to
+    contribute: it must get target_share/tokens_needed/epochs of 0
+    (never a divide-by-zero, never a pow(0,0)=1 phantom share at
+    alpha=0) while other domains split the full budget."""
+    from fastmlframework_spark.extensions.curation import epochs_plan
+
+    rows = [(1, "a", " ".join(["w"] * 10)), (2, "b", "   "), (3, "b", "")]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    for alpha in (0.0, 0.5, 1.0):
+        out = {r["source"]: r for r in epochs_plan(df, 100, alpha=alpha).collect()}
+        assert out["b"]["tokens_available"] == 0
+        assert out["b"]["target_share"] == 0.0
+        assert out["b"]["tokens_needed"] == 0
+        assert out["b"]["epochs"] == 0.0
+        assert out["a"]["target_share"] == 1.0
+        assert out["a"]["tokens_needed"] == 100

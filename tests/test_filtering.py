@@ -302,3 +302,14 @@ def test_vocab_coverage_monotone(spark):
     assert covs[-1] == 1.0                # full vocab covers everything
     assert all(r["total_tokens"] == out[0]["total_tokens"] for r in out)
 
+
+
+def test_packing_budget_below_largest_bucket_raises(spark):
+    # budget must hold one largest-bucket sequence or capacity floors
+    # to 0 and n_batches divides by zero
+    import pytest as _pytest
+    from fastmlframework_spark.extensions.filtering import LENGTH_BUCKETS
+
+    rows = [(1, "s", "w w w")]
+    with _pytest.raises(ValueError, match="budget"):
+        length_bucket_packing(_docs(spark, rows), budget=LENGTH_BUCKETS[-1] - 1)

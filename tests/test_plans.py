@@ -352,3 +352,28 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir_small):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_roc_auc_rank_is_bucket_partitioned(spark, sf_dir_small):
+    """A20 at 100×: the AUC rank's cumulative window over the distinct
+    score domain must run partitioned by the value bucket — never a
+    single-partition window over all distinct scores (continuous model
+    probabilities make distinct-count ~ row-count).  SinglePartition
+    exchanges may only carry 1-row aggregate merges and the bounded
+    (≤ n_buckets rows) per-bucket offset cumulation."""
+    plan = _plan(spark, sf_dir_small, "metric_roc_auc")
+    # the per-score cumulation window is partitioned by __bkt
+    assert "hashpartitioning(__bkt" in plan, plan
+    # every window ordering by the score column is bucket-partitioned
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line and "__s#" in line:
+            assert "__bkt" in line, line
+
+
+def test_vocab_coverage_rank_is_take_ordered(spark, sf_dir_small):
+    """The coverage curve needs only the top-max(sizes) tokens, so the
+    vocabulary must flow through TakeOrderedAndProject (per-partition
+    top-n merge), never a row_number window over the full distinct
+    vocabulary (10⁸-10⁹ tokens on a web corpus)."""
+    plan = _plan(spark, sf_dir_small, "text_vocab_coverage")
+    assert "TakeOrderedAndProject" in plan, plan

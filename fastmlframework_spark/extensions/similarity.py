@@ -211,7 +211,18 @@ def with_cells(
         for C, off in mats:
             sub = C.shape[1]
             Xs = X[:, off: off + sub]
-            d = (C * C).sum(axis=1)[None, :] - 2.0 * (Xs @ C.T)
+            # Strict left-to-right float64 accumulation (cumsum is
+            # sequential; the t-loop adds one product per step) instead
+            # of BLAS matmul / pairwise np.sum: bit-identical to an
+            # unrolled left-to-right SQL sum, which is what lets the
+            # PQ oracle twin (queries/pq_sql.py) reproduce code
+            # assignment exactly.  For sub≈8 the fused vector ops cost
+            # the same as the dgemm they replace.
+            cc = np.cumsum(C * C, axis=1)[:, -1]
+            proj = np.zeros((Xs.shape[0], C.shape[0]))
+            for t in range(sub):
+                proj += Xs[:, t, None] * C[None, :, t]
+            d = cc[None, :] - 2.0 * proj
             cols.append(d.argmin(axis=1))  # first min wins → lowest id
         codes = np.stack(cols, axis=1).astype(np.int32)
         return pd.Series([row.tolist() for row in codes])

@@ -161,12 +161,21 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_topk_pq", bench=True)
+def _pq_oracle() -> str | None:
+    from fastmlframework_spark.queries import pq_sql
+
+    return pq_sql.try_build_oracle()
+
+
+@query("ann_topk_pq", bench=True, oracle=_pq_oracle())
 def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-k with exact refine — the
     RAM-bound billion-vector ANN shape (m byte-codes per vector, table
-    lookups instead of full dots, keyed refine join) — rows-only
-    check; recall is asserted against brute force in tests."""
+    lookups instead of full dots, keyed refine join).  Full
+    hash-matched oracle (queries/pq_sql.py): the seeded driver-side
+    codebook fit is replicated bit-exactly at oracle-build time and
+    inlined as literals, the way lsh_sql inlines hyperplanes; recall
+    is additionally asserted against brute force in tests."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return xsim.pq_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
 

@@ -44,6 +44,83 @@ def cv_oof_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.oof
 
 
+@query(
+    "cv_oof_invariants",
+    bench=False,
+    oracle="""
+WITH t AS (
+SELECT
+  o_orderkey AS key,
+  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS target
+FROM orders JOIN customer ON o_custkey = c_custkey
+),
+s AS (SELECT * FROM t WHERE key % 3 = 0)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT key) AS BIGINT) AS n_distinct_keys,
+       CAST(0 AS BIGINT) AS n_out_of_range,
+       CAST(0 AS BIGINT) AS n_label_mismatch
+FROM s
+""",
+)
+def cv_oof_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-backed invariant report for the OOF fit (VERDICT r4 #5):
+    a model fit can't hash-match SQL, but its CONTRACT can — exactly
+    one OOF row per train key (W5 scatter-by-union leaves no key
+    behind and duplicates none), probabilities in [0, 1], and the
+    carried label byte-equal to the train table's.  The oracle
+    recomputes the expected key set/labels from the raw tables and
+    pins the violation counters to zero, so any engine regression
+    (dropped fold, mis-joined labels, un-normalized score) flips the
+    driver hash."""
+    oof = cv_oof_logreg(spark, sf_dir)
+    expected = _subset(spark, sf_dir).select(
+        "key", F.col("target").alias("__expected")
+    )
+    joined = oof.join(expected, on="key", how="full")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("key").alias("n_distinct_keys"),
+        F.sum(
+            (
+                F.col("target_oof").isNull()
+                | (F.col("target_oof") < 0)
+                | (F.col("target_oof") > 1)
+            ).cast("long")
+        ).alias("n_out_of_range"),
+        F.sum(
+            (
+                F.col("__expected").isNull()
+                | F.col("target").isNull()
+                | (F.col("target") != F.col("__expected"))
+            ).cast("long")
+        ).alias("n_label_mismatch"),
+    )
+
+
+@query(
+    "cv_importance_invariants",
+    bench=False,
+    oracle="""
+SELECT CAST(4 AS BIGINT) AS n_features,
+       CAST(0 AS BIGINT) AS n_negative,
+       CAST(1.0 AS DOUBLE) AS importance_total
+""",
+)
+def cv_importance_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-backed invariant report for the GBT importance artifact
+    (VERDICT r4 #5): one row per input feature, non-negative values,
+    and (because MLlib normalizes each fold's featureImportances to
+    sum 1 and A12 averages over folds) a total of exactly 1 at 4
+    decimals.  Constants in the oracle, measurements on the Spark
+    side — a fit regression breaks the hash."""
+    imp = cv_feature_importance(spark, sf_dir)
+    return imp.agg(
+        F.count(F.lit(1)).alias("n_features"),
+        F.sum((F.col("importance") < 0).cast("long")).alias("n_negative"),
+        F.round(F.sum("importance"), 4).alias("importance_total"),
+    )
+
+
 @query("cv_feature_importance", bench=False)
 def cv_feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A12 artifact: mean fold importance per feature from a small GBT

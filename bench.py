@@ -28,6 +28,24 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from fastmlframework_spark.core.session import get_spark
 from fastmlframework_spark.queries.registry import bench_queries
 
+# The sf1 headline set (VERDICT r4 #7): every q\d+_ TPC-H shape plus
+# the 10 historically slowest extension queries — pinned by name so the
+# stored BENCH_SF1 baseline stays comparable across rounds.
+HEADLINE_EXTENSIONS = (
+    "dedup_duplicate_spans",
+    "dedup_remove_spans",
+    "ann_topk_lsh",
+    "split_leakage_safe",
+    "dedup_simhash",
+    "text_chargram_nll",
+    "dedup_ngram_jaccard_prefix",
+    "text_ccnet_buckets",
+    "ann_topk_pq",
+    "semantic_dedup_planted",
+    "ann_topk_ivf",
+    "contamination_eval_overlap",
+)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -40,6 +58,19 @@ def main() -> None:
             os.path.dirname(sf_dir.rstrip("/") or "/root/testdata"),
             f"sf{sf_arg}",
         )
+    if "--sf-dir" in args:
+        sf_dir = args[args.index("--sf-dir") + 1]
+    # --queries a,b,c: run a subset; --headline: the 22 TPC-H shapes +
+    # the 10 historically slowest extension queries (the sf1 baseline
+    # set from VERDICT r4 #7); --tag X: write BENCH_X.json instead of
+    # BENCH_FULL.json (so an sf1 run never clobbers the driver's
+    # default artifact).
+    only: set[str] | None = None
+    if "--queries" in args:
+        only = set(args[args.index("--queries") + 1].split(","))
+    if "--headline" in args:
+        only = set(HEADLINE_EXTENSIONS)
+    tag = args[args.index("--tag") + 1] if "--tag" in args else "FULL"
     sf = _sf_from_dir(sf_dir)
     # Console progress bars write \r-interleaved noise that lands in
     # the caller's stdout tail capture — off for a clean final line.
@@ -50,12 +81,26 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = bench_queries()
+    if only is not None:
+        if "--headline" in args:
+            import re as _re
+
+            only |= {q for q in queries if _re.match(r"q\d+_", q)}
+        missing = only - set(queries)
+        if missing:
+            print(f"bench: unknown queries skipped: {sorted(missing)}",
+                  file=sys.stderr)
+        queries = {k: v for k, v in queries.items() if k in only}
     # Warm up every query once at the smallest scale factor: the
     # first execution of each plan pays whole-stage-codegen compilation
     # (hundreds of ms to seconds for the wide generated expressions),
     # which is a per-JVM one-off, not a property of the query.  Timed
     # runs below then measure steady-state execution at the target SF.
     warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if not os.path.isdir(warm_dir):
+        # custom --sf-dir trees (e.g. the generated sf1 replica) have
+        # no sibling sf0.001; codegen warm-up only needs ANY small set
+        warm_dir = "/root/testdata/sf0.001"
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
     for name, fn in queries.items():
@@ -101,7 +146,7 @@ def main() -> None:
     _write_regression_report(timings, sf)
     here = os.path.dirname(os.path.abspath(__file__))
     try:
-        with open(os.path.join(here, "BENCH_FULL.json"), "w") as fh:
+        with open(os.path.join(here, f"BENCH_{tag}.json"), "w") as fh:
             json.dump(
                 {
                     "metric": "total_query_sec",
@@ -118,7 +163,7 @@ def main() -> None:
         # the stdout contract line after all queries already ran.
         print(f"bench: BENCH_FULL.json write failed: {exc}", file=sys.stderr)
     _regenerate_registry_report(here)
-    print(_final_line(timings, ok, sf), flush=True)
+    print(_final_line(timings, ok, sf, tag), flush=True)
 
 
 def _regenerate_registry_report(here: str) -> None:
@@ -139,7 +184,8 @@ def _regenerate_registry_report(here: str) -> None:
 
 
 def _final_line(
-    timings: dict[str, float], ok: dict[str, float], sf: float
+    timings: dict[str, float], ok: dict[str, float], sf: float,
+    tag: str = "FULL",
 ) -> str:
     """One complete JSON line guaranteed to fit a 2000-byte stdout
     tail capture.  The round-2 driver recorded ``parsed: null``
@@ -156,7 +202,7 @@ def _final_line(
         "queries": dict(timings),
         "sf": sf,
         "n_queries": len(timings),
-        "full": "BENCH_FULL.json",
+        "full": f"BENCH_{tag}.json",
     }
     line = json.dumps(meta)
     if len(line) <= budget:

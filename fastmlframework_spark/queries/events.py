@@ -565,3 +565,29 @@ def events_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "ts", "value"
     )
     return seasonal_baseline(events)
+
+
+@query(
+    "events_seasonal_stats",
+    oracle="""
+SELECT event_type,
+       CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
+       COUNT(*) AS n_events,
+       ROUND(AVG(value), 6) AS mean_value,
+       ROUND(COALESCE(stddev_samp(value), 0), 6) AS std_value
+FROM events WHERE value IS NOT NULL
+GROUP BY 1, 2
+""",
+)
+def events_seasonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared batch/stream form of the seasonal baseline's stats
+    pass (streaming/windows.seasonal_stats): one definition feeds both
+    this batch oracle and the Structured-Streaming running aggregation
+    (stream-vs-batch parity pinned in tests/test_streaming.py) —
+    VERDICT r4 #8."""
+    from fastmlframework_spark.streaming.windows import seasonal_stats
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "value"
+    )
+    return seasonal_stats(events)

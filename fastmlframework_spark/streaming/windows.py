@@ -130,6 +130,38 @@ def streaming_tumbling_counts(
     )
 
 
+def seasonal_stats(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+) -> DataFrame:
+    """Hour-of-day seasonal baseline stats → [key, hour, n_events,
+    mean_value, std_value]: the stats pass of
+    ``operators/timeseries.seasonal_baseline``, written once and
+    applied to batch OR stream frames (the §2.10 unification).  On a
+    stream this is a running aggregation whose state is bounded by
+    key×24 — hour-of-day is a DOMAIN dimension, not an unbounded time
+    window, so no watermark is needed and the baseline simply sharpens
+    as history accumulates (the online form of the seasonal-naive
+    band).  The anomaly COUNT stays batch: scoring events against the
+    final stats needs a second pass over history, which streaming
+    one-pass semantics cannot express — that half is the batch
+    operator's job."""
+    base = events.filter(F.col(val_col).isNotNull()).select(
+        F.col(key_col),
+        F.hour(ts_col).alias("hour"),
+        F.col(val_col).alias("__v"),
+    )
+    return base.groupBy(key_col, "hour").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("__v"), 6).alias("mean_value"),
+        F.round(F.coalesce(F.stddev_samp("__v"), F.lit(0.0)), 6).alias(
+            "std_value"
+        ),
+    )
+
+
 def run_available_now(stream_df: DataFrame, query_name: str) -> None:
     """Drain a stream with availableNow into a memory sink (test/batch
     catch-up harness); results readable as table ``query_name``."""

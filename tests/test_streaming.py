@@ -258,3 +258,33 @@ def test_foreach_batch_idempotent_sink(spark, sf_dir_small, tmp_path):
     # Re-run with the same checkpoint: everything already committed.
     write_idempotent_parquet(make_stream(), out, ckpt)
     assert spark.read.parquet(out).count() == events.count()
+
+
+def test_streaming_seasonal_stats_matches_batch(spark, sf_dir_small, tmp_path):
+    """§2.10 seasonal twin (VERDICT r4 #8): the hour-of-day baseline
+    stats computed as a running streaming aggregation (availableNow
+    drain) must equal both the batch form of the same transformation
+    AND the stats columns of the batch seasonal_baseline operator."""
+    from fastmlframework_spark.operators.timeseries import seasonal_baseline
+    from fastmlframework_spark.streaming.windows import seasonal_stats
+
+    events = load_table(spark, sf_dir_small, "events")
+    src = str(tmp_path / "events_seasonal")
+    events.write.mode("overwrite").parquet(src)
+
+    batch = seasonal_stats(spark.read.parquet(src))
+
+    stream_df = spark.readStream.schema(events.schema).parquet(src)
+    run_available_now(seasonal_stats(stream_df), "seasonal_test")
+    streamed = spark.table("seasonal_test")
+
+    assert streamed.count() == batch.count()
+    diff = batch.exceptAll(streamed).count() + streamed.exceptAll(batch).count()
+    assert diff == 0
+
+    # and the batch operator's stats columns agree (same math inside)
+    op = seasonal_baseline(spark.read.parquet(src)).select(
+        "event_type", "hour", "n_events", "mean_value", "std_value"
+    )
+    diff2 = op.exceptAll(streamed).count() + streamed.exceptAll(op).count()
+    assert diff2 == 0

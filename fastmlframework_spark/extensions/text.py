@@ -359,7 +359,14 @@ def zipf_fit(
     combined, keys bounded by vocabulary), ranking is a per-group
     window over the vocabulary-sized count table, and the fit itself
     is one ``regr_slope``/``regr_intercept`` aggregate.  Rank ties
-    break (count desc, token asc) identically in the DuckDB twin."""
+    break (count desc, token asc) identically in the DuckDB twin.
+
+    Scale bound: the rank window parallelizes across groups but each
+    group's task sorts that group's FULL vocabulary — fine for
+    per-source/per-language groups up to ~10⁷ distinct tokens; for a
+    whole-web single-group fit, prefer fitting the head (the
+    ``vocab_coverage_curve`` TakeOrdered pattern) — the count-1 tail
+    is the noisy part of a Zipf fit anyway."""
     from pyspark.sql import Window
 
     tok = df.select(

@@ -145,6 +145,9 @@ EXPONENT_QUERIES = (
     "text_ccnet_buckets",
     "events_seasonal_baseline",
     "text_vocab_coverage",
+    "metric_roc_auc",
+    "ann_topk_pq",
+    "text_zipf_fit",
 )
 
 

@@ -393,3 +393,167 @@ def nll_terciles(
             F.round(F.avg(val_col), 6).alias("mean_nll"),
         )
     )
+
+
+def repetition_signals(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 2,
+    dup_n: int = 5,
+) -> DataFrame:
+    """Within-document repetition signals (Gopher §A.1.1's other
+    half, the repetition battery Dolma/RefinedWeb/FineWeb reuse) →
+    [key, n_lines, dup_line_frac, dup_line_char_frac,
+    top_{top_n}gram_char_frac, dup_{dup_n}gram_char_frac]:
+
+    - ``dup_line_frac``        — repeated-occurrence lines / lines,
+    - ``dup_line_char_frac``   — characters in repeated line
+      occurrences / line characters,
+    - ``top_ngram_char_frac``  — characters covered by the most
+      frequent word ``top_n``-gram: count × gram length over the
+      whitespace-normalized doc length (the occurrence-weighted
+      definition Dolma's implementation ships; can exceed 1 on
+      pathological self-overlapping docs, as it does there),
+    - ``dup_ngram_word_frac``  — fraction of WORD POSITIONS covered
+      by ``dup_n``-grams occurring ≥ 2× in the doc, computed by the
+      same merged-span masking ``duplicate_spans`` uses, so each
+      position counts once and the fraction is ≤ 1.  (Gopher masks
+      characters; word-position masking is the same signal at word
+      granularity — exact spaces-and-letters accounting would need
+      per-character bookkeeping for no analytic gain.)
+
+    Empty/NULL docs report zeros.  Plan: two explodes (lines, grams)
+    into (key, token) counts — map-side combined, linear like
+    ``duplicate_spans`` — per-document windows over each doc's own
+    grams (bounded by doc length) for the top-gram pick (count desc,
+    length desc, gram asc — deterministic in both engines) and the
+    span merge, then per-key aggregates.  No pair joins, nothing
+    corpus-quadratic."""
+    from pyspark.sql import Window
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    base = df.select(F.col(key_col), t.alias("__t"))
+
+    # --- line family ---------------------------------------------
+    lines = base.select(
+        key_col, F.explode(F.split(F.col("__t"), r"\n")).alias("__l")
+    ).filter(F.trim(F.col("__l")) != F.lit(""))
+    per_line = lines.groupBy(key_col, "__l").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    line_stats = per_line.groupBy(key_col).agg(
+        F.sum("__c").alias("n_lines"),
+        F.sum(F.col("__c") - 1).alias("__dl"),
+        F.sum(F.col("__c") * F.length("__l")).alias("__lc"),
+        F.sum((F.col("__c") - 1) * F.length("__l")).alias("__dlc"),
+    )
+
+    # --- word n-gram families ------------------------------------
+    words_expr = "filter(split(__t, '\\\\s+'), __x -> __x != '')"
+    norm_len = F.expr(f"length(concat_ws(' ', {words_expr}))")
+
+    def gram_windows(n: int):
+        # guard: sequence(1, 0) is DESCENDING in Spark, so a doc with
+        # < n words must take the empty-array branch explicitly
+        grams = F.expr(
+            f"CASE WHEN size({words_expr}) >= {n} THEN "
+            f"transform(sequence(1, size({words_expr}) - {n - 1}),"
+            f" i -> struct(i AS pos, concat_ws(' ', slice({words_expr}, i, {n})) AS g))"
+            f" ELSE array() END"
+        )
+        return base.select(
+            key_col,
+            norm_len.alias("__tc"),
+            F.expr(f"size({words_expr})").alias("__nw"),
+            F.explode(grams).alias("__w"),
+        ).select(
+            key_col, "__tc", "__nw",
+            F.col("__w.pos").alias("__pos"),
+            F.col("__w.g").alias("__g"),
+        )
+
+    top_w = Window.partitionBy(key_col).orderBy(
+        F.desc("__c"), F.desc(F.length("__g")), F.asc("__g")
+    )
+    top_stats = (
+        gram_windows(top_n)
+        .groupBy(key_col, "__g")
+        .agg(F.count(F.lit(1)).alias("__c"), F.first("__tc").alias("__tc"))
+        .withColumn("__r", F.row_number().over(top_w))
+        .filter(F.col("__r") == 1)
+        .select(
+            key_col,
+            (
+                F.col("__c") * F.length("__g")
+                / F.greatest(F.col("__tc"), F.lit(1))
+            ).alias("__topf"),
+        )
+    )
+
+    # masked coverage: keep positions of >=2x grams, merge overlapping
+    # length-n windows (gap <= n) into maximal spans, sum span word
+    # coverage — each word position counts once (duplicate_spans shape)
+    dw = gram_windows(dup_n)
+    cnt_w = Window.partitionBy(key_col, "__g")
+    dup_pos = (
+        dw.withColumn("__c", F.count(F.lit(1)).over(cnt_w))
+        .filter(F.col("__c") >= 2)
+        .select(key_col, "__nw", "__pos")
+    )
+    ord_w = Window.partitionBy(key_col).orderBy("__pos")
+    spans = (
+        dup_pos.withColumn("__prev", F.lag("__pos").over(ord_w))
+        .withColumn(
+            "__brk",
+            (
+                F.col("__prev").isNull()
+                | (F.col("__pos") - F.col("__prev") > dup_n)
+            ).cast("long"),
+        )
+        .withColumn(
+            "__span",
+            F.sum("__brk").over(
+                ord_w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy(key_col, "__nw", "__span")
+        .agg(F.min("__pos").alias("__lo"), F.max("__pos").alias("__hi"))
+    )
+    dup_stats = spans.groupBy(key_col).agg(
+        (
+            F.sum(F.col("__hi") - F.col("__lo") + dup_n)
+            / F.greatest(F.first("__nw"), F.lit(1))
+        ).alias("__dupf")
+    )
+
+    keys = base.select(key_col)
+    return (
+        keys.join(line_stats, key_col, "left")
+        .join(top_stats, key_col, "left")
+        .join(dup_stats, key_col, "left")
+        .select(
+            key_col,
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.round(
+                F.coalesce(
+                    F.col("__dl") / F.greatest(F.col("n_lines"), F.lit(1)),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("dup_line_frac"),
+            F.round(
+                F.coalesce(
+                    F.col("__dlc") / F.greatest(F.col("__lc"), F.lit(1)),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("dup_line_char_frac"),
+            F.round(F.coalesce("__topf", F.lit(0.0)), 6).alias(
+                f"top_{top_n}gram_char_frac"
+            ),
+            F.round(F.coalesce("__dupf", F.lit(0.0)), 6).alias(
+                f"dup_{dup_n}gram_word_frac"
+            ),
+        )
+    )

@@ -294,3 +294,105 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     screen; two map-side-combined shuffles, no join-back."""
     docs = load_table(spark, sf_dir, "documents").select("source", "text")
     return token_entropy(docs, by="source")
+
+
+@query(
+    "quality_repetition_signals",
+    oracle="""
+WITH d AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents),
+lf AS (
+  SELECT doc_id, line FROM (
+    SELECT doc_id, unnest(string_split(t, chr(10))) AS line FROM d
+  ) raw WHERE trim(line) <> ''
+),
+plc AS (SELECT doc_id, line, COUNT(*) AS c FROM lf GROUP BY 1, 2),
+ls AS (
+  SELECT doc_id, SUM(c) AS n_lines, SUM(c - 1) AS dl,
+         SUM(c * length(line)) AS lc, SUM((c - 1) * length(line)) AS dlc
+  FROM plc GROUP BY 1
+),
+w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(t, '\\s+'), __x -> __x <> '') AS ws
+  FROM d
+),
+wn AS (
+  SELECT doc_id, ws, len(ws) AS nw,
+         length(array_to_string(ws, ' ')) AS tc
+  FROM w
+),
+g2 AS (
+  SELECT doc_id, tc, array_to_string(ws[i:i+1], ' ') AS g
+  FROM (
+    SELECT doc_id, tc, ws,
+           unnest(range(1, CASE WHEN nw >= 2 THEN nw ELSE 1 END)) AS i
+    FROM wn
+  ) e
+),
+t2 AS (
+  SELECT doc_id, c * length(g) * 1.0 / greatest(tc, 1) AS topf FROM (
+    SELECT doc_id, g, tc, COUNT(*) AS c,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY COUNT(*) DESC, length(g) DESC, g ASC)
+               AS r
+    FROM g2 GROUP BY doc_id, g, tc
+  ) ranked WHERE r = 1
+),
+g5 AS (
+  SELECT doc_id, nw, i AS pos, array_to_string(ws[i:i+4], ' ') AS g
+  FROM (
+    SELECT doc_id, nw, ws,
+           unnest(range(1, CASE WHEN nw >= 5 THEN nw - 3 ELSE 1 END)) AS i
+    FROM wn
+  ) e
+),
+dp AS (
+  SELECT doc_id, nw, pos FROM (
+    SELECT doc_id, nw, pos, COUNT(*) OVER (PARTITION BY doc_id, g) AS c
+    FROM g5
+  ) cc WHERE c >= 2
+),
+sp AS (
+  SELECT doc_id, nw,
+         SUM(CASE WHEN prev IS NULL OR pos - prev > 5 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span,
+         pos
+  FROM (
+    SELECT doc_id, nw, pos,
+           LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+    FROM dp
+  ) lagged
+),
+sa AS (
+  SELECT doc_id, nw, span, MIN(pos) AS lo, MAX(pos) AS hi
+  FROM sp GROUP BY 1, 2, 3
+),
+df_ AS (
+  SELECT doc_id, SUM(hi - lo + 5) * 1.0 / greatest(MIN(nw), 1) AS dupf
+  FROM sa GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(ls.n_lines, 0) AS BIGINT) AS n_lines,
+       ROUND(COALESCE(ls.dl * 1.0 / greatest(ls.n_lines, 1), 0), 6)
+           AS dup_line_frac,
+       ROUND(COALESCE(ls.dlc * 1.0 / greatest(ls.lc, 1), 0), 6)
+           AS dup_line_char_frac,
+       ROUND(COALESCE(t2.topf, 0), 6) AS top_2gram_char_frac,
+       ROUND(COALESCE(df_.dupf, 0), 6) AS dup_5gram_word_frac
+FROM d
+LEFT JOIN ls ON ls.doc_id = d.doc_id
+LEFT JOIN t2 ON t2.doc_id = d.doc_id
+LEFT JOIN df_ ON df_.doc_id = d.doc_id
+""",
+)
+def quality_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition battery (Gopher §A.1.1's repetition
+    half, the Dolma/RefinedWeb reuse): duplicate-line fractions,
+    top-2-gram coverage, and masked duplicate-5-gram word coverage
+    per document — two linear explodes, per-document windows, no pair
+    joins."""
+    from fastmlframework_spark.extensions.filtering import repetition_signals
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return repetition_signals(docs)

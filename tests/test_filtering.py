@@ -313,3 +313,33 @@ def test_packing_budget_below_largest_bucket_raises(spark):
     rows = [(1, "s", "w w w")]
     with _pytest.raises(ValueError, match="budget"):
         length_bucket_packing(_docs(spark, rows), budget=LENGTH_BUCKETS[-1] - 1)
+
+
+def test_repetition_signals_edges(spark):
+    """Gopher repetition battery: dup-line fractions, top-2-gram
+    coverage, masked dup-5-gram coverage — all bounded [0,1] except
+    the (documented, Dolma-faithful) occurrence-weighted top fraction;
+    NULL/empty/1-word docs report zeros."""
+    from fastmlframework_spark.extensions.filtering import repetition_signals
+
+    rows = [
+        (1, "a b c\na b c\nunique line"),
+        (2, "x y x y x y x y"),
+        (3, None),
+        (4, "w"),
+        (5, ""),
+        (6, "p q r s t p q r s t p q r s t"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    assert out[1]["n_lines"] == 3 and out[1]["dup_line_frac"] == 0.333333
+    assert out[1]["dup_line_char_frac"] == round(5 / 21, 6)
+    assert out[2]["top_2gram_char_frac"] == 0.8     # 'x y' 4x, 3 chars / 15
+    assert out[2]["dup_5gram_word_frac"] == 1.0     # fully self-repetitive
+    assert out[6]["dup_5gram_word_frac"] == 1.0
+    for k in (3, 4, 5):
+        r = out[k]
+        assert r["dup_line_frac"] == r["top_2gram_char_frac"] == 0.0
+        assert r["dup_5gram_word_frac"] == 0.0
+    # masked coverage is a fraction of word positions — never above 1
+    assert all(out[k]["dup_5gram_word_frac"] <= 1.0 for k in out)

@@ -411,3 +411,78 @@ def leakage_safe_split(
         .otherwise(F.lit("test"))
     )
     return labeled.select(key_col, "cluster", split.alias("split"))
+
+
+# Blocklisted URL domains (C4/RefinedWeb-style list shape — real
+# pipelines load the full blocklist from a config; the mechanism is
+# what matters here).  Shared with the oracle twin.
+URL_BLOCKLIST = ("spam.example.com", "ads.example.net")
+
+# NB: embedded in an F.expr SQL string literal, where Spark strips
+# unknown escapes — the backslash must arrive doubled so the regex
+# engine sees \s (a bare \s in the literal becomes plain "s").
+_URL_HOST_PATTERN = r"https?://([^/\\s]+)"
+
+
+def url_domain_stats(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    blocklist: tuple[str, ...] = URL_BLOCKLIST,
+) -> DataFrame:
+    """Per-domain URL statistics for blocklist curation (the C4 /
+    RefinedWeb URL-filtering shape) → [domain, n_urls, n_docs,
+    blocked]: extract every URL host from document text (regexp,
+    ``www.``-stripped, lower-cased), count occurrences and distinct
+    documents, and flag blocklisted domains.
+
+    One map-only regexp extraction + explode into a domain-bounded
+    aggregate (web corpora have ~10⁷ domains — small next to the
+    document count); the blocklist rides the plan as a literal array
+    (a real 10⁵-entry blocklist would broadcast-join instead — same
+    shape, different constant)."""
+    hosts = F.expr(
+        f"transform(regexp_extract_all({text_col}, '{_URL_HOST_PATTERN}', 1),"
+        " h -> lower(regexp_replace(h, '^www\\\\.', '')))"
+    )
+    blocked = F.col("domain").isin(*blocklist) if blocklist else F.lit(False)
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(key_col), F.explode(hosts).alias("domain"))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct(key_col).alias("n_docs"),
+        )
+        .withColumn("blocked", blocked)
+    )
+
+
+def encoding_quality(
+    df: DataFrame, key_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Encoding-damage screen per document → [key, n_chars,
+    n_replacement, n_control, bad_char_frac]: counts of U+FFFD
+    replacement characters (the mojibake tell — a decoder already
+    gave up on those bytes) and C0 control characters (excluding
+    tab/newline/CR), and their combined fraction of the document.
+    The cheap pre-filter that catches double-encoded or
+    binary-contaminated documents before they poison tokenizers.
+
+    Pure per-row ``regexp_count`` expressions — map-only, one scan,
+    whole-stage-codegens into the parquet read at any scale."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_repl = F.regexp_count(t, F.lit("�"))
+    n_ctrl = F.regexp_count(
+        t, F.lit(r"[\x00-\x08\x0b\x0c\x0e-\x1f]")
+    )
+    n_chars = F.length(t)
+    return df.select(
+        F.col(key_col),
+        n_chars.cast("long").alias("n_chars"),
+        n_repl.cast("long").alias("n_replacement"),
+        n_ctrl.cast("long").alias("n_control"),
+        F.round(
+            (n_repl + n_ctrl) / F.greatest(n_chars, F.lit(1)), 6
+        ).alias("bad_char_frac"),
+    )

@@ -567,3 +567,103 @@ def corpus_epochs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return xcur.epochs_plan(
         docs, _EPOCHS_BUDGET, alpha=_EPOCHS_ALPHA
     )
+
+
+@query(
+    "curation_url_domains",
+    oracle="""
+WITH planted AS (
+  SELECT doc_id,
+         text ||
+         CASE WHEN doc_id % 3 = 0
+              THEN ' see http://www.site' || CAST(doc_id % 7 AS VARCHAR)
+                   || '.example.com/page'
+              ELSE '' END ||
+         CASE WHEN doc_id % 5 = 0
+              THEN ' via https://spam.example.com/x'
+              ELSE '' END AS text
+  FROM documents WHERE text IS NOT NULL
+),
+hosts AS (
+  SELECT doc_id,
+         lower(regexp_replace(unnest(
+             regexp_extract_all(text, 'https?://([^/\\s]+)', 1)
+         ), '^www\\.', '')) AS domain
+  FROM planted
+)
+SELECT domain,
+       CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       domain IN ('spam.example.com', 'ads.example.net') AS blocked
+FROM hosts GROUP BY domain
+""",
+)
+def curation_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style URL-domain curation stats: URLs planted
+    deterministically into the synthetic corpus (the boilerplate-query
+    pattern), then extracted/normalized per domain with blocklist
+    flags — map-only regexp + a domain-bounded aggregate."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" see http://www.site"),
+                    (F.col("doc_id") % 7).cast("string"),
+                    F.lit(".example.com/page"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit(" via https://spam.example.com/x"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return xcur.url_domain_stats(planted)
+
+
+@query(
+    "quality_encoding_screen",
+    oracle="""
+WITH planted AS (
+  SELECT doc_id,
+         text ||
+         CASE WHEN doc_id % 4 = 0 THEN repeat(chr(65533), doc_id % 3 + 1)
+              ELSE '' END ||
+         CASE WHEN doc_id % 6 = 0 THEN chr(1) || chr(2) ELSE '' END AS t
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+       CAST(length(t) AS BIGINT) AS n_chars,
+       CAST(len(regexp_extract_all(t, chr(65533))) AS BIGINT)
+           AS n_replacement,
+       CAST(len(regexp_extract_all(t, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]'))
+           AS BIGINT) AS n_control,
+       ROUND((len(regexp_extract_all(t, chr(65533)))
+              + len(regexp_extract_all(t, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]')))
+             * 1.0 / greatest(length(t), 1), 6) AS bad_char_frac
+FROM planted
+""",
+)
+def quality_encoding_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake/encoding-damage screen: U+FFFD replacement chars and
+    C0 control chars planted deterministically, then counted per
+    document by the map-only encoding_quality operator."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.expr("repeat('�', CAST(doc_id % 3 + 1 AS INT))"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 6 == 0, F.lit("\x01\x02")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return xcur.encoding_quality(planted)

@@ -225,3 +225,34 @@ def test_epochs_plan_zero_token_domain(spark):
         assert out["b"]["epochs"] == 0.0
         assert out["a"]["target_share"] == 1.0
         assert out["a"]["tokens_needed"] == 100
+
+
+def test_url_domain_stats(spark):
+    from fastmlframework_spark.extensions.curation import url_domain_stats
+
+    rows = [
+        (1, "see http://www.Site1.example.com/page and https://spam.example.com/x"),
+        (2, "nothing"), (3, None),
+        (4, "https://site1.example.com/other http://ads.example.net"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["domain"]: r for r in url_domain_stats(df).collect()}
+    assert set(out) == {"site1.example.com", "spam.example.com", "ads.example.net"}
+    assert out["site1.example.com"]["n_urls"] == 2      # www-stripped + cased
+    assert out["site1.example.com"]["n_docs"] == 2
+    assert out["spam.example.com"]["blocked"] is True
+    assert out["ads.example.net"]["blocked"] is True
+    assert out["site1.example.com"]["blocked"] is False
+
+
+def test_encoding_quality(spark):
+    from fastmlframework_spark.extensions.curation import encoding_quality
+
+    rows = [(1, "clean"), (2, "x��"), (3, "a\x01b\tc\nd"), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in encoding_quality(df).collect()}
+    assert out[1]["bad_char_frac"] == 0.0
+    assert out[2]["n_replacement"] == 2 and out[2]["bad_char_frac"] == round(2 / 3, 6)
+    # tab/newline are NOT control damage; \x01 is
+    assert out[3]["n_control"] == 1
+    assert out[4]["n_chars"] == 0 and out[4]["bad_char_frac"] == 0.0

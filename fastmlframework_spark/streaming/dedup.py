@@ -1,0 +1,109 @@
+"""Streaming ingest-time deduplication (SURVEY.md §2.10 × §7.5).
+
+The batch incremental operators (``extensions/dedup.py``:
+``incremental_exact_dedup`` / ``incremental_minhash_dedup``) screen a
+NEW batch against a persisted index without recomputing or shuffling
+the corpus.  This module runs the same operator continuously:
+``foreachBatch`` applies the batch screen to every micro-batch, emits
+the surviving (novel) rows to a sink, and appends the survivors'
+digests to the parquet index — so a duplicate arriving three
+micro-batches after its original is caught by the INDEX, not by
+fragile stream-stream join state.
+
+Why foreachBatch and not a stateful streaming join: the dedup index
+is unbounded, append-only, and must outlive the stream (restarts,
+multiple ingest streams sharing one index).  Structured Streaming's
+join/aggregation state is per-query and watermark-evicted — exactly
+wrong for "have we EVER seen this digest".  foreachBatch gives each
+micro-batch a full batch plan (broadcast probe of the batch against
+the index, index scanned once, never shuffled) plus a transactional
+append of new digests; the parquet index doubles as the recovery
+point.  At 100 TB the index is one 16-byte digest per document ever
+ingested, partitioned parquet on digest prefix — the probe prunes to
+matching files.
+
+Exactly-once caveat (documented, standard for foreachBatch sinks):
+if the driver dies between the survivors-write and the index-append,
+a replayed micro-batch can re-emit the same survivors.  The index
+append itself is idempotent at query level (re-appended digests
+dedup on the next probe); sinks needing exact-once should write
+(batch_id, key)-idempotently, as with any foreachBatch pipeline.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from fastmlframework_spark.extensions.dedup import incremental_exact_dedup
+
+
+def build_digest_index(
+    df: DataFrame,
+    index_dir: str,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    digest_col: str = "digest",
+) -> None:
+    """Materialize the initial exact-dedup index: one md5 digest per
+    distinct content in ``df``, written as parquet at ``index_dir``."""
+    (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.md5(F.col(text_col)).alias(digest_col))
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(index_dir)
+    )
+
+
+def streaming_exact_dedup(
+    stream_df: DataFrame,
+    index_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    digest_col: str = "digest",
+):
+    """Start a foreachBatch stream that screens each micro-batch
+    against the parquet digest index, appends novel rows'
+    [key, n_copies, batch_id] to ``out_dir``, and appends their
+    digests to the index — cross-micro-batch duplicates are caught by
+    the index on the next trigger.  Returns the StreamingQuery
+    (caller awaits/stops it; tests drain with availableNow)."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        index = spark.read.parquet(index_dir)
+        survivors = incremental_exact_dedup(
+            batch_df, index, key_col, text_col, digest_col
+        )
+        # survivors are re-derived from the batch for the digest
+        # append; cache once — both writes below consume them
+        survivors = survivors.cache()
+        try:
+            (
+                survivors.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(out_dir)
+            )
+            novel_digests = (
+                batch_df.filter(F.col(text_col).isNotNull())
+                .join(
+                    F.broadcast(survivors.select(key_col)),
+                    on=key_col,
+                    how="left_semi",
+                )
+                .select(F.md5(F.col(text_col)).alias(digest_col))
+                .distinct()
+            )
+            novel_digests.write.mode("append").parquet(index_dir)
+        finally:
+            survivors.unpersist()
+
+    return (
+        stream_df.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

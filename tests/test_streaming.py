@@ -288,3 +288,71 @@ def test_streaming_seasonal_stats_matches_batch(spark, sf_dir_small, tmp_path):
     )
     diff2 = op.exceptAll(streamed).count() + streamed.exceptAll(op).count()
     assert diff2 == 0
+
+
+def test_streaming_exact_dedup_catches_cross_batch_dups(spark, tmp_path):
+    """foreachBatch ingest dedup: a duplicate arriving in a LATER
+    micro-batch than its original must drop (the index append between
+    triggers is what catches it — no stream state involved), while
+    within-batch dups collapse to min key and pre-seeded corpus dups
+    never emit."""
+    from fastmlframework_spark.streaming.dedup import (
+        build_digest_index,
+        streaming_exact_dedup,
+    )
+
+    corpus = spark.createDataFrame(
+        [(100, "already ingested text")], "doc_id long, text string"
+    )
+    index_dir = str(tmp_path / "index")
+    build_digest_index(corpus, index_dir)
+
+    # two parquet files -> two micro-batches (maxFilesPerTrigger=1)
+    src = str(tmp_path / "incoming")
+    b1 = spark.createDataFrame(
+        [
+            (1, "novel one"),
+            (2, "novel two"),
+            (3, "novel two"),               # within-batch dup -> min key 2
+            (4, "already ingested text"),   # corpus dup -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [
+            (5, "novel one"),               # dup of batch-1 doc -> dropped
+            (6, "fresh in batch two"),
+            (7, None),                      # no content -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    b1.coalesce(1).write.parquet(src + "/f1")
+    b2.coalesce(1).write.parquet(src + "/f2")
+    # the file source orders micro-batches by mtime — pin it so the
+    # "later batch" really is later even on coarse filesystem clocks
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    for d, ts in ((src + "/f1", now - 60), (src + "/f2", now)):
+        for root, _dirs, files in _os.walk(d):
+            for f in files:
+                _os.utime(_os.path.join(root, f), (ts, ts))
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = streaming_exact_dedup(
+        stream, index_dir, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+
+    out = spark.read.parquet(str(tmp_path / "out"))
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2, 6}
+    assert rows[2]["n_copies"] == 2
+    assert rows[1]["batch_id"] != rows[6]["batch_id"]  # really two triggers
+    # the index now contains corpus + all novel digests
+    assert spark.read.parquet(index_dir).distinct().count() == 4

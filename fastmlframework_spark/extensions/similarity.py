@@ -65,7 +65,18 @@ def cosine_topk(
     The query side is broadcast; the corpus is scanned once; per-query
     top-k runs as a partitioned window (rank ties broken by corpus
     key for determinism).  Self-matches (same key) are excluded.
-    """
+
+    Scale note (applies to every per-query rank in this module): the
+    ``row_number ≤ k`` window does NOT funnel a query's corpus-sized
+    candidate set through one task — Spark's rank-limit pushdown
+    (WindowGroupLimit, SPARK-37099) inserts a map-side partial top-k
+    per (group, partition) BELOW the exchange, so the post-shuffle
+    task receives ≤ k × n_partitions rows per query.  Native
+    two-phase top-k; a hand-rolled spark_partition_id salt was
+    measured to only ADD an exchange.  tests/test_plans.py pins the
+    partial WindowGroupLimit so a refactor that defeats the pushdown
+    (e.g. rank-filter through an intervening project barrier) fails
+    CI."""
     dim = vec_dim(corpus, vec_col)
     par = corpus.sparkSession.sparkContext.defaultParallelism
     c = normalize(corpus, vec_col, "cv").select(key_col, "cv").repartition(par)

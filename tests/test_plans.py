@@ -377,3 +377,38 @@ def test_vocab_coverage_rank_is_take_ordered(spark, sf_dir_small):
     vocabulary (10⁸-10⁹ tokens on a web corpus)."""
     plan = _plan(spark, sf_dir_small, "text_vocab_coverage")
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def _window_group_limit_below_exchange(plan: str) -> bool:
+    """True when a partial WindowGroupLimit sits BELOW the window's
+    exchange — Spark's native two-phase top-k (SPARK-37099): map-side
+    per-(group, partition) pruning, so the post-shuffle task gets
+    ≤ k × n_partitions rows per group instead of the group's whole
+    corpus-sized candidate set."""
+    tree = plan.split("\n\n")[0].splitlines()
+    saw_exchange_under_window = False
+    for line in tree:
+        if "Exchange" in line:
+            saw_exchange_under_window = True
+        if "WindowGroupLimit" in line and saw_exchange_under_window:
+            return True
+    return False
+
+
+def test_ann_topk_rank_limit_pushdown(spark, sf_dir_small):
+    """Every per-query ANN rank must keep the rank-limit pushdown: a
+    partial WindowGroupLimit below the exchange prunes each partition
+    to k rows per query map-side.  Losing it (a refactor that hides
+    the rank filter from the optimizer) would funnel a query's entire
+    corpus-sized candidate set through one task at 100×."""
+    for q in ("ann_topk_bruteforce", "ann_topk_lsh", "ann_topk_ivf"):
+        plan = _plan(spark, sf_dir_small, q)
+        assert _window_group_limit_below_exchange(plan), (q, plan)
+
+
+def test_pq_candidate_cut_rank_limit_pushdown(spark, sf_dir_small):
+    """The PQ ADC candidate cut (refine·k per query over the codes
+    scan) is the biggest per-query row stream in the module — the
+    partial WindowGroupLimit must survive there too."""
+    plan = _plan(spark, sf_dir_small, "ann_topk_pq")
+    assert _window_group_limit_below_exchange(plan), plan

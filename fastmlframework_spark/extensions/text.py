@@ -443,3 +443,41 @@ def vocab_coverage_curve(
             ).alias("coverage"),
         )
     )
+
+
+def bpe_merge_candidates(
+    df: DataFrame, text_col: str = "text", top: int = 20
+) -> DataFrame:
+    """The first BPE training step, corpus-scale → [pair,
+    n_occurrences]: adjacent character-pair frequencies weighted by
+    word occurrence counts — the statistic a byte-pair-encoding
+    tokenizer fit greedily maximizes each merge round (Sennrich et
+    al. 2016).  Returns the ``top`` candidates (count desc, pair asc
+    — deterministic boundary).
+
+    Plan: token counting collapses the corpus to its word VOCABULARY
+    first (map-side combined groupBy — pairs are then weighted per
+    word TYPE, not re-counted per token occurrence), pair explode is
+    bounded by Σ word lengths over the vocabulary, and the top-k is
+    an ``orderBy().limit()`` TakeOrderedAndProject — no global sort,
+    no single-partition window.  The full iterative fit would rerun
+    this with merged symbols; one round is the representative,
+    oracle-checkable unit."""
+    tok = df.select(
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("__w")
+    ).filter(F.col("__w") != F.lit(""))
+    vocab = tok.groupBy("__w").agg(F.count(F.lit(1)).alias("__wc"))
+    # adjacent char pairs via substring — sequence(1, 0) is DESCENDING
+    # in Spark, so short words need the explicit empty branch
+    pairs = F.expr(
+        "CASE WHEN length(__w) >= 2 THEN "
+        "transform(sequence(1, length(__w) - 1), i -> substring(__w, i, 2))"
+        " ELSE array() END"
+    )
+    return (
+        vocab.select(F.explode(pairs).alias("pair"), "__wc")
+        .groupBy("pair")
+        .agg(F.sum("__wc").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+        .limit(top)
+    )

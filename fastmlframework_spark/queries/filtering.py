@@ -288,3 +288,99 @@ def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = scored.cache()
     out = xfilt.nll_terciles(scored, by="lang")
     return _materialize_release(out, scored)
+
+
+def _datacard_oracle() -> str:
+    th = xfilt.GOPHER_THRESHOLDS
+    stop_types = " + ".join(
+        f"CAST(list_contains(ws, '{s}') AS INT)"
+        for s in xfilt.GOPHER_STOPWORDS
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang, source, text,
+         COALESCE(text, '') AS t,
+         {_WORDS_SQL} AS ws,
+         {_LINES_SQL} AS ls
+  FROM documents
+),
+sig AS (
+  SELECT doc_id, lang, source, text, ws,
+         len(ws) AS n_words,
+         (LENGTH(t) - len(regexp_extract_all(t, '\\s'))) * 1.0
+             / GREATEST(len(ws), 1) AS mean_word_len,
+         (len(regexp_extract_all(t, '#'))
+          + len(regexp_extract_all(t, '\\.\\.\\.|…'))) * 1.0
+             / GREATEST(len(ws), 1) AS symbol_ratio,
+         len(list_filter(ls, __l -> regexp_matches(__l, '^\\s*[-*•]')))
+             * 1.0 / GREATEST(len(ls), 1) AS bullet_frac,
+         len(list_filter(ls, __l -> regexp_matches(__l, '(\\.\\.\\.|…)\\s*$')))
+             * 1.0 / GREATEST(len(ls), 1) AS ellipsis_frac,
+         len(list_filter(ws, __w -> regexp_matches(__w, '[A-Za-z]')))
+             * 1.0 / GREATEST(len(ws), 1) AS alpha_frac,
+         {stop_types} AS stop_types
+  FROM base
+),
+fl AS (
+  SELECT doc_id, lang, source, text, n_words,
+         NOT ((n_words < {th["min_words"]} OR n_words > {th["max_words"]})
+              OR (mean_word_len < {th["min_mean_word_len"]}
+                  OR mean_word_len > {th["max_mean_word_len"]})
+              OR symbol_ratio > {th["max_symbol_word_ratio"]}
+              OR bullet_frac > {th["max_bullet_line_frac"]}
+              OR ellipsis_frac > {th["max_ellipsis_line_frac"]}
+              OR alpha_frac < {th["min_alpha_word_frac"]}
+              OR stop_types < {th["min_stopword_types"]}) AS passes
+  FROM sig
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null_text,
+       CAST(SUM(n_words) AS BIGINT) AS total_tokens,
+       ROUND(SUM(n_words) * 1.0 / COUNT(*), 2) AS avg_doc_tokens,
+       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
+       ROUND(1.0 - COUNT(DISTINCT md5(text)) * 1.0
+             / GREATEST(COUNT(text), 1), 6) AS exact_dup_rate,
+       ROUND(SUM(CAST(passes AS INT)) * 1.0 / COUNT(*), 6)
+           AS gopher_pass_rate
+FROM fl
+"""
+
+
+@query("corpus_datacard", oracle=_datacard_oracle())
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus datacard — the summary block of a dataset card
+    (Gebru et al. "Datasheets for Datasets" shape): corpus size,
+    source/language spread, token mass, exact-duplication rate (via
+    16-byte digests, never shuffling text), and the Gopher quality
+    pass rate.  Every signal is a per-row expression feeding ONE
+    aggregate — a single scan of a 100 TB corpus (the countDistincts
+    expand to one multi-phase aggregate over digest/source/lang
+    keys)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    flagged = xfilt.gopher_rule_flags(docs)
+    words = F.expr(
+        "size(filter(split(coalesce(text, ''), '\\\\s+'), __x -> __x != ''))"
+    )
+    return flagged.withColumn("__nw", words).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum(F.col("text").isNull().cast("long")).alias("n_null_text"),
+        F.sum("__nw").alias("total_tokens"),
+        F.round(F.sum("__nw") / F.count(F.lit(1)), 2).alias("avg_doc_tokens"),
+        F.countDistinct(F.md5("text")).alias("n_distinct_texts"),
+        F.round(
+            1.0
+            - F.countDistinct(F.md5("text"))
+            / F.greatest(F.count("text"), F.lit(1)),
+            6,
+        ).alias("exact_dup_rate"),
+        F.round(
+            F.sum(F.col("passes").cast("int")) / F.count(F.lit(1)), 6
+        ).alias("gopher_pass_rate"),
+    )

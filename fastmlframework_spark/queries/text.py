@@ -294,3 +294,32 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-combined token count."""
     docs = load_table(spark, sf_dir, "documents").select("text")
     return xtext.vocab_coverage_curve(docs)
+
+
+@query(
+    "text_bpe_merge_candidates",
+    oracle="""
+WITH tok AS (
+  SELECT unnest(string_split_regex(text, '\\s+')) AS w FROM documents
+),
+v AS (SELECT w, COUNT(*) AS wc FROM tok WHERE w <> '' GROUP BY w),
+p AS (
+  SELECT substr(w, i, 2) AS pair, wc
+  FROM (
+    SELECT w, wc,
+           unnest(range(1, CASE WHEN length(w) >= 2
+                               THEN length(w) ELSE 1 END)) AS i
+    FROM v
+  ) e
+)
+SELECT pair, CAST(SUM(wc) AS BIGINT) AS n_occurrences
+FROM p GROUP BY pair
+ORDER BY n_occurrences DESC, pair ASC LIMIT 20
+""",
+)
+def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE training round at corpus scale: top-20 adjacent
+    character pairs weighted by word counts — vocabulary-collapsed
+    pair explode, TakeOrdered top-k, no global sort."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    return xtext.bpe_merge_candidates(docs)

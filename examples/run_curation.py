@@ -43,6 +43,12 @@ def run(spark, sf_dir: str, out: str) -> dict:
     )
     n0 = docs.count()
 
+    # 0. corpus datacard — the before-picture a dataset card leads
+    # with (size, spread, dup rate, quality pass rate in one scan).
+    from fastmlframework_spark.queries.filtering import corpus_datacard
+
+    card = corpus_datacard(spark, sf_dir).first().asDict()
+
     # 1. canonicalize, then EXACT dedup on the canonical digest.
     canon = canonicalize(docs).withColumn("__digest", F.md5("canon"))
     survivors = (
@@ -102,6 +108,11 @@ def run(spark, sf_dir: str, out: str) -> dict:
     flags = xfilt.gopher_rule_flags(stage2).select("doc_id", "passes")
     rep = xcur.repetition_stats(stage2).select("doc_id", "distinct_ratio")
     q = quality_score(stage2).select("doc_id", "quality")
+    # encoding damage + within-doc repetition (Gopher's other half)
+    enc = xcur.encoding_quality(stage2).select("doc_id", "bad_char_frac")
+    rsig = xfilt.repetition_signals(stage2).select(
+        "doc_id", "dup_line_frac", "dup_5gram_word_frac"
+    )
     # cache: the chargram plan (corpus bigram explode + model build +
     # scoring) feeds BOTH the percentile action and the stage-3 join —
     # uncached it would execute twice.
@@ -115,6 +126,8 @@ def run(spark, sf_dir: str, out: str) -> dict:
         stage2.join(flags, on="doc_id")
         .join(rep, on="doc_id")
         .join(q, on="doc_id")
+        .join(enc, on="doc_id")
+        .join(rsig, on="doc_id")
         # left join: the scorer drops sub-2-char docs (no bigrams) —
         # they must fall through to the rule screens, not vanish here
         .join(nll, on="doc_id", how="left")
@@ -122,12 +135,18 @@ def run(spark, sf_dir: str, out: str) -> dict:
             F.col("passes")
             & (F.col("distinct_ratio") >= 0.3)
             & (F.col("quality") >= 0.2)
+            & (F.col("bad_char_frac") <= 0.01)
+            & (F.col("dup_line_frac") <= 0.3)
+            & (F.col("dup_5gram_word_frac") <= 0.5)
             & (
                 F.col("nll").isNull()
                 | (F.col("nll") <= F.lit(float(nll_cut)))
             )
         )
-        .drop("passes", "distinct_ratio", "quality", "nll")
+        .drop(
+            "passes", "distinct_ratio", "quality", "nll",
+            "bad_char_frac", "dup_line_frac", "dup_5gram_word_frac",
+        )
         .cache()
     )
     n3 = stage3.count()
@@ -178,6 +197,8 @@ def run(spark, sf_dir: str, out: str) -> dict:
     plan.write.mode("overwrite").parquet(os.path.join(out, "epochs_plan"))
     packed.write.mode("overwrite").parquet(os.path.join(out, "packs"))
     summary = {
+        "datacard": {k: (float(v) if hasattr(v, "real") else v)
+                     for k, v in card.items()},
         "input_docs": n0,
         "after_exact_dedup": n1,
         "after_near_dedup": n2,

@@ -121,6 +121,9 @@ def test_curation_pipeline_end_to_end(spark, sf_dir_small, tmp_path):
     # ~= 2 for ANY mixture — anything materially below 2 means the
     # budget or temperature scaling broke (floor slack only)
     assert s["max_planned_epochs"] >= 1.9
+    # the before-picture datacard rides along (one-scan summary row)
+    assert s["datacard"]["n_docs"] == s["input_docs"]
+    assert 0.0 <= s["datacard"]["gopher_pass_rate"] <= 1.0
 
 
 def test_mixture_temperature_identities(spark, sf_dir):

@@ -107,3 +107,61 @@ def streaming_exact_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_near_dedup(
+    stream_df: DataFrame,
+    index_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    seed: int = 42,
+):
+    """NEAR-dup twin of ``streaming_exact_dedup``: each micro-batch
+    probes the persisted MinHash band index
+    (``extensions/dedup.minhash_band_index`` layout), emits every
+    batch document's corpus-collision count [key, n_corpus_matches,
+    batch_id], and appends the band rows of NOVEL documents (0
+    matches) — so an 80%-overlap copy arriving later is caught by the
+    index at LSH recall, with no stream state and no corpus signature
+    recomputation.  Returns the StreamingQuery."""
+    from fastmlframework_spark.extensions.dedup import (
+        incremental_minhash_dedup,
+        minhash_band_index,
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        index = spark.read.parquet(index_dir)
+        decisions = incremental_minhash_dedup(
+            batch_df, index, key_col, text_col, n, num_hashes, bands, seed
+        ).cache()
+        try:
+            (
+                decisions.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(out_dir)
+            )
+            novel_keys = decisions.filter(
+                F.col("n_corpus_matches") == 0
+            ).select(key_col)
+            novel_bands = minhash_band_index(
+                batch_df.join(
+                    F.broadcast(novel_keys), on=key_col, how="left_semi"
+                ),
+                key_col, text_col, n, num_hashes, bands, seed,
+            )
+            novel_bands.write.mode("append").parquet(index_dir)
+        finally:
+            decisions.unpersist()
+
+    return (
+        stream_df.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -356,3 +356,59 @@ def test_streaming_exact_dedup_catches_cross_batch_dups(spark, tmp_path):
     assert rows[1]["batch_id"] != rows[6]["batch_id"]  # really two triggers
     # the index now contains corpus + all novel digests
     assert spark.read.parquet(index_dir).distinct().count() == 4
+
+
+def test_streaming_near_dedup_catches_cross_batch_near_dups(spark, tmp_path):
+    """Near-dup streaming screen: an 80%-truncated copy of a batch-1
+    document arriving in batch 2 must collide through the index
+    append; genuinely novel text reports 0 matches and extends the
+    index."""
+    from fastmlframework_spark.extensions.dedup import minhash_band_index
+    from fastmlframework_spark.streaming.dedup import streaming_near_dedup
+
+    base_text = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "far across the wide open field toward the distant river bank"
+    )
+    corpus = spark.createDataFrame(
+        [(100, base_text)], "doc_id long, text string"
+    )
+    index_dir = str(tmp_path / "bindex")
+    minhash_band_index(corpus).write.mode("overwrite").parquet(index_dir)
+
+    src = str(tmp_path / "nincoming")
+    novel = "completely different subject matter about spark physical plans"
+    b1 = spark.createDataFrame([(1, novel)], "doc_id long, text string")
+    trunc = base_text[: int(len(base_text) * 0.8)]
+    novel_trunc = novel[: int(len(novel) * 0.8)]
+    b2 = spark.createDataFrame(
+        [(2, trunc), (3, novel_trunc), (4, "fresh unrelated short words")],
+        "doc_id long, text string",
+    )
+    b1.coalesce(1).write.parquet(src + "/f1")
+    b2.coalesce(1).write.parquet(src + "/f2")
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    for d, ts in ((src + "/f1", now - 60), (src + "/f2", now)):
+        for root, _dirs, files in _os.walk(d):
+            for f in files:
+                _os.utime(_os.path.join(root, f), (ts, ts))
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = streaming_near_dedup(
+        stream, index_dir, str(tmp_path / "nout"), str(tmp_path / "nckpt")
+    )
+    q.awaitTermination()
+
+    out = {r["doc_id"]: r for r in
+           spark.read.parquet(str(tmp_path / "nout")).collect()}
+    assert out[1]["n_corpus_matches"] == 0          # novel vs corpus
+    assert out[2]["n_corpus_matches"] >= 1          # 80% copy of corpus doc
+    assert out[3]["n_corpus_matches"] >= 1          # 80% copy of batch-1 doc
+    assert out[1]["batch_id"] < out[3]["batch_id"]  # caught ACROSS batches

@@ -433,7 +433,11 @@ def repetition_signals(
     from pyspark.sql import Window
 
     t = F.coalesce(F.col(text_col), F.lit(""))
-    base = df.select(F.col(key_col), t.alias("__t"))
+    # spread first: a handful of parquet splits would otherwise run
+    # the CPU-bound explodes on as many cores (dedup._spread rationale
+    # — a no-op knob once inputs arrive with thousands of splits)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    base = df.select(F.col(key_col), t.alias("__t")).repartition(par)
 
     # --- line family ---------------------------------------------
     lines = base.select(
@@ -450,23 +454,30 @@ def repetition_signals(
     )
 
     # --- word n-gram families ------------------------------------
-    words_expr = "filter(split(__t, '\\\\s+'), __x -> __x != '')"
-    norm_len = F.expr(f"length(concat_ws(' ', {words_expr}))")
+    # split ONCE into a projected array column: inlining the filter/
+    # split expression into every transform lambda re-evaluates it per
+    # gram (O(len²) per doc — measured 2× the whole operator's cost)
+    wbase = base.select(
+        key_col,
+        F.expr(r"filter(split(__t, '\\s+'), __x -> __x != '')").alias("__ws"),
+    ).select(
+        key_col,
+        "__ws",
+        F.expr("length(concat_ws(' ', __ws))").alias("__tc"),
+        F.size("__ws").alias("__nw"),
+    )
 
     def gram_windows(n: int):
         # guard: sequence(1, 0) is DESCENDING in Spark, so a doc with
         # < n words must take the empty-array branch explicitly
         grams = F.expr(
-            f"CASE WHEN size({words_expr}) >= {n} THEN "
-            f"transform(sequence(1, size({words_expr}) - {n - 1}),"
-            f" i -> struct(i AS pos, concat_ws(' ', slice({words_expr}, i, {n})) AS g))"
+            f"CASE WHEN __nw >= {n} THEN "
+            f"transform(sequence(1, __nw - {n - 1}),"
+            f" i -> struct(i AS pos, concat_ws(' ', slice(__ws, i, {n})) AS g))"
             f" ELSE array() END"
         )
-        return base.select(
-            key_col,
-            norm_len.alias("__tc"),
-            F.expr(f"size({words_expr})").alias("__nw"),
-            F.explode(grams).alias("__w"),
+        return wbase.select(
+            key_col, "__tc", "__nw", F.explode(grams).alias("__w")
         ).select(
             key_col, "__tc", "__nw",
             F.col("__w.pos").alias("__pos"),

@@ -148,6 +148,11 @@ EXPONENT_QUERIES = (
     "metric_roc_auc",
     "ann_topk_pq",
     "text_zipf_fit",
+    "quality_repetition_signals",
+    "corpus_datacard",
+    "text_bpe_merge_candidates",
+    "curation_url_domains",
+    "quality_encoding_screen",
 )
 
 

@@ -120,13 +120,18 @@ def roc_auc_df(
         .withColumn("__below", F.col("__off") + F.col("__ln_below"))
         .withColumn("__avg_rank", F.col("__below") + (F.col("__n") + 1) / 2.0)
     )
+    # nullif: a single-class input has denominator 0 — NULL (which
+    # score() turns into a ValueError), not an ANSI arithmetic error
     return ranked.agg(
         (
             (
                 F.sum(F.col("__npos") * F.col("__avg_rank"))
                 - F.sum("__npos") * (F.sum("__npos") + 1) / 2.0
             )
-            / (F.sum("__npos") * F.sum(F.col("__n") - F.col("__npos")))
+            / F.nullif(
+                F.sum("__npos") * F.sum(F.col("__n") - F.col("__npos")),
+                F.lit(0.0),
+            )
         ).alias("auc")
     )
 

@@ -1,0 +1,91 @@
+"""Property tests for the distributed metric engine: the bucketed
+prefix-sum AUC (ml/metrics.py) must equal the sklearn-definition
+Mann-Whitney AUC with average-rank tie handling on ANY input — ties,
+negative score ranges, constant scores, tiny n."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from fastmlframework_spark.ml import metrics
+
+
+def _ref_auc(y: np.ndarray, s: np.ndarray) -> float:
+    """Mann-Whitney U with average ranks on ties — the sklearn
+    definition, computed directly."""
+    order = np.argsort(s, kind="mergesort")
+    ranks = np.empty(len(s), float)
+    sv = s[order]
+    i, r = 0, 1
+    while i < len(sv):
+        j = i
+        while j + 1 < len(sv) and sv[j + 1] == sv[i]:
+            j += 1
+        ranks[order[i: j + 1]] = (r + (r + j - i)) / 2.0
+        r += j - i + 1
+        i = j + 1
+    npos = int(y.sum())
+    nneg = len(y) - npos
+    return (ranks[y == 1].sum() - npos * (npos + 1) / 2) / (npos * nneg)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    n=st.integers(20, 200),
+    tie_frac=st.floats(0.0, 0.9),
+    scale=st.sampled_from([1.0, 100.0]),
+    shift=st.sampled_from([0.0, -50.0]),
+    seed=st.integers(0, 10_000),
+)
+def test_distributed_auc_equals_reference(
+    spark, n, tie_frac, scale, shift, seed
+):
+    rng = np.random.default_rng(seed)
+    y = rng.integers(0, 2, n)
+    if y.min() == y.max():  # need both classes
+        y[0] = 1 - y[0]
+    s = rng.random(n) * scale + shift
+    ties = rng.random(n) < tie_frac
+    s[ties] = np.round(s[ties], 1)  # heavy tie mass
+    df = spark.createDataFrame(
+        [(int(a), float(b)) for a, b in zip(y, s)], "label int, score double"
+    )
+    got = metrics.score(df, "roc_auc_score", "label", "score")
+    assert got == pytest.approx(_ref_auc(y, s), abs=1e-12)
+
+
+def test_auc_constant_scores(spark):
+    df = spark.createDataFrame(
+        [(0, 0.3), (1, 0.3), (0, 0.3), (1, 0.3)], "label int, score double"
+    )
+    assert metrics.score(df, "roc_auc_score", "label", "score") == 0.5
+
+
+def test_auc_single_class_raises(spark):
+    df = spark.createDataFrame(
+        [(1, 0.2), (1, 0.7)], "label int, score double"
+    )
+    with pytest.raises(ValueError, match="both classes"):
+        metrics.score(df, "roc_auc_score", "label", "score")
+
+
+def test_auc_bucket_count_invariance(spark):
+    """Bucketing is a physical choice: 1, 7, and 4096 buckets must
+    give bit-identical AUC (the rank arithmetic is integer counts)."""
+    rng = np.random.default_rng(3)
+    y = rng.integers(0, 2, 500)
+    y[0] = 1 - y[0] if y.min() == y.max() else y[0]
+    s = np.where(rng.random(500) < 0.4, 0.5, rng.random(500))
+    df = spark.createDataFrame(
+        [(int(a), float(b)) for a, b in zip(y, s)], "label int, score double"
+    )
+    vals = {
+        nb: metrics.roc_auc_df(df, "label", "score", n_buckets=nb)
+        .first()["auc"]
+        for nb in (1, 7, 4096)
+    }
+    assert len(set(vals.values())) == 1, vals
+    assert vals[7] == pytest.approx(_ref_auc(y, s), abs=1e-12)

@@ -163,3 +163,40 @@ def test_dsir_matches_reference(spark, target_words, query_words):
     )
     assert abs(out[3]["log_weight"] - lw) < 1e-5
     assert out[3]["n_tokens"] == len(qb)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    n_docs=st.integers(1, 8),
+    vocab=st.integers(1, 6),
+    doc_len=st.integers(0, 40),
+    seed=st.integers(0, 10_000),
+)
+def test_repetition_signals_invariants(spark, n_docs, vocab, doc_len, seed):
+    """On ANY corpus: masked dup-5-gram coverage and the line
+    fractions are true fractions in [0, 1]; a doc made of one word
+    repeated >= 10 times is fully covered; n_lines counts occurrences
+    of non-blank lines."""
+    import random as _random
+
+    from fastmlframework_spark.extensions.filtering import repetition_signals
+
+    rng = _random.Random(seed)
+    words = [f"w{i}" for i in range(vocab)]
+    rows = []
+    for d in range(n_docs):
+        toks = [rng.choice(words) for _ in range(doc_len)]
+        # sprinkle line breaks
+        text = " ".join(toks).replace(" ", "\n", doc_len // 7)
+        rows.append((d, text))
+    rows.append((n_docs, "x " * 12))  # fully self-repetitive
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    assert set(out) == {r[0] for r in rows}
+    for r in out.values():
+        assert 0.0 <= r["dup_line_frac"] <= 1.0
+        assert 0.0 <= r["dup_line_char_frac"] <= 1.0
+        assert 0.0 <= r["dup_5gram_word_frac"] <= 1.0
+        assert r["top_2gram_char_frac"] >= 0.0
+        assert r["n_lines"] >= 0
+    assert out[n_docs]["dup_5gram_word_frac"] == 1.0

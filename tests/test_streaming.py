@@ -412,3 +412,19 @@ def test_streaming_near_dedup_catches_cross_batch_near_dups(spark, tmp_path):
     assert out[2]["n_corpus_matches"] >= 1          # 80% copy of corpus doc
     assert out[3]["n_corpus_matches"] >= 1          # 80% copy of batch-1 doc
     assert out[1]["batch_id"] < out[3]["batch_id"]  # caught ACROSS batches
+
+
+def test_streaming_ingest_example_end_to_end(spark, sf_dir_small, tmp_path):
+    """The runnable streaming-ingest example: every drop-2 replay is
+    dropped by the exact screen (cross-batch via index append) and
+    flagged by the near screen; the seasonal baseline drains."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/examples")
+    from run_streaming_ingest import run
+
+    s = run(spark, sf_dir_small, str(tmp_path / "ingest"))
+    assert s["novel_emitted"] * 2 == s["incoming_rows"]
+    assert s["cross_batch_dups_dropped"] == s["novel_emitted"]
+    assert s["near_flagged"] >= s["cross_batch_dups_dropped"]
+    assert s["seasonal_cells"] > 0

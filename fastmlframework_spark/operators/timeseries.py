@@ -280,3 +280,64 @@ def seasonal_baseline(
         ),
         F.sum("__anom").cast("long").alias("n_anomalies"),
     )
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    alpha: float = 0.3,
+    window: int = 20,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Bounded-lag exponentially weighted moving average per key →
+    input columns + ``ewma`` — the adjust=True EWM form over the last
+    ``window`` observations:
+
+        ewma_t = Σ_{i<n} (1−α)^i · x_{t−i}  /  Σ_{i<n} (1−α)^i
+
+    Truncating at ``window`` lags bounds both state and numerics: the
+    untruncated recursion needs (1−α)^t factors that underflow, and
+    at (1−α)=0.7, 20 lags already carry 99.9% of the weight mass.
+
+    Plan: one per-key ordered window collecting the last ``window``
+    values (collect_list over a bounded rows frame — the frame bound
+    is what keeps per-row state O(window) at any history length),
+    then a pure HOF fold, left-to-right in both engines so the DuckDB
+    twin is bit-faithful.  NULL values drop out of the collected
+    frame, compressing the weight sequence onto observed points —
+    ``pandas ewm(ignore_na=True)`` semantics."""
+    from pyspark.sql import Window
+
+    order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(-(window - 1), 0)
+    )
+    arr = F.collect_list(F.col(val_col).cast("double")).over(w)
+    # collect_list drops NULLs; to weight by POSITION we need the
+    # frame's values with their offsets — collect over a struct of
+    # (row offset surrogate = ts, value) would shuffle more; instead
+    # note: dropped NULLs only compress the tail, which is exactly
+    # pandas ignore_na=True semantics.  Document that choice.
+    q = 1.0 - alpha
+    num = (
+        "aggregate(zip_with(__a, sequence(size(__a), 1),"
+        f" (x, k) -> x * pow({q!r}D, k - 1)), 0.0D, (s, v) -> s + v)"
+    )
+    den = (
+        f"aggregate(sequence(1, size(__a)), 0.0D,"
+        f" (s, k) -> s + pow({q!r}D, k - 1))"
+    )
+    return (
+        df.withColumn("__a", arr)
+        .withColumn(
+            "ewma",
+            F.round(
+                F.expr(f"CASE WHEN size(__a) > 0 THEN {num} / {den} END"), 6
+            ),
+        )
+        .drop("__a")
+    )

@@ -591,3 +591,40 @@ def events_seasonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "ts", "value"
     )
     return seasonal_stats(events)
+
+
+@query(
+    "events_ewma_value",
+    oracle="""
+WITH f AS (
+  SELECT user_id, ts, event_id, value,
+         array_agg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+             AS a
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_id, user_id,
+       ROUND(
+         list_reduce(list_transform(range(1, len(a) + 1),
+                                    __k -> a[__k] * pow(0.7, len(a) - __k)),
+                     (__s, __v) -> __s + __v)
+         / list_reduce(list_transform(range(1, len(a) + 1),
+                                      __k -> pow(0.7, __k - 1)),
+                       (__s, __v) -> __s + __v), 6) AS ewma
+FROM f
+""",
+)
+def events_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user bounded-lag EWMA (alpha 0.3, 10 lags, adjust=True
+    form) over event time — the exponentially weighted smoother of
+    the time-series family; per-key bounded rows frame + HOF fold,
+    left-to-right in both engines."""
+    from fastmlframework_spark.operators.timeseries import ewma
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    return ewma(
+        ev, key_col="user_id", ts_col="ts", val_col="value",
+        alpha=0.3, window=10, tiebreak_col="event_id",
+    ).select("event_id", "user_id", "ewma")

@@ -100,3 +100,35 @@ def test_seasonal_baseline_flags_only_its_hour(spark):
     assert out[9]["n_anomalies"] == 1
     assert out[21]["n_anomalies"] == 0
     assert out[9]["n_events"] == 21 and out[21]["n_events"] == 20
+
+
+def test_ewma_matches_reference_and_skips_nulls(spark):
+    """Bounded-lag adjust=True EWM: weights (1-a)^i over the last
+    `window` observed points; NULLs compress out (ignore_na=True)."""
+    import datetime as dt
+
+    from fastmlframework_spark.operators.timeseries import ewma
+
+    vals = [1, 2, 3, 4, 100, 4, 3]
+    rows = [
+        ("a", dt.datetime(2024, 1, 1, h), float(v))
+        for h, v in enumerate(vals)
+    ]
+    rows += [
+        ("b", dt.datetime(2024, 1, 1, 0), 10.0),
+        ("b", dt.datetime(2024, 1, 1, 1), None),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = ewma(df, alpha=0.5, window=3)
+    got = {
+        (r["event_type"], r["ts"].hour): r["ewma"] for r in out.collect()
+    }
+    # manual bounded adjust=True reference
+    for t in range(len(vals)):
+        lo = max(0, t - 2)
+        window_vals = vals[lo: t + 1][::-1]
+        wts = [0.5 ** i for i in range(len(window_vals))]
+        exp = sum(v * w for v, w in zip(window_vals, wts)) / sum(wts)
+        assert got[("a", t)] == round(exp, 6)
+    assert got[("b", 0)] == 10.0
+    assert got[("b", 1)] == 10.0   # NULL drops out of the frame

@@ -341,3 +341,60 @@ def ewma(
         )
         .drop("__a")
     )
+
+
+def cusum(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    k: float = 0.5,
+    h: float = 5.0,
+) -> DataFrame:
+    """One-sided CUSUM change detection per key → [id, key, cusum,
+    alarm]: S_t = max(0, S_{t-1} + x_t − k), alarm when S_t > h (Page
+    1954) — the classic drift detector complementing the seasonal
+    baseline (level shifts vs hour-conditioned outliers) and ``ewma``
+    (smoothing vs detection).
+
+    The recursion is genuinely sequential per key — no window/HOF
+    form exists — so this is the module's one ``applyInPandas``
+    operator: keys distribute across the cluster, each group runs an
+    O(n) float64 loop in Arrow batches (the "custom stateful
+    operator" slot; the streaming twin would be
+    ``applyInPandasWithState``).  Left-associated ``(s + x) − k``
+    matches the recursive-CTE oracle bit-for-bit.  NULL values are
+    dropped up front (no evidence, no state change).  Deterministic
+    (ts, id) ordering."""
+    import pandas as pd
+
+    schema = (
+        f"{id_col} long, {key_col} string, cusum double, alarm boolean"
+    )
+
+    def _one_key(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, id_col])
+        s = 0.0
+        out = []
+        for x in pdf[val_col].astype(float):
+            s = s + x - k
+            if s < 0.0:
+                s = 0.0
+            out.append(s)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].values,
+                key_col: pdf[key_col].values,
+                "cusum": out,
+                "alarm": [v > h for v in out],
+            }
+        )
+
+    return (
+        df.filter(F.col(val_col).isNotNull())
+        .select(id_col, key_col, ts_col, val_col)
+        .groupBy(key_col)
+        .applyInPandas(_one_key, schema)
+        .withColumn("cusum", F.round("cusum", 6))
+    )

@@ -628,3 +628,40 @@ def events_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, key_col="user_id", ts_col="ts", val_col="value",
         alpha=0.3, window=10, tiebreak_col="event_id",
     ).select("event_id", "user_id", "ewma")
+
+
+@query(
+    "events_cusum_alarms",
+    bench=True,
+    oracle="""
+WITH RECURSIVE base AS (
+  SELECT event_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id)
+             AS rn
+  FROM events WHERE value IS NOT NULL
+),
+r AS (
+  SELECT event_id, event_type, rn,
+         GREATEST(value - 55.0, 0.0) AS s
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.event_id, b.event_type, b.rn,
+         GREATEST(r.s + b.value - 55.0, 0.0)
+  FROM base b JOIN r ON b.event_type = r.event_type AND b.rn = r.rn + 1
+)
+SELECT event_id, event_type, ROUND(s, 6) AS cusum, s > 200.0 AS alarm
+FROM r
+""",
+)
+def events_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type one-sided CUSUM drift detection (Page 1954): the
+    genuinely-recursive custom stateful operator, distributed by key
+    via applyInPandas with a recursive-CTE oracle — k=55 (mean+0.1σ
+    of the synthetic values) so the statistic resets on typical runs,
+    h=200 so alarms mark sustained high-value drift."""
+    from fastmlframework_spark.operators.timeseries import cusum
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    return cusum(ev, k=55.0, h=200.0)

@@ -132,3 +132,32 @@ def test_ewma_matches_reference_and_skips_nulls(spark):
         assert got[("a", t)] == round(exp, 6)
     assert got[("b", 0)] == 10.0
     assert got[("b", 1)] == 10.0   # NULL drops out of the frame
+
+
+def test_cusum_reference(spark):
+    """CUSUM recursion, reset-at-zero, alarm threshold, NULL drop."""
+    import datetime as dt
+
+    from fastmlframework_spark.operators.timeseries import cusum
+
+    vals = [0, 1, 0, 1, 3, 3, 3, None, 0]
+    rows = [
+        (i, "a", dt.datetime(2024, 1, 1, 0, i),
+         float(v) if v is not None else None)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, value double"
+    )
+    out = {r["event_id"]: r for r in cusum(df, k=0.5, h=4.0).collect()}
+    # manual: s=max(0, s+x-0.5), NULL row dropped entirely
+    s, exp = 0.0, {}
+    for i, v in enumerate(vals):
+        if v is None:
+            continue
+        s = max(0.0, s + v - 0.5)
+        exp[i] = s
+    assert set(out) == set(exp)
+    for i, e in exp.items():
+        assert out[i]["cusum"] == round(e, 6)
+        assert out[i]["alarm"] == (e > 4.0)

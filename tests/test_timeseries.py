@@ -161,3 +161,21 @@ def test_cusum_reference(spark):
     for i, e in exp.items():
         assert out[i]["cusum"] == round(e, 6)
         assert out[i]["alarm"] == (e > 4.0)
+
+
+def test_cusum_scan_equals_loop(spark, sf_dir_small):
+    """The prefix-scan identity must reproduce the sequential CUSUM
+    to 1e-9 on real event data (reassociated float arithmetic only)."""
+    from fastmlframework_spark.core.tables import load_table
+    from fastmlframework_spark.operators.timeseries import cusum, cusum_scan
+
+    ev = load_table(spark, sf_dir_small, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    a = cusum(ev, k=55.0, h=200.0).withColumnRenamed("cusum", "c1")
+    b = cusum_scan(ev, k=55.0, h=200.0).withColumnRenamed("cusum", "c2")
+    j = a.join(b, on=["event_id", "event_type"])
+    assert j.count() == a.count() == b.count()
+    import pyspark.sql.functions as F
+
+    assert j.filter(F.abs(F.col("c1") - F.col("c2")) > 1e-9).count() == 0

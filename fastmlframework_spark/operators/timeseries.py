@@ -419,9 +419,11 @@ def cusum_scan(
     JVM whole-stage-codegen, no Python loop, same per-key partitioning
     as any cumulative window.  Numerically it reassociates the
     arithmetic, so values can differ from ``cusum`` in the last ulp
-    (equality pinned to 1e-9 in tests); the applyInPandas form stays
-    the oracle-checked reference, this is the form to run when a key
-    holds billions of rows."""
+    (equality pinned to 1e-9 in tests).  This is the registered and
+    benched form (``events_cusum_scan``, full recursive-CTE oracle in
+    the same left-associated prefix arithmetic, plan pinned
+    Window-only); the applyInPandas ``cusum`` stays as the
+    loop-form cross-check."""
     w = (
         Window.partitionBy(key_col)
         .orderBy(ts_col, id_col)

@@ -632,7 +632,7 @@ def events_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_cusum_alarms",
-    bench=True,
+    bench=False,
     oracle="""
 WITH RECURSIVE base AS (
   SELECT event_id, event_type, value,
@@ -654,14 +654,67 @@ FROM r
 """,
 )
 def events_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-type one-sided CUSUM drift detection (Page 1954): the
-    genuinely-recursive custom stateful operator, distributed by key
-    via applyInPandas with a recursive-CTE oracle — k=55 (mean+0.1σ
-    of the synthetic values) so the statistic resets on typical runs,
-    h=200 so alarms mark sustained high-value drift."""
+    """Per-type one-sided CUSUM drift detection (Page 1954) in its
+    literal recursive form: each key's history runs the sequential
+    applyInPandas loop, matched bit-for-bit by a recursive-CTE
+    oracle.  Kept as the oracle cross-check for ``events_cusum_scan``
+    (the benched, scale-safe prefix form) with ``bench=False`` —
+    parallelism here equals the number of event types, so one hot key
+    would serialize at 100×.  k=55 (mean+0.1σ of the synthetic
+    values) so the statistic resets on typical runs, h=200 so alarms
+    mark sustained high-value drift."""
     from fastmlframework_spark.operators.timeseries import cusum
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "ts", "value"
     )
     return cusum(ev, k=55.0, h=200.0)
+
+
+@query(
+    "events_cusum_scan",
+    bench=True,
+    oracle="""
+WITH RECURSIVE base AS (
+  SELECT event_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id)
+             AS rn
+  FROM events WHERE value IS NOT NULL
+),
+r AS (
+  SELECT event_id, event_type, rn,
+         value - 55.0 AS cum,
+         LEAST(value - 55.0, 0.0) AS rmin
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.event_id, b.event_type, b.rn,
+         r.cum + (b.value - 55.0),
+         LEAST(r.rmin, r.cum + (b.value - 55.0))
+  FROM base b JOIN r ON b.event_type = r.event_type AND b.rn = r.rn + 1
+)
+SELECT event_id, event_type,
+       ROUND(cum - LEAST(rmin, 0.0), 6) AS cusum,
+       cum - LEAST(rmin, 0.0) > 200.0 AS alarm
+FROM r
+""",
+)
+def events_cusum_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-safe CUSUM: Page's recursion in its closed prefix
+    form S_t = cum_t − min(0, running-min of cum), i.e. two per-key
+    running windows — pure JVM whole-stage-codegen, no Python loop,
+    so a key with billions of rows scans instead of serializing
+    through Arrow (plan pinned Window-only in ``test_plans.py``).
+
+    The oracle replays the SAME left-associated arithmetic in a
+    recursive CTE (cum_t = cum_{t-1} + (x_t − k), rmin carried with
+    LEAST), which is bit-identical to Spark's sequential
+    UnboundedPreceding window accumulation — so the hash match is
+    exact, not rounding-assisted.  Same k=55/h=200 as
+    ``events_cusum_alarms``, which stays as the loop-form
+    cross-check."""
+    from fastmlframework_spark.operators.timeseries import cusum_scan
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    return cusum_scan(ev, k=55.0, h=200.0)

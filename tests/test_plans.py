@@ -412,3 +412,16 @@ def test_pq_candidate_cut_rank_limit_pushdown(spark, sf_dir_small):
     partial WindowGroupLimit must survive there too."""
     plan = _plan(spark, sf_dir_small, "ann_topk_pq")
     assert _window_group_limit_below_exchange(plan), plan
+
+
+def test_cusum_scan_is_window_only(spark, sf_dir_small):
+    """The benched CUSUM path must be the closed prefix form — two
+    per-key running windows, pure whole-stage codegen.  Any
+    ApplyInPandas/BatchEvalPython node means the per-key Python loop
+    leaked back in, which serializes a hot key's entire history
+    through one Arrow stream at 100×."""
+    plan = _plan(spark, sf_dir_small, "events_cusum_scan")
+    assert "Window" in plan, plan
+    assert "ApplyInPandas" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan

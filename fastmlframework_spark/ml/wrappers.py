@@ -189,3 +189,77 @@ def get_wrapped_estimator(
 ) -> ModelWrapper:
     """M6: registry factory by (reference-compatible) name."""
     return ModelWrapper(name=name, task=task, params=params or {}, seed=seed)
+
+
+def frozen_logistic_model(
+    spark,
+    feature_cols: Sequence[str],
+    coefficients: Sequence[float],
+    intercept: float,
+) -> FittedModel:
+    """A binomial LogisticRegressionModel with LITERAL coefficients,
+    built through MLlib's public box-constrained optimizer: setting
+    lower == upper bounds pins every coefficient and the intercept
+    to the requested literal within 1 ulp (LBFGS-B projects each
+    iterate into the box, and the box is a point; Breeze's cauchy-
+    point arithmetic can land on the bound's neighboring double),
+    verified by a 1e-12-relative assertion after the fit.  A 1-ulp
+    coefficient wobble shifts the scored probability by ~1e-16
+    relative — absorbed outright by the 6-dp rounding contract, so
+    oracle SQL written against the requested literals still
+    hash-matches.
+
+    This exists so the M1/M7 predict surface (`FittedModel.predict` /
+    `predict_proba`, model_wrappers.py:125-129 in the reference) can
+    carry driver-hash evidence, not just pytest: scoring a frozen
+    sigmoid-of-dot-product is pure SQL in any engine, so the full
+    pipeline→assemble→BLAS-dot→sigmoid→probability-slice path is
+    hash-matched end-to-end by `cv_scoring_frozen`.  MLlib's dense
+    dot is the same left-associated sequential accumulation as the
+    SQL `w1*x1 + w2*x2 + ... + b`, so parity is exact up to the
+    1-ulp libm exp() difference the 6-dp rounding contract absorbs.
+
+    Only numeric feature columns are supported (the 2-row anchor fit
+    frame never sees real data; a StringIndexer fit on it would be
+    meaningless)."""
+    n = len(feature_cols)
+    if len(coefficients) != n:
+        raise ValueError("one coefficient per feature column required")
+    from pyspark.ml.linalg import Matrices, Vectors
+
+    # Anchor frame: the bounded fit needs one example per class; the
+    # values are irrelevant — the box pins the solution.
+    anchor = spark.createDataFrame(
+        [tuple([0.0] * n + [0.0]), tuple([1.0] * n + [1.0])],
+        list(feature_cols) + ["label"],
+    )
+    pipe = fit_feature_pipeline(anchor, feature_cols, one_hot=False)
+    lr = LogisticRegression(
+        featuresCol=FEATURES_COL,
+        labelCol="label",
+        maxIter=1,
+        standardization=False,
+        fitIntercept=True,
+        lowerBoundsOnCoefficients=Matrices.dense(1, n, list(coefficients)),
+        upperBoundsOnCoefficients=Matrices.dense(1, n, list(coefficients)),
+        lowerBoundsOnIntercepts=Vectors.dense([float(intercept)]),
+        upperBoundsOnIntercepts=Vectors.dense([float(intercept)]),
+    )
+    model = lr.fit(pipe.transform(anchor))
+    import math
+
+    got = list(model.coefficients) + [model.intercept]
+    want = [float(c) for c in coefficients] + [float(intercept)]
+    if not all(
+        math.isclose(g, w, rel_tol=1e-12, abs_tol=0.0)
+        for g, w in zip(got, want)
+    ):
+        raise AssertionError(
+            f"box-constrained fit did not pin coefficients: {got} != {want}"
+        )
+    return FittedModel(
+        pipeline_model=pipe,
+        model=model,
+        feature_cols=feature_cols,
+        task="classification",
+    )

@@ -124,3 +124,31 @@ def test_gbt_regression_smoke(spark, sf_dir_small):
     assert res.oof.count() == 300
     assert res.test_pred is None
     assert res.cv_results[0]["cv_mean_score"] > 0
+
+
+def test_frozen_logistic_model_scoring(spark):
+    """The box-constrained freeze pins coefficients within 1e-12
+    relative and predict_proba reproduces sigmoid(w·x + b) through
+    the real pipeline→assemble→transform→slice path."""
+    from fastmlframework_spark.ml.wrappers import frozen_logistic_model
+
+    w, b = [0.25, -0.5], 0.125
+    fitted = frozen_logistic_model(spark, ["x1", "x2"], w, b)
+    got = list(fitted.model.coefficients) + [fitted.model.intercept]
+    for g, e in zip(got, w + [b]):
+        assert math.isclose(g, e, rel_tol=1e-12, abs_tol=0.0)
+
+    df = spark.createDataFrame(
+        [(1, 2.0, 1.0), (2, -4.0, 3.0), (3, 0.0, 0.0)], ["k", "x1", "x2"]
+    )
+    out = {r["k"]: r["prediction"] for r in fitted.predict_proba(df).collect()}
+    for k, x1, x2 in [(1, 2.0, 1.0), (2, -4.0, 3.0), (3, 0.0, 0.0)]:
+        expect = 1.0 / (1.0 + math.exp(-((w[0] * x1 + w[1] * x2) + b)))
+        assert math.isclose(out[k], expect, rel_tol=1e-12)
+
+
+def test_frozen_logistic_model_rejects_bad_arity(spark):
+    from fastmlframework_spark.ml.wrappers import frozen_logistic_model
+
+    with pytest.raises(ValueError):
+        frozen_logistic_model(spark, ["x1", "x2"], [1.0], 0.0)

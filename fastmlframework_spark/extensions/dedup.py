@@ -16,10 +16,14 @@ Scale design: every method is join/aggregate-shaped —
 * embedding cosine: normalized dot products, either brute top-k for
   small query sets or bucketed via random hyperplanes (similarity.py).
 
-Hashing: oracle-checked operators (exact dedup) use md5 so DuckDB
-reproduces the digests; the sketch operators (minhash, simhash) use
-JVM ``xxhash64`` — ~20× cheaper than md5-as-decimal and still fully
-deterministic (they carry rows-only oracle checks).
+Hashing: operators whose DIGEST VALUES reach the output or a
+persisted index (exact dedup, the streaming digest index) use md5 so
+DuckDB reproduces the digests; operators where only digest EQUALITY
+matters use JVM ``xxhash64`` longs — ~20× cheaper than md5 and 8
+bytes instead of 32 chars through every shuffle.  The sketch
+operators (minhash, simhash) also use ``xxhash64``, reproduced
+bit-exactly in SQL by ``queries/xxh64_sql.py`` for their full
+hash-matched oracles.
 """
 
 from __future__ import annotations
@@ -98,20 +102,44 @@ def shingles(
     n: int = 3,
     words: bool = True,
 ) -> DataFrame:
-    """Distinct n-gram shingle set per document → [key, shingle].
-    Word shingles by default (reference-free extension; char shingles
-    via words=False)."""
+    """Distinct n-gram shingle DIGEST set per document → [key,
+    shingle] with ``shingle`` an 8-byte ``xxhash64`` long.  Word
+    shingles by default (reference-free extension; char shingles via
+    words=False).
+
+    Every consumer (Jaccard inverted-index joins, PPJoin prefixes,
+    contamination containment) uses shingles only for EQUALITY, so
+    the digest replaces the string everywhere: joins, groupBys and
+    collect_lists move 8-byte longs instead of ~(5·n)-char strings,
+    and the word path never materializes a window string at all —
+    the split array is projected once per doc (inlining it into the
+    transform lambda re-evaluates the split per window, O(len²) per
+    doc), each word is hashed once, and each window digests as an
+    ``xxhash64`` chain over its n word-hash longs.  The chain is
+    injective on token tuples exactly like the old single-space join
+    (tokens cannot contain whitespace), so equality classes — and
+    every downstream oracle-checked count — are unchanged up to
+    64-bit collisions (~n²/2⁶⁵, the family's standing budget)."""
     if words:
+        hargs = ", ".join(f"try_element_at(__wa, i + {k})" for k in range(n))
+        base = _spread(df).select(
+            F.col(key_col),
+            F.expr(
+                f"transform(split({text_col}, '\\\\s+'),"
+                f" __w -> xxhash64(__w))"
+            ).alias("__wa"),
+        )
         arr = F.expr(
-            f"transform(sequence(1, greatest(size(split({text_col}, '\\\\s+')) - {n - 1}, 1)),"
-            f" i -> concat_ws(' ', slice(split({text_col}, '\\\\s+'), i, {n})))"
+            f"transform(sequence(1, greatest(size(__wa) - {n - 1}, 1)),"
+            f" i -> xxhash64({hargs}))"
         )
     else:
+        base = _spread(df).select(F.col(key_col), F.col(text_col))
         arr = F.expr(
             f"transform(sequence(1, greatest(length({text_col}) - {n - 1}, 1)),"
-            f" i -> substring({text_col}, i, {n}))"
+            f" i -> xxhash64(substring({text_col}, i, {n})))"
         )
-    return _spread(df).select(
+    return base.select(
         F.col(key_col), F.explode(F.array_distinct(arr)).alias("shingle")
     )
 
@@ -193,16 +221,32 @@ def minhash_signatures(
     a cheap universal rehash ``a_j*h + b_j`` of that SAME array — the
     classic one-base-hash scheme.  Everything is a per-row JVM
     expression: zero shuffles, zero Python, and the costly string hash
-    runs once per shingle instead of once per (shingle, hash)."""
+    runs once per shingle instead of once per (shingle, hash).
+
+    The split array is PROJECTED before the window transform —
+    referencing ``split()`` inside the slice lambda re-evaluates it
+    per window (O(len²) per doc; the trap measured at 2-3× total cost
+    in ``repetition_signals``/``_span_windows``).  The shingle STRING
+    itself must stay (unlike the digest-only ``shingles``): the
+    bit-exact DuckDB twin (``queries/xxh64_sql.py``) reproduces
+    ``xxhash64(shingle_string, seed)`` byte-for-byte, which is what
+    makes the minhash/simhash oracles full hash matches."""
     shingle_arr = (
-        f"transform(sequence(1, greatest(size(split({text_col}, '\\\\s+')) - {n - 1}, 1)),"
-        f" i -> concat_ws(' ', slice(split({text_col}, '\\\\s+'), i, {n})))"
+        f"transform(sequence(1, greatest(size(__wsm) - {n - 1}, 1)),"
+        f" i -> concat_ws(' ', slice(__wsm, i, {n})))"
     )
-    base = _spread(df).select(
-        key_col,
-        F.expr(
-            f"transform({shingle_arr}, s -> xxhash64(s, {seed}) & 2147483647L)"
-        ).alias("__h"),
+    base = (
+        _spread(df)
+        .select(
+            key_col,
+            F.expr(f"split({text_col}, '\\\\s+')").alias("__wsm"),
+        )
+        .select(
+            key_col,
+            F.expr(
+                f"transform({shingle_arr}, s -> xxhash64(s, {seed}) & 2147483647L)"
+            ).alias("__h"),
+        )
     )
     consts = _mh_constants(seed, num_hashes)
     # Carter-Wegman: (a*h + b) mod p, p = 2^31-1 (Mersenne prime).
@@ -940,25 +984,53 @@ def _span_windows(
     ``remove_duplicate_spans`` (rewrite), kept in ONE place so the
     tokenization/fallback rules cannot diverge between the twins.
 
+    Digests are JVM ``xxhash64`` LONGS, not md5 strings: the window
+    explode is the heaviest row stream in the family (~doc_len rows
+    per doc) and everything downstream — the count groupBy, the
+    dup-digest join, the ownership windows — shuffles on the digest,
+    so 8-byte longs instead of 32-char strings cut both hash cost and
+    shuffle width (VERDICT r5 #3).  The digest never reaches any
+    output (only equality classes matter), so the DuckDB twins keep
+    their own digest function.  64-bit birthday math: ~10¹² windows
+    (a 100 TB corpus) expects ~0.03 colliding PAIRS per 5×10⁴
+    distinct-window squared… i.e. n²/2⁶⁵ ≈ 27 k spurious duplicate
+    windows at 10¹² — a 10⁻⁸ false-positive rate on par with the
+    MinHash band noise this family already accepts.
+
+    Cost shape: the split array and the per-word hashes are each
+    projected ONCE per document before the window transform —
+    inlining the split into the lambda re-evaluates it per window
+    (O(len²) per doc, the trap ``repetition_signals`` measured at 2×
+    its whole cost), and building a per-window string re-allocates
+    ~n·word bytes per position.  Hashing the window as
+    ``xxhash64(wh[i], …, wh[i+n-1])`` over the word-hash longs keeps
+    the per-window work at n array probes + an n·8-byte hash chain —
+    no string materialization on the hot path.  ``try_element_at``
+    (NULL past the end, hash-chain skips NULLs) serves the <n-word
+    fallback window without an ANSI out-of-bounds error.
+
     Zero-word documents (empty or whitespace-only text) emit NO
-    windows: the md5('') fallback digest would otherwise declare every
-    empty doc a duplicate passage of every other, and the rewrite path
-    would index into an empty word array."""
+    windows: the hash-of-empty fallback digest would otherwise
+    declare every empty doc a duplicate passage of every other, and
+    the rewrite path would index into an empty word array."""
     words = _span_words_expr(text_col)
+    hargs = ", ".join(f"try_element_at(__wh, i + {k})" for k in range(n))
     arr = (
-        f"transform(sequence(1, greatest(size({words}) - {n - 1}, 1)),"
-        f" i -> md5(concat_ws(' ', slice({words}, i, {n}))))"
+        f"transform(sequence(1, greatest(size(__wh) - {n - 1}, 1)),"
+        f" i -> xxhash64({hargs}))"
     )
     return (
-        _spread(
-            df.filter(
-                F.col(text_col).isNotNull()
-                & (F.expr(f"size({words})") > 0)
-            )
+        _spread(df.filter(F.col(text_col).isNotNull()))
+        .select(F.col(key_col), F.expr(words).alias("__ws"))
+        .filter(F.size("__ws") > 0)
+        .select(
+            F.col(key_col),
+            F.size("__ws").cast("long").alias("n_words"),
+            F.expr("transform(__ws, __w -> xxhash64(__w))").alias("__wh"),
         )
         .select(
             F.col(key_col),
-            F.expr(f"size({words})").cast("long").alias("n_words"),
+            "n_words",
             F.posexplode(F.expr(arr)).alias("__p0", "__dg"),
         )
         .select(key_col, "n_words", (F.col("__p0") + 1).alias("pos"), "__dg")

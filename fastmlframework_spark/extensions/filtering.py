@@ -505,8 +505,38 @@ def repetition_signals(
     # masked coverage: keep positions of >=2x grams, merge overlapping
     # length-n windows (gap <= n) into maximal spans, sum span word
     # coverage — each word position counts once (duplicate_spans shape)
-    dw = gram_windows(dup_n)
-    cnt_w = Window.partitionBy(key_col, "__g")
+    # digest-only gram stream for the dup stage: the count window
+    # partitions on (key, digest), so the gram never needs to exist as
+    # a string here — hash each word once, then hash each window as a
+    # chain over its dup_n word-hash longs (same no-string contract as
+    # dedup._span_windows: n array probes + an n·8-byte hash per
+    # window, and the exchange carries an 8-byte long instead of the
+    # ~(5·word) gram string; within-doc 64-bit collisions are
+    # ~doc_len²/2⁶⁴ — never material).  element_at stays in bounds:
+    # the CASE guard emits windows only when __nw >= dup_n.
+    hargs = ", ".join(
+        f"element_at(__wh, i + {k})" for k in range(dup_n)
+    )
+    dgrams = F.expr(
+        f"CASE WHEN __nw >= {dup_n} THEN "
+        f"transform(sequence(1, __nw - {dup_n - 1}),"
+        f" i -> struct(i AS pos, xxhash64({hargs}) AS dg))"
+        f" ELSE array() END"
+    )
+    dw = (
+        wbase.select(
+            key_col,
+            "__nw",
+            F.expr("transform(__ws, __w -> xxhash64(__w))").alias("__wh"),
+        )
+        .select(key_col, "__nw", F.explode(dgrams).alias("__w"))
+        .select(
+            key_col, "__nw",
+            F.col("__w.pos").alias("__pos"),
+            F.col("__w.dg").alias("__dg"),
+        )
+    )
+    cnt_w = Window.partitionBy(key_col, "__dg")
     dup_pos = (
         dw.withColumn("__c", F.count(F.lit(1)).over(cnt_w))
         .filter(F.col("__c") >= 2)

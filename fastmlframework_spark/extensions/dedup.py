@@ -319,6 +319,7 @@ def incremental_minhash_dedup(
     num_hashes: int = 8,
     bands: int = 4,
     seed: int = 42,
+    precomputed_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Ingest-time NEAR-dup screen of a new batch against the corpus
     LSH index → [key, n_corpus_matches] for every batch document
@@ -335,13 +336,24 @@ def incremental_minhash_dedup(
     NULL-text batch docs have no content to collide on and come back
     with 0 matches (novel), keeping the one-row-per-batch-document
     contract — and matching the SQL twin's LEFT JOIN, which reports
-    them as zero rather than dropping them."""
-    with_text = new_batch.filter(F.col(text_col).isNotNull())
-    batch_bands = minhash_band_index(
-        with_text, key_col, text_col, n, num_hashes, bands, seed
-    ).select(
-        F.col(key_col).alias("__bk"), "band", "band_digest"
-    )
+    them as zero rather than dropping them.
+
+    ``precomputed_bands`` lets a caller that already built the batch's
+    band rows (the streaming ingest path, which also self-probes and
+    index-appends them) skip the second signature computation — it
+    must be the ``minhash_band_index`` layout for the same
+    (n, num_hashes, bands, seed)."""
+    if precomputed_bands is not None:
+        batch_bands = precomputed_bands.select(
+            F.col(key_col).alias("__bk"), "band", "band_digest"
+        )
+    else:
+        with_text = new_batch.filter(F.col(text_col).isNotNull())
+        batch_bands = minhash_band_index(
+            with_text, key_col, text_col, n, num_hashes, bands, seed
+        ).select(
+            F.col(key_col).alias("__bk"), "band", "band_digest"
+        )
     matches = (
         corpus_index.join(
             F.broadcast(batch_bands), on=["band", "band_digest"]

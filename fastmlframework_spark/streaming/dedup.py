@@ -123,12 +123,23 @@ def streaming_near_dedup(
 ):
     """NEAR-dup twin of ``streaming_exact_dedup``: each micro-batch
     probes the persisted MinHash band index
-    (``extensions/dedup.minhash_band_index`` layout), emits every
-    batch document's corpus-collision count [key, n_corpus_matches,
-    batch_id], and appends the band rows of NOVEL documents (0
-    matches) — so an 80%-overlap copy arriving later is caught by the
-    index at LSH recall, with no stream state and no corpus signature
-    recomputation.  Returns the StreamingQuery."""
+    (``extensions/dedup.minhash_band_index`` layout) AND its own band
+    rows, emits every batch document's collision counts [key,
+    n_corpus_matches, n_batch_matches, batch_id], and appends the
+    band rows of NOVEL documents (0 corpus matches and no
+    smaller-key within-batch collision) — so an 80%-overlap copy
+    arriving later is caught by the index at LSH recall, with no
+    stream state and no corpus signature recomputation.
+
+    Within-batch near-dups (two near-copies arriving in the SAME
+    micro-batch) mirror the exact path's min-key collapse: the
+    smallest colliding key is the batch's canonical copy (novel if
+    the corpus doesn't match it) and is the only one indexed;
+    the others report ``n_batch_matches`` ≥ 1.  The self-probe is a
+    batch×batch band join — both sides micro-batch-sized, broadcast,
+    never touching the index.  Band rows are computed ONCE per batch
+    and reused for the corpus probe, the self-probe, and the index
+    append.  Returns the StreamingQuery."""
     from fastmlframework_spark.extensions.dedup import (
         incremental_minhash_dedup,
         minhash_band_index,
@@ -137,9 +148,43 @@ def streaming_near_dedup(
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         index = spark.read.parquet(index_dir)
-        decisions = incremental_minhash_dedup(
-            batch_df, index, key_col, text_col, n, num_hashes, bands, seed
+        bands_b = minhash_band_index(
+            batch_df, key_col, text_col, n, num_hashes, bands, seed
         ).cache()
+        corpus = incremental_minhash_dedup(
+            batch_df, index, key_col, text_col, n, num_hashes, bands,
+            seed, precomputed_bands=bands_b,
+        )
+        self_probe = (
+            bands_b.select(
+                F.col(key_col).alias("__bk"), "band", "band_digest"
+            )
+            .join(
+                F.broadcast(
+                    bands_b.select(
+                        F.col(key_col).alias("__ok"), "band", "band_digest"
+                    )
+                ),
+                on=["band", "band_digest"],
+            )
+            .filter(F.col("__ok") < F.col("__bk"))
+            .select("__bk", "__ok")
+            .distinct()
+            .groupBy("__bk")
+            .agg(F.count(F.lit(1)).alias("n_batch_matches"))
+            .withColumnRenamed("__bk", key_col)
+        )
+        decisions = (
+            corpus.join(F.broadcast(self_probe), on=key_col, how="left")
+            .select(
+                key_col,
+                "n_corpus_matches",
+                F.coalesce("n_batch_matches", F.lit(0)).alias(
+                    "n_batch_matches"
+                ),
+            )
+            .cache()
+        )
         try:
             (
                 decisions.withColumn("batch_id", F.lit(batch_id))
@@ -147,17 +192,16 @@ def streaming_near_dedup(
                 .parquet(out_dir)
             )
             novel_keys = decisions.filter(
-                F.col("n_corpus_matches") == 0
+                (F.col("n_corpus_matches") == 0)
+                & (F.col("n_batch_matches") == 0)
             ).select(key_col)
-            novel_bands = minhash_band_index(
-                batch_df.join(
-                    F.broadcast(novel_keys), on=key_col, how="left_semi"
-                ),
-                key_col, text_col, n, num_hashes, bands, seed,
+            novel_bands = bands_b.join(
+                F.broadcast(novel_keys), on=key_col, how="left_semi"
             )
             novel_bands.write.mode("append").parquet(index_dir)
         finally:
             decisions.unpersist()
+            bands_b.unpersist()
 
     return (
         stream_df.writeStream.foreachBatch(_process)

@@ -428,3 +428,48 @@ def test_streaming_ingest_example_end_to_end(spark, sf_dir_small, tmp_path):
     assert s["cross_batch_dups_dropped"] == s["novel_emitted"]
     assert s["near_flagged"] >= s["cross_batch_dups_dropped"]
     assert s["seasonal_cells"] > 0
+
+
+def test_streaming_near_dedup_within_batch_self_probe(spark, tmp_path):
+    """Two near-copies arriving in the SAME micro-batch collapse to
+    the min key (exact-path symmetry): the smaller key is novel and
+    indexed, the larger reports n_batch_matches >= 1 and adds no
+    band rows to the index."""
+    from fastmlframework_spark.extensions.dedup import minhash_band_index
+    from fastmlframework_spark.streaming.dedup import streaming_near_dedup
+
+    corpus = spark.createDataFrame(
+        [(100, "entirely unrelated seed corpus content about rivers")],
+        "doc_id long, text string",
+    )
+    index_dir = str(tmp_path / "bindex")
+    minhash_band_index(corpus).write.mode("overwrite").parquet(index_dir)
+    n_index_before = spark.read.parquet(index_dir).count()
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "far across the wide open field toward the distant river bank"
+    )
+    batch = spark.createDataFrame(
+        [(7, base), (8, base[: int(len(base) * 0.8)]),
+         (9, "completely different subject matter about physical plans")],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "wb_incoming")
+    batch.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = streaming_near_dedup(
+        stream, index_dir, str(tmp_path / "wbout"), str(tmp_path / "wbckpt")
+    )
+    q.awaitTermination()
+
+    out = {r["doc_id"]: r for r in
+           spark.read.parquet(str(tmp_path / "wbout")).collect()}
+    assert out[7]["n_batch_matches"] == 0      # min key is canonical
+    assert out[8]["n_batch_matches"] >= 1      # within-batch near-dup
+    assert out[9]["n_batch_matches"] == 0      # unrelated text
+    assert out[7]["n_corpus_matches"] == 0 and out[8]["n_corpus_matches"] == 0
+    # index grew by exactly the two novel docs' band rows (7 and 9),
+    # not the within-batch duplicate's
+    idx = spark.read.parquet(index_dir)
+    assert idx.count() == n_index_before + 2 * 4  # bands=4 per novel doc

@@ -29,8 +29,37 @@ from fastmlframework_spark.core.session import get_spark
 from fastmlframework_spark.queries.registry import bench_queries
 
 # The sf1 headline set (VERDICT r4 #7): every q\d+_ TPC-H shape plus
-# the 10 historically slowest extension queries — pinned by name so the
+# the 12 historically slowest extension queries — pinned by name so the
 # stored BENCH_SF1 baseline stays comparable across rounds.
+# Why each bench=False registry query is NOT timed (VERDICT r5 #5) —
+# emitted into the bench JSON as "excluded" so the exclusion set and
+# its rationale travel with every BENCH artifact.  A registry query
+# that is neither benched nor listed here is flagged on stderr.
+EXCLUDED_REASONS = {
+    "dedup_embedding_cosine": "size-guarded O(n²) exact oracle; never a "
+    "production path (scale routes via embedding LSH)",
+    "dedup_minhash_covers_exact": "recall contract vs the O(n²) exact "
+    "pair ground truth — correctness evidence, not a latency path",
+    "dedup_simhash_covers_exact": "recall contract vs the O(n²) exact "
+    "pair ground truth — correctness evidence, not a latency path",
+    "dedup_embedding_lsh_covers_planted": "planted-recall invariant over "
+    "the LSH path already benched as dedup_embedding_lsh",
+    "ann_lsh_planted_top1": "planted-recall invariant over the LSH path "
+    "already benched as ann_topk_lsh",
+    "ann_pq_planted_top1": "planted-recall invariant over the PQ path "
+    "already benched as ann_topk_pq",
+    "events_cusum_alarms": "per-key applyInPandas loop kept only as the "
+    "oracle cross-check for events_cusum_scan (the benched form)",
+    "cv_oof_logreg": "real 3-fold MLlib fit (~29 s at sf0.1) — timed "
+    "once per round in BENCH_CV.json, not in every driver pass",
+    "cv_feature_importance": "real 2-fold GBT fit (~12 s at sf0.1) — "
+    "timed once per round in BENCH_CV.json",
+    "cv_oof_invariants": "re-runs the cv_oof_logreg fit to audit it — "
+    "timed once per round in BENCH_CV.json",
+    "cv_importance_invariants": "re-runs the cv_feature_importance fit "
+    "to audit it — timed once per round in BENCH_CV.json",
+}
+
 HEADLINE_EXTENSIONS = (
     "dedup_duplicate_spans",
     "dedup_remove_spans",
@@ -48,29 +77,38 @@ HEADLINE_EXTENSIONS = (
 
 
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="Run registered bench queries; prints ONE JSON line."
+    )
     # --sf 1 → /root/testdata/sf1 (CLI beats env: the env var is the
     # driver's standing default, the flag is an explicit one-off ask).
-    args = sys.argv[1:]
-    if "--sf" in args:
-        sf_arg = args[args.index("--sf") + 1]
+    ap.add_argument("--sf", default=None, help="scale factor suffix")
+    ap.add_argument("--sf-dir", default=None, help="explicit data dir")
+    ap.add_argument("--queries", default=None, help="comma-separated subset")
+    # --headline: the 22 TPC-H shapes + the 12 historically slowest
+    # extension queries (the sf1 baseline set from VERDICT r4 #7).
+    ap.add_argument("--headline", action="store_true")
+    # --tag X: write BENCH_X.json instead of BENCH_FULL.json (so an
+    # sf1 run never clobbers the driver's default artifact).
+    ap.add_argument("--tag", default="FULL")
+    cli = ap.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if cli.sf is not None:
         sf_dir = os.path.join(
             os.path.dirname(sf_dir.rstrip("/") or "/root/testdata"),
-            f"sf{sf_arg}",
+            f"sf{cli.sf}",
         )
-    if "--sf-dir" in args:
-        sf_dir = args[args.index("--sf-dir") + 1]
-    # --queries a,b,c: run a subset; --headline: the 22 TPC-H shapes +
-    # the 10 historically slowest extension queries (the sf1 baseline
-    # set from VERDICT r4 #7); --tag X: write BENCH_X.json instead of
-    # BENCH_FULL.json (so an sf1 run never clobbers the driver's
-    # default artifact).
+    if cli.sf_dir is not None:
+        sf_dir = cli.sf_dir
     only: set[str] | None = None
-    if "--queries" in args:
-        only = set(args[args.index("--queries") + 1].split(","))
-    if "--headline" in args:
+    if cli.queries is not None:
+        only = set(cli.queries.split(","))
+    if cli.headline:
         only = set(HEADLINE_EXTENSIONS)
-    tag = args[args.index("--tag") + 1] if "--tag" in args else "FULL"
+    tag = cli.tag
     sf = _sf_from_dir(sf_dir)
     # Console progress bars write \r-interleaved noise that lands in
     # the caller's stdout tail capture — off for a clean final line.
@@ -82,10 +120,16 @@ def main() -> None:
 
     queries = bench_queries()
     if only is not None:
-        if "--headline" in args:
+        if cli.headline:
             import re as _re
 
             only |= {q for q in queries if _re.match(r"q\d+_", q)}
+        if cli.queries is not None:
+            # an explicit --queries ask reaches bench=False entries too
+            # (how BENCH_CV.json times the MLlib fit queries on demand)
+            from fastmlframework_spark.queries.registry import all_queries
+
+            queries = all_queries()
         missing = only - set(queries)
         if missing:
             print(f"bench: unknown queries skipped: {sorted(missing)}",
@@ -142,8 +186,45 @@ def main() -> None:
                 break
         timings[name] = best
 
+    # Streaming throughput micro-benches (VERDICT r5 #7): real
+    # Structured Streaming drains, timed under the same best-of-N /
+    # 2×-gate policy as the batch queries.  Skipped when --queries
+    # narrows the run to an explicit batch subset.
+    if only is None:
+        from fastmlframework_spark.streaming.bench import STREAMING_BENCHES
+
+        for name in sorted(STREAMING_BENCHES):
+            best = None
+            for _ in range(runs):
+                start = time.perf_counter()
+                try:
+                    STREAMING_BENCHES[name](spark, sf_dir)
+                    took = round(time.perf_counter() - start, 4)
+                    best = took if best is None else min(best, took)
+                except Exception as exc:
+                    print(f"bench: stream {name} failed: {exc}",
+                          file=sys.stderr)
+                    best = -1.0
+                spark.catalog.clearCache()
+                if best is not None and best < 0:
+                    break
+            timings[name] = best
+
     ok = {k: v for k, v in timings.items() if v >= 0}
-    _write_regression_report(timings, sf)
+    if only is None:
+        # full runs only: a --queries/--headline subset would clobber
+        # the committed full-suite BENCH_COMPARE.json with 3 rows
+        _write_regression_report(timings, sf)
+    from fastmlframework_spark.queries.registry import all_queries
+
+    unbenched = set(all_queries()) - set(bench_queries())
+    unexplained = sorted(unbenched - set(EXCLUDED_REASONS))
+    if unexplained:
+        print(
+            f"bench: unbenched queries missing an EXCLUDED_REASONS "
+            f"entry: {unexplained}",
+            file=sys.stderr,
+        )
     here = os.path.dirname(os.path.abspath(__file__))
     try:
         with open(os.path.join(here, f"BENCH_{tag}.json"), "w") as fh:
@@ -154,6 +235,11 @@ def main() -> None:
                     "unit": "sec",
                     "queries": timings,
                     "sf": sf,
+                    "excluded": {
+                        k: v
+                        for k, v in EXCLUDED_REASONS.items()
+                        if k in unbenched
+                    },
                 },
                 fh,
                 sort_keys=True,

@@ -1,0 +1,102 @@
+"""Streaming throughput micro-benches (VERDICT r5 #7).
+
+The streaming family has parity and soak tests but, until round 6, no
+perf number — a regression in the foreachBatch index-probe path (say,
+an accidental index shuffle) would not trip any gate.  These two
+benches run real Structured Streaming queries end-to-end (file
+source → micro-batches → foreachBatch / running aggregation → sink)
+over the driver testdata and are timed by ``bench.py`` alongside the
+batch queries, so the same 2×-vs-baseline gate covers them:
+
+* ``stream_exact_dedup`` — the ``documents`` table split into 4
+  micro-batch file groups plus a replay of the first group, drained
+  through ``streaming_exact_dedup`` (persisted parquet digest index,
+  broadcast batch probe, index append per trigger).
+* ``stream_seasonal_stats`` — the ``events`` table as a file stream
+  through the running hour-of-day seasonal aggregation (state bounded
+  by key×24, no watermark) into a memory sink.
+
+Each call builds its inputs under a fresh temp dir and removes it, so
+repeated bench passes measure the same cold work.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pyspark.sql.functions as F
+
+
+def bench_stream_exact_dedup(spark, sf_dir: str) -> int:
+    """Drain documents through the exact ingest-dedup stream; returns
+    rows emitted (sanity: > 0).  Wall-clock is the bench's metric."""
+    from fastmlframework_spark.streaming.dedup import (
+        build_digest_index,
+        streaming_exact_dedup,
+    )
+
+    work = tempfile.mkdtemp(prefix="fastml_stream_bench_")
+    try:
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        src = os.path.join(work, "incoming")
+        n_batches = 4
+        for i in range(n_batches):
+            (
+                docs.filter(F.col("doc_id") % n_batches == i)
+                .coalesce(2)
+                .write.mode("overwrite")
+                .parquet(os.path.join(src, f"b{i}"))
+            )
+        # replay group 0 → cross-batch duplicates for the index probe
+        (
+            docs.filter(F.col("doc_id") % n_batches == 0)
+            .withColumn("doc_id", F.col("doc_id") + 10_000_000)
+            .coalesce(2)
+            .write.mode("overwrite")
+            .parquet(os.path.join(src, "replay"))
+        )
+        index_dir = os.path.join(work, "index")
+        build_digest_index(docs.limit(0), index_dir)
+        q = streaming_exact_dedup(
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src + "/*"),
+            index_dir,
+            os.path.join(work, "out"),
+            os.path.join(work, "ckpt"),
+        )
+        q.awaitTermination()
+        return spark.read.parquet(os.path.join(work, "out")).count()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def bench_stream_seasonal_stats(spark, sf_dir: str) -> int:
+    """Drain events through the running seasonal aggregation; returns
+    the number of (key, hour) state cells."""
+    from fastmlframework_spark.streaming.windows import (
+        run_available_now,
+        seasonal_stats,
+    )
+
+    work = tempfile.mkdtemp(prefix="fastml_stream_bench_")
+    try:
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        src = os.path.join(work, "events_in")
+        # 8 file groups → several micro-batches under availableNow
+        ev.repartition(8).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(ev.schema).option(
+            "maxFilesPerTrigger", 2
+        ).parquet(src)
+        run_available_now(seasonal_stats(stream), "bench_seasonal")
+        return spark.table("bench_seasonal").count()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+STREAMING_BENCHES = {
+    "stream_exact_dedup": bench_stream_exact_dedup,
+    "stream_seasonal_stats": bench_stream_seasonal_stats,
+}

@@ -79,3 +79,27 @@ def test_probe_covers_scales(probe):
     for name, q in probe["queries"].items():
         assert len(q["sf"]) >= 3 and len(q["sec"]) == len(q["sf"]), name
         assert q["sf"] == sorted(q["sf"]), name
+
+
+def test_probe_covers_full_benched_registry(probe):
+    """VERDICT r5 #4: every benched registry query must carry a
+    committed scaling exponent — a super-linear constant invisible at
+    sf0.1 cannot hide in an unprobed query.  (Queries newer than the
+    last committed probe run would surface here.)"""
+    from fastmlframework_spark.queries.registry import bench_queries
+
+    missing = sorted(set(bench_queries()) - set(probe["queries"]))
+    assert not missing, f"benched queries missing from probe: {missing}"
+
+
+def test_all_top_decade_exponents_bounded(probe):
+    """No benched query may scale worse than b = 1.2 over the top
+    decade (sf0.1 → sf1): the whole registry, not just the historic
+    dedup/ANN set, is certified linear-with-overhead."""
+    bad = {
+        name: q["exponent_top_decade"]
+        for name, q in probe["queries"].items()
+        if q.get("exponent_top_decade") is not None
+        and q["exponent_top_decade"] >= 1.2
+    }
+    assert not bad, f"super-linear top-decade exponents: {bad}"

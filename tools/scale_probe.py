@@ -120,40 +120,16 @@ def replicate(spark, src: str, out: str, factor: int,
 
 # Queries whose scaling law we certify each round: the dedup/ANN family
 # (the paths DESIGNED to be sub-quadratic) plus two grouped-agg controls.
-EXPONENT_QUERIES = (
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_lsh",
-    "dedup_components",
-    "ann_topk_bruteforce",
-    "ann_topk_lsh",
-    "q1_pricing_summary",
-    "window_topk_per_group",
-    "contamination_eval_overlap",
-    "pack_sequences_sharded",
-    "shuffle_training_order",
-    "semantic_dedup_planted",
-    "knn_density_by_label",
-    "text_chargram_nll",
-    "dsir_importance_weights",
-    "quality_gopher_rules",
-    "pack_length_buckets",
-    "dedup_duplicate_spans",
-    "dedup_remove_spans",
-    "dedup_incremental_near",
-    "text_ccnet_buckets",
-    "events_seasonal_baseline",
-    "text_vocab_coverage",
-    "metric_roc_auc",
-    "ann_topk_pq",
-    "text_zipf_fit",
-    "quality_repetition_signals",
-    "corpus_datacard",
-    "text_bpe_merge_candidates",
-    "curation_url_domains",
-    "quality_encoding_screen",
-)
+def exponent_queries() -> tuple[str, ...]:
+    """The FULL benched registry (VERDICT r5 #4): every query the
+    driver bench times gets a committed scaling exponent, so a
+    super-linear constant invisible at sf0.1 cannot hide in an
+    unprobed query.  bench=False queries (model fits, O(n²) oracle
+    ground truths, recall invariants) are excluded for the same
+    reasons bench.py documents in EXCLUDED_REASONS."""
+    from fastmlframework_spark.queries.registry import bench_queries
+
+    return tuple(sorted(bench_queries()))
 
 
 def probe_exponents(
@@ -260,7 +236,7 @@ def main() -> None:
         sf_dirs = [os.path.join(base, f"sf{s}") for s in ("0.001", "0.01", "0.1")]
         if args.sf1_dir:
             sf_dirs.append(args.sf1_dir)
-        result = probe_exponents(spark, sf_dirs, list(EXPONENT_QUERIES))
+        result = probe_exponents(spark, sf_dirs, list(exponent_queries()))
         with open(args.json_out, "w") as fh:
             json.dump(result, fh, indent=1, sort_keys=True)
         print(f"wrote {args.json_out}")

@@ -196,16 +196,24 @@ def with_cells(
     lowest id on ties).
 
     A pure row map: no broadcast join, no shuffle — one Arrow-batched
-    Pandas UDF computing every codebook's argmin per batch as a BLAS
-    ``X @ Cᵀ``.  This is the one place the "UDFs are the slow path"
-    rule inverts: nearest-center encode IS dense matrix multiply, and
-    per-batch BLAS beats both an unrolled multiply-add expression
-    (whose k·dim literal tree made Catalyst ANALYSIS the bottleneck —
-    re-paid on every plan reference, ruinous for iterative consumers
-    like ``semantic_dedup``) and a higher-order ``transform``/
-    ``aggregate`` (interpreted per element: measured ~0.2 ms/row at
-    dim 64, k 4 — a non-starter for a 100 TB encode pass).  The
-    codebooks ride the UDF closure, shipped once per task."""
+    Pandas UDF computing every codebook's argmin per batch with
+    vectorized numpy, and DELIBERATELY NOT a BLAS ``X @ Cᵀ``: the
+    projection accumulates strictly left-to-right over the slice
+    dimension (one fused product-add per step, see the loop below),
+    because the hash-matched PQ oracle (``queries/pq_sql.py``)
+    replays code assignment as an unrolled left-to-right SQL sum and
+    dgemm's blocked/reordered accumulation would diverge in the last
+    ulp — enough to flip an argmin near a tie and break the
+    ``ann_topk_pq`` driver hash.  Do not "optimize" this back to
+    matmul; the sequential-accumulation order is load-bearing.  For
+    sub-dims ≈ 8 the fused vector ops cost the same as the dgemm
+    anyway, and the batch UDF still beats both an unrolled
+    multiply-add expression (whose k·dim literal tree made Catalyst
+    ANALYSIS the bottleneck — re-paid on every plan reference,
+    ruinous for iterative consumers like ``semantic_dedup``) and a
+    higher-order ``transform``/``aggregate`` (interpreted per
+    element: measured ~0.2 ms/row at dim 64, k 4).  The codebooks
+    ride the UDF closure, shipped once per task."""
     from pyspark.sql.functions import pandas_udf
 
     mats = [

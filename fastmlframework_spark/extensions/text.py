@@ -419,7 +419,11 @@ def vocab_coverage_curve(
     head = counts.orderBy(F.desc("__c"), F.asc("__tok")).limit(n_head)
     w = Window.orderBy(F.desc("__c"), F.asc("__tok"))
     ranked = head.withColumn("__r", F.row_number().over(w))
-    total = tok.agg(F.count(F.lit(1)).alias("__total"))
+    # total from the COUNTS frame, not a second tok.agg branch: the
+    # subtree matches the head branch's aggregation, so the corpus is
+    # scanned/exploded once and AQE can reuse the exchange (a separate
+    # tok.agg(count) showed up as a second Scan parquet in PLANS.md).
+    total = counts.agg(F.sum("__c").alias("__total"))
     sizes = F.explode(
         F.array(*[F.lit(int(v)) for v in vocab_sizes])
     ).alias("vocab_size")

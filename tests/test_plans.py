@@ -425,3 +425,39 @@ def test_cusum_scan_is_window_only(spark, sf_dir_small):
     assert "ApplyInPandas" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
     assert "ArrowEvalPython" not in plan, plan
+
+
+def test_span_dedup_digests_are_long_not_md5(spark, sf_dir_small):
+    """The duplicate-passage window explode is the heaviest row stream
+    in the dedup family (~doc_len rows per doc) and everything
+    downstream shuffles on the digest — the digest must stay an 8-byte
+    xxhash64 long end-to-end.  An md5 (or any string digest) sneaking
+    back in widens every exchange in the family by 4× and re-adds the
+    per-window string materialization (r6 cut sf1 times 47-69% by
+    removing it)."""
+    for q in ("dedup_duplicate_spans", "dedup_remove_spans"):
+        plan = _plan(spark, sf_dir_small, q)
+        assert "md5" not in plan, (q, plan)
+        assert "xxhash64" in plan, (q, plan)
+
+
+def test_vocab_coverage_single_corpus_scan(spark, sf_dir_small):
+    """The coverage curve's token total must come from the counts
+    aggregate, not a second tokenize-and-count branch: a web corpus
+    is scanned and exploded ONCE.  The sharing happens at runtime —
+    both branches canonicalize to the same token-count exchange, so
+    AQE replaces the second subtree with a ReusedExchange — which is
+    why this pin executes the query and reads the FINAL adaptive
+    plan: the static plan always prints both subtrees.  A second
+    FileScan surviving execution means the total regressed to a
+    branch whose aggregation no longer matches the head's (what the
+    old tok.agg(count) form did)."""
+    df = all_queries()["text_vocab_coverage"](spark, sf_dir_small)
+    df.collect()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    final = buf.getvalue().split("== Initial Plan ==")[0]
+    assert "isFinalPlan=true" in final, final
+    assert len(re.findall(r"FileScan parquet", final)) == 1, final
+    assert "ReusedExchange" in final, final

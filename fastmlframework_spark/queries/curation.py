@@ -300,7 +300,6 @@ def canonical_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5("canon").alias("canon_digest"),
             F.length("canon").cast("long").alias("canon_chars"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -422,7 +421,6 @@ def corpus_resample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             < F.col("hx")
         )
         .select("doc_id", "source")
-        .orderBy("doc_id")
     )
 
 

@@ -478,7 +478,7 @@ def semantic_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.unionByName(copies)
     # adaptive n_clusters (constant cell size) — the invariant holds
     # for ANY cell layout, so the oracle is unaffected
-    return semantic_dedup(corpus, threshold=0.999).orderBy("vec_id")
+    return semantic_dedup(corpus, threshold=0.999)
 
 
 @query("dedup_ngram_jaccard_prefix", oracle=_JACCARD_ORACLE)

@@ -460,7 +460,6 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("value", 4).alias("value"),
             F.round(z, 4).alias("zscore"),
         )
-        .orderBy("event_id")
     )
 
 

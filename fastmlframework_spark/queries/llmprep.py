@@ -58,7 +58,7 @@ def doc_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return chunking.chunk_by_tokens(
         docs, text_col="text", chunk_size=_CHUNK_SIZE, overlap=_OVERLAP
-    ).orderBy("doc_id", "chunk_idx")
+    )
 
 
 @query(
@@ -86,7 +86,6 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.filter(digit <= cutoff)
         .select("doc_id", "lang", "source")
-        .orderBy("doc_id")
     )
 
 

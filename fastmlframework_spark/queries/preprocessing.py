@@ -416,7 +416,7 @@ def target_encode_oof_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         seed=27,
         prior_weight=20.0,
-    ).orderBy("o_orderkey")
+    )
 
 
 @query(

@@ -461,3 +461,23 @@ def test_vocab_coverage_single_corpus_scan(spark, sf_dir_small):
     assert "isFinalPlan=true" in final, final
     assert len(re.findall(r"FileScan parquet", final)) == 1, final
     assert "ReusedExchange" in final, final
+
+
+def test_row_level_reports_have_no_global_sort(spark, sf_dir_small):
+    """Corpus-sized row-level outputs (per-doc digests, chunk tables,
+    per-row encodes, dedup decisions) must not end in a global sort:
+    the driver compare is order-insensitive, shard writers re-sort
+    locally when file order matters, and a trailing orderBy range-
+    partitions and sorts the ENTIRE output for nothing (measured 70%
+    of canonical_digests' sf1 wall-clock).  Sorts on small aggregate
+    outputs (TPC-H presentation order) are fine and not covered here."""
+    for q in (
+        "canonical_digests",
+        "corpus_resample_weighted",
+        "semantic_dedup_planted",
+        "doc_chunk_tokens",
+        "sample_stratified_hash",
+        "target_encode_oof_priority",
+    ):
+        plan = _plan(spark, sf_dir_small, q)
+        assert "rangepartitioning" not in plan, (q, plan)

@@ -486,3 +486,79 @@ def encoding_quality(
             (n_repl + n_ctrl) / F.greatest(n_chars, F.lit(1)), 6
         ).alias("bad_char_frac"),
     )
+
+
+def embedding_contamination(
+    corpus: DataFrame,
+    evals: DataFrame,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.999,
+    n_planes: int | None = None,
+    seed: int = 7,
+    rows_per_bucket: int = 128,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination → [key,
+    n_eval_matches, max_cosine] for every corpus vector whose cosine
+    against SOME eval vector reaches ``threshold`` — the semantic
+    complement of ``eval_contamination`` (n-gram containment misses
+    paraphrases; embedding cosine catches them).
+
+    Same hyperplane-sign sharding as ``dedup.lsh_dup_pairs`` and the
+    same exact-verify arithmetic (double-square norms, cast-first
+    left-to-right dot — the expressions the bit-faithful SQL twin in
+    ``queries/lsh_sql.py`` mirrors), but the join is asymmetric: the
+    EVAL side is benchmark-sized (10³-10⁵ rows), so its bucketed
+    vectors broadcast and the corpus is never shuffled — one scan
+    computing buckets map-side, a broadcast hash join per bucket
+    collision, and a corpus-key aggregate.  ``n_planes`` defaults to
+    ``adaptive_n_planes`` of the CORPUS count (occupancy is
+    corpus-driven); at 100 TB this is the identical shape to the
+    ingest-dedup index probe: big side map-only, small side broadcast."""
+    from fastmlframework_spark.extensions.dedup import adaptive_n_planes
+    from fastmlframework_spark.extensions.similarity import (
+        hyperplanes,
+        vec_dim,
+        with_lsh_bucket,
+    )
+
+    dim = vec_dim(corpus, vec_col)
+    if n_planes is None:
+        n_planes = adaptive_n_planes(corpus.count(), rows_per_bucket)
+    planes = hyperplanes(dim, n_planes, seed)
+    norm = (
+        f"sqrt(aggregate({vec_col}, 0.0D, (a, v) -> a + cast(v as double)*v))"
+    )
+    c = with_lsh_bucket(
+        corpus.select(
+            key_col, F.col(vec_col), F.expr(norm).alias("__norm")
+        ),
+        vec_col,
+        planes,
+    ).select(
+        F.col(key_col),
+        F.col(vec_col).alias("ea"),
+        F.col("__norm").alias("na"),
+        "bucket",
+    )
+    e = with_lsh_bucket(
+        evals.select(F.col(vec_col), F.expr(norm).alias("__norm")),
+        vec_col,
+        planes,
+    ).select(
+        F.col(vec_col).alias("eb"), F.col("__norm").alias("nb"), "bucket"
+    )
+    dot = (
+        "aggregate(zip_with(ea, eb, (x, y) -> cast(x as double) * y), "
+        "0.0D, (a, v) -> a + v)"
+    )
+    return (
+        c.join(F.broadcast(e), on="bucket")
+        .withColumn("cosine", F.round(F.expr(f"({dot}) / (na * nb)"), 6))
+        .filter(F.col("cosine") >= threshold)
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_eval_matches"),
+            F.max("cosine").alias("max_cosine"),
+        )
+    )

@@ -485,3 +485,46 @@ def bpe_merge_candidates(
         .orderBy(F.desc("n_occurrences"), F.asc("pair"))
         .limit(top)
     )
+
+
+def heaps_law_fit(
+    df: DataFrame, by: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Heaps'-law fit V = K·N^β over per-group (corpus size N =
+    token occurrences, vocabulary V = distinct tokens) points →
+    ONE row [n_groups, heaps_beta, heaps_ln_k] — the tokenizer-sizing
+    companion to ``zipf_fit``/``vocab_coverage_curve``: β predicts
+    how fast the vocabulary (and thus OOV pressure on a fixed-size
+    tokenizer) keeps growing as the corpus scales; natural language
+    sits near β ≈ 0.5, templated/duplicated corpora fall toward 0.
+
+    Each ``by`` group contributes one (ln N, ln V) point and the fit
+    is least-squares across groups, so the curve is measured from
+    corpus slices of genuinely different sizes rather than from
+    prefix-sampling one corpus (which would need an ordered scan —
+    not a distributed shape).  Cost: ONE corpus-sized shuffle (the
+    (group, token) count, map-side combined, keys bounded by
+    vocabulary × groups), a group-sized aggregate, then a single
+    regr_* aggregate over n_groups rows."""
+    tok = df.select(
+        F.col(by),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("__tok"),
+    ).filter(F.col("__tok") != F.lit(""))
+    per_group = (
+        tok.groupBy(by, "__tok")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy(by)
+        .agg(
+            F.sum("__c").alias("__n_tok"),
+            F.count(F.lit(1)).alias("__n_vocab"),
+        )
+    )
+    return per_group.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.round(
+            F.regr_slope(F.log("__n_vocab"), F.log("__n_tok")), 6
+        ).alias("heaps_beta"),
+        F.round(
+            F.regr_intercept(F.log("__n_vocab"), F.log("__n_tok")), 6
+        ).alias("heaps_ln_k"),
+    )

@@ -665,3 +665,70 @@ def quality_encoding_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return xcur.encoding_quality(planted)
+
+
+# The CORRECTNESS contract runs at sf=0.01 (500-vector embeddings
+# fixture); the oracle inlines the plane count the operator's
+# adaptive default derives for that corpus size — via the SAME
+# adaptive_n_planes function, so a formula change cannot
+# desynchronize the twin (same pattern as queries/dedup.py's
+# _ORACLE_EMBED_CORPUS_ROWS).
+_ORACLE_CONTAM_CORPUS_ROWS = 500
+
+
+def _embedding_contamination_oracle(
+    dim: int = 64, threshold: float = 0.999
+) -> str:
+    """Literal SQL twin of ``curation.embedding_contamination`` over
+    the planted eval slice: seed-7 hyperplanes inlined, double-square
+    norms and the cast-first left-to-right dot mirroring the Spark
+    expressions bit-exactly (queries/lsh_sql.py)."""
+    from fastmlframework_spark.extensions.dedup import adaptive_n_planes
+    from fastmlframework_spark.extensions.similarity import hyperplanes
+    from fastmlframework_spark.queries import lsh_sql as L
+
+    planes = hyperplanes(
+        dim, adaptive_n_planes(_ORACLE_CONTAM_CORPUS_ROWS), seed=7
+    )
+    return f"""
+WITH corpus AS (
+  SELECT vec_id, embedding AS v,
+         sqrt({L.norm_sq_double_sql("embedding")}) AS nrm,
+         {L.bucket_sql("embedding", planes)} AS bucket
+  FROM embeddings
+),
+ev AS (
+  SELECT embedding AS v,
+         sqrt({L.norm_sq_double_sql("embedding")}) AS nrm,
+         {L.bucket_sql("embedding", planes)} AS bucket
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+hits AS (
+  SELECT c.vec_id,
+         ROUND({L.dot_sql("c.v", "e.v", dim, cast_a=True)}
+               / (c.nrm * e.nrm), 6) AS cosine
+  FROM corpus c JOIN ev e ON c.bucket = e.bucket
+)
+SELECT vec_id, COUNT(*) AS n_eval_matches, MAX(cosine) AS max_cosine
+FROM hits WHERE cosine >= {threshold}
+GROUP BY vec_id
+"""
+
+
+@query(
+    "contamination_embedding_eval", oracle=_embedding_contamination_oracle()
+)
+def contamination_embedding_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination: every ``vec_id %
+    10 == 0`` vector doubles as a planted eval item, and the flagged
+    set must contain (at least) each eval vector's own original at
+    cosine 1.0 — paraphrase-level contamination that
+    ``contamination_eval_overlap``'s n-gram containment cannot see.
+    Corpus side is one map-only bucket scan; the benchmark-sized eval
+    side broadcasts (the ingest-index-probe shape at 100 TB).  Full
+    hash-matched oracle via the inlined seed-7 hyperplanes."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    evals = emb.filter(F.col("vec_id") % 10 == 0).select("embedding")
+    return xcur.embedding_contamination(emb, evals)

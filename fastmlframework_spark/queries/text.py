@@ -323,3 +323,36 @@ def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair explode, TakeOrdered top-k, no global sort."""
     docs = load_table(spark, sf_dir, "documents").select("text")
     return xtext.bpe_merge_candidates(docs)
+
+
+@query(
+    "text_heaps_law",
+    oracle="""
+WITH tok AS (
+  SELECT source, unnest(string_split_regex(text, '\\s+')) AS t
+  FROM documents
+),
+c AS (
+  SELECT source, t, COUNT(*) AS c FROM tok WHERE t <> '' GROUP BY 1, 2
+),
+g AS (
+  SELECT source, SUM(c) AS n_tok, COUNT(*) AS n_vocab
+  FROM c GROUP BY source
+)
+SELECT COUNT(*) AS n_groups,
+       ROUND(regr_slope(ln(n_vocab), ln(n_tok)), 6) AS heaps_beta,
+       ROUND(regr_intercept(ln(n_vocab), ln(n_tok)), 6) AS heaps_ln_k
+FROM g
+""",
+)
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law V = K*N^beta fit across per-source (corpus size,
+    vocabulary) points — how fast vocabulary keeps growing with the
+    corpus, the forward-looking tokenizer-sizing number that
+    ``text_vocab_coverage`` (current coverage) and ``text_zipf_fit``
+    (frequency decay) don't answer; natural language sits near
+    beta = 0.5, heavily templated or duplicated corpora fall toward
+    0.  One vocabulary-bounded shuffle, then aggregates of
+    n-source and 1 rows."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    return xtext.heaps_law_fit(docs, by="source")

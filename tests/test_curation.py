@@ -259,3 +259,59 @@ def test_encoding_quality(spark):
     # tab/newline are NOT control damage; \x01 is
     assert out[3]["n_control"] == 1
     assert out[4]["n_chars"] == 0 and out[4]["bad_char_frac"] == 0.0
+
+
+def test_embedding_contamination_flags_planted_copies(spark):
+    """Corpus vectors that ARE eval vectors (cosine 1.0) must be
+    flagged with their own match; a far-off vector must not."""
+    import pyspark.sql.functions as F
+
+    from fastmlframework_spark.extensions.curation import (
+        embedding_contamination,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [-1.0, -1.0, -1.0, -1.0]),
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    evals = corpus.filter(F.col("vec_id").isin(1, 2)).select("embedding")
+    out = {
+        r["vec_id"]: r
+        for r in embedding_contamination(
+            corpus, evals, n_planes=4
+        ).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[1]["n_eval_matches"] == 1 and out[1]["max_cosine"] == 1.0
+    assert out[2]["n_eval_matches"] == 1
+
+
+def test_embedding_contamination_broadcasts_eval_side(spark):
+    """The corpus must never shuffle: the benchmark-sized eval side
+    broadcasts into the bucket join (the index-probe shape)."""
+    import contextlib
+    import io
+
+    import pyspark.sql.functions as F
+
+    from fastmlframework_spark.extensions.curation import (
+        embedding_contamination,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0, 0.0]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    evals = corpus.filter(F.col("vec_id") < 3).select("embedding")
+    df = embedding_contamination(corpus, evals, n_planes=4)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

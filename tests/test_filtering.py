@@ -343,3 +343,33 @@ def test_repetition_signals_edges(spark):
         assert r["dup_5gram_word_frac"] == 0.0
     # masked coverage is a fraction of word positions — never above 1
     assert all(out[k]["dup_5gram_word_frac"] <= 1.0 for k in out)
+
+
+def test_heaps_law_fit_matches_closed_form(spark):
+    """The across-group log-log regression must equal the closed-form
+    least squares over the per-group (ln N, ln V) points."""
+    import math
+
+    from fastmlframework_spark.extensions.text import heaps_law_fit
+
+    rows = [
+        (1, "a", "a b a b"),                      # N=4, V=2
+        (2, "b", "a b c d a b c d"),              # N=8, V=4
+        (3, "c", "a b c d e f g h a b c d e f g h"),  # N=16, V=8
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = heaps_law_fit(df, by="source").collect()[0]
+    pts = [(math.log(4), math.log(2)), (math.log(8), math.log(4)),
+           (math.log(16), math.log(8))]
+    n = len(pts)
+    mx = sum(p[0] for p in pts) / n
+    my = sum(p[1] for p in pts) / n
+    beta = sum((x - mx) * (y - my) for x, y in pts) / sum(
+        (x - mx) ** 2 for x, _ in pts
+    )
+    ln_k = my - beta * mx
+    assert out["n_groups"] == 3
+    assert abs(out["heaps_beta"] - round(beta, 6)) <= 1e-6
+    assert abs(out["heaps_ln_k"] - round(ln_k, 6)) <= 1e-6
+    # doubling corpus doubles vocab here -> beta == 1 exactly
+    assert out["heaps_beta"] == 1.0

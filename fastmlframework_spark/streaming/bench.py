@@ -96,7 +96,42 @@ def bench_stream_seasonal_stats(spark, sf_dir: str) -> int:
         shutil.rmtree(work, ignore_errors=True)
 
 
+
+
+
+def bench_stream_cusum(spark, sf_dir: str) -> int:
+    """Drain events through the stateful CUSUM drift detector with
+    state carried across micro-batches; returns 1 on completion.
+    Two batches, not more: the wall-clock is dominated by per-batch
+    fixed cost (state-store commit across every shuffle partition +
+    Arrow worker spin-up), so two batches exercise the cross-batch
+    state path at the minimum suite cost."""
+    from fastmlframework_spark.streaming.stateful import streaming_cusum
+
+    work = tempfile.mkdtemp(prefix="fastml_stream_bench_")
+    try:
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        src = os.path.join(work, "events_in")
+        ev.repartition(4).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(ev.schema).option(
+            "maxFilesPerTrigger", 2
+        ).parquet(src)
+        q = (
+            streaming_cusum(stream)
+            .writeStream.format("noop")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return 1
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 STREAMING_BENCHES = {
     "stream_exact_dedup": bench_stream_exact_dedup,
     "stream_seasonal_stats": bench_stream_seasonal_stats,
+    "stream_cusum": bench_stream_cusum,
 }

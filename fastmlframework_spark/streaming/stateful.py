@@ -26,8 +26,10 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BooleanType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -128,4 +130,81 @@ def streaming_dedup(
     """
     return events_stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         keys
+    )
+
+
+CUSUM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("cusum", DoubleType()),
+        StructField("alarm", BooleanType()),
+    ]
+)
+
+_CUSUM_STATE_SCHEMA = StructType([StructField("s", DoubleType())])
+
+
+def streaming_cusum(
+    events_stream: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    k: float = 0.5,
+    h: float = 5.0,
+) -> DataFrame:
+    """Streaming twin of ``operators.timeseries.cusum``: Page's
+    one-sided CUSUM S_t = max(0, S_{t-1} + x_t − k), alarm when
+    S_t > h, with the per-key detector value carried ACROSS
+    micro-batches in keyed state — drift alarms fire at ingest time
+    instead of a nightly batch.  This fills the
+    ``applyInPandasWithState`` "custom stateful operator" slot the
+    batch docstring points at.
+
+    State is ONE double per key (the current S), partitioned by the
+    grouping key — bounded by |keys|, scale-free in event volume.
+    Within a batch, rows process in (ts, id) order with the same
+    left-associated ``(s + x) − k`` float64 loop as the batch
+    operator, so when micro-batches arrive in timestamp order (the
+    ingest premise) the emitted values equal the batch ``cusum`` over
+    the concatenated stream bit-for-bit — pinned by the cross-batch
+    parity test.  NULL values are dropped up front (no evidence, no
+    state change), matching the batch form."""
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (s,) = state.get if state.exists else (0.0,)
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, id_col])
+            out = []
+            for x in pdf[val_col].astype(float):
+                s = s + x - k
+                if s < 0.0:
+                    s = 0.0
+                out.append(s)
+            yield pd.DataFrame(
+                {
+                    "event_id": pdf[id_col].values,
+                    "event_type": [key[0]] * len(pdf),
+                    "cusum": [round(v, 6) for v in out],
+                    "alarm": [v > h for v in out],
+                }
+            )
+        state.update((s,))
+
+    return (
+        events_stream.filter(F.col(val_col).isNotNull())
+        .select(id_col, key_col, ts_col, val_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=CUSUM_SCHEMA,
+            stateStructType=_CUSUM_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )

@@ -562,3 +562,50 @@ def embedding_contamination(
             F.max("cosine").alias("max_cosine"),
         )
     )
+
+
+def quality_confidence(
+    df: DataFrame,
+    by: str = "source",
+    text_col: str = "text",
+    z: float = 1.959963984540054,
+) -> DataFrame:
+    """Per-group quality pass-rate with Wilson 95% score interval →
+    [by, n_docs, n_pass, pass_rate, ci_low, ci_high]: the decision
+    layer over ``gopher_rules`` — a source with 3/4 passing and a
+    source with 30k/40k passing have the same point estimate but very
+    different evidence, and curation keep/drop calls on small sources
+    need the interval, not the ratio.  Wilson (1927) rather than the
+    normal approximation: stays inside [0, 1] and behaves at n_pass
+    ∈ {0, n}.
+
+    One corpus scan (the Gopher flag battery is a map-only
+    projection) into a group-bounded aggregate; the interval is
+    closed-form float64 arithmetic on the two counts — no resampling,
+    nothing beyond the single groupBy at any scale."""
+    from fastmlframework_spark.extensions.filtering import gopher_rule_flags
+
+    counts = (
+        gopher_rule_flags(df, text_col)
+        .groupBy(by)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("passes").cast("long")).alias("n_pass"),
+        )
+    )
+    n = F.col("n_docs").cast("double")
+    p = F.col("n_pass") / n
+    z2 = F.lit(z * z)
+    denom = F.lit(1.0) + z2 / n
+    center = p + z2 / (F.lit(2.0) * n)
+    half = F.lit(z) * F.sqrt(
+        p * (F.lit(1.0) - p) / n + z2 / (F.lit(4.0) * n * n)
+    )
+    return counts.select(
+        by,
+        "n_docs",
+        "n_pass",
+        F.round(p, 6).alias("pass_rate"),
+        F.round((center - half) / denom, 6).alias("ci_low"),
+        F.round((center + half) / denom, 6).alias("ci_high"),
+    )

@@ -1220,3 +1220,47 @@ def remove_duplicate_spans(
         )
         .alias("n_removed"),
     )
+
+
+def best_representative(
+    df: DataFrame,
+    dup_pairs: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-duplicate-cluster survivor selection → [cluster, best_key,
+    best_len, n_members]: connected components over ``dup_pairs``
+    turn near-dup PAIRS into clusters, and each cluster keeps its
+    highest-quality member — longest text, ties to the smallest key.
+    Singletons are their own cluster and survive unchanged.
+
+    This is the selection step real pipelines run after near-dedup
+    (RefinedWeb / Lee et al. keep one representative per cluster);
+    picking the LONGEST member instead of an arbitrary one retains
+    the untruncated original when a cluster mixes a page and its
+    clipped mirror.  Beyond-reference operator; the reference's
+    pandas layer has no dedup at all.
+
+    Plan: components are O(diameter) label-propagation rounds
+    (near-dup clusters are near-cliques: 2-3 rounds), the label table
+    joins back once (AQE picks the strategy from the actual duplicate
+    fraction), and the argmax is ONE struct-max aggregate — no window
+    over the corpus, no sort.  Everything after the pair list is
+    linear in the corpus."""
+    comp = connected_components(dup_pairs)
+    labeled = df.join(
+        comp.withColumnRenamed("node", key_col), on=key_col, how="left"
+    ).withColumn("cluster", F.coalesce("component", F.col(key_col)))
+    # max(struct) orders lexicographically: longest text first, then
+    # the NEGATED key so ties resolve to the smallest key.
+    best = F.max(
+        F.struct(
+            F.length(text_col).alias("len"),
+            (-F.col(key_col)).alias("negkey"),
+        )
+    )
+    return labeled.groupBy("cluster").agg(
+        (-best.getField("negkey")).cast("long").alias("best_key"),
+        best.getField("len").cast("long").alias("best_len"),
+        F.count(F.lit(1)).alias("n_members"),
+    )

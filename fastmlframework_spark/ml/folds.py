@@ -202,3 +202,48 @@ def permute_labels(
     return base.join(
         permuted.withColumnRenamed("__permuted", out_col), on=key_col
     )
+
+
+def temporal_split(
+    df: DataFrame,
+    ts_col: str = "ts",
+    train_frac: float = 0.7,
+    embargo_frac: float = 0.05,
+) -> DataFrame:
+    """Embargoed temporal train/test split → ``df`` + ``split``
+    column (``train`` / ``embargo`` / ``test``): rows up to
+    ``train_frac`` of the observed time range train, the next
+    ``embargo_frac`` is DISCARDED (the purge gap of de Prado's purged
+    CV — labels computed over horizons leak across a naive boundary),
+    and the remainder tests.  Beyond-reference operator: the
+    reference's sklearn splitters are row-index based and cannot
+    express a time embargo.
+
+    Cutoffs derive from the global [min, max] timestamp — one 1-row
+    aggregate broadcast back over the scan (no sort, no window, no
+    quantile): assignment is a map-only comparison cascade at any
+    scale.  Fractions apply to the TIME RANGE, not row counts, so the
+    split is stable under resampling and identical across engines
+    (pure float64 arithmetic on epoch seconds)."""
+    if not 0 < train_frac < train_frac + embargo_frac < 1:
+        raise ValueError(
+            "need 0 < train_frac and train_frac + embargo_frac < 1 "
+            f"(got {train_frac}/{embargo_frac})"
+        )
+    t = F.col(ts_col).cast("double")
+    bounds = df.agg(
+        F.min(t).alias("__t0"), F.max(t).alias("__t1")
+    )
+    span = F.col("__t1") - F.col("__t0")
+    train_hi = F.col("__t0") + F.lit(train_frac) * span
+    emb_hi = F.col("__t0") + F.lit(train_frac + embargo_frac) * span
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "split",
+            F.when(t <= train_hi, F.lit("train"))
+            .when(t <= emb_hi, F.lit("embargo"))
+            .otherwise(F.lit("test")),
+        )
+        .drop("__t0", "__t1")
+    )

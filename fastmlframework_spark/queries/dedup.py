@@ -58,8 +58,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Subset keeps the O(pairs) oracle tractable at sf0.01.
 _SUBSET_PRED = "doc_id % 500 < 60"
 
-_JACCARD_ORACLE = f"""
-WITH corpus AS (
+# Shared CTE chain: subset corpus → 3-word shingles → Jaccard pairs
+# at 0.4 (reused by the pair query and the best-representative query).
+_JACCARD_CTES = f"""
+corpus AS (
   SELECT * FROM ({_CORPUS_SQL}) c WHERE {_SUBSET_PRED}
 ),
 toks AS (
@@ -80,13 +82,19 @@ inter AS (
   SELECT a.doc_id AS key_a, b.doc_id AS key_b, COUNT(*) AS common
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-)
-SELECT key_a, key_b,
-       ROUND(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = key_a
-JOIN sizes sb ON sb.doc_id = key_b
-WHERE common * 1.0 / (sa.n_sh + sb.n_sh - common) >= 0.4
+),
+jpairs AS (
+  SELECT key_a, key_b,
+         ROUND(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = key_a
+  JOIN sizes sb ON sb.doc_id = key_b
+  WHERE common * 1.0 / (sa.n_sh + sb.n_sh - common) >= 0.4
+)"""
+
+_JACCARD_ORACLE = f"""
+WITH {_JACCARD_CTES}
+SELECT key_a, key_b, jaccard FROM jpairs
 """
 
 
@@ -867,3 +875,45 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("cluster").alias("n_clusters"),
     )
+
+
+_BEST_REP_ORACLE = f"""
+WITH RECURSIVE {_JACCARD_CTES},
+edges AS (
+  SELECT key_a AS u, key_b AS v FROM jpairs
+  UNION ALL
+  SELECT key_b, key_a FROM jpairs
+),
+walk(node, label) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.node
+),
+comp AS (SELECT node, MIN(label) AS component FROM walk GROUP BY node),
+labeled AS (
+  SELECT c.doc_id, LENGTH(c.text) AS len,
+         COALESCE(p.component, c.doc_id) AS cluster
+  FROM corpus c LEFT JOIN comp p ON p.node = c.doc_id
+)
+SELECT cluster,
+       FIRST(doc_id ORDER BY len DESC, doc_id) AS best_key,
+       MAX(len) AS best_len,
+       COUNT(*) AS n_members
+FROM labeled GROUP BY cluster
+"""
+
+
+@query("dedup_best_representative", oracle=_BEST_REP_ORACLE)
+def dedup_best_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection after near-dedup: Jaccard pairs → connected
+    components → keep each cluster's LONGEST member (ties to the
+    smallest doc_id), so a cluster holding a page and its 80%%-clipped
+    mirror retains the untruncated original.  The oracle replays the
+    pair CTEs, a recursive-CTE component fixpoint, and an ordered
+    FIRST aggregate; Spark runs label propagation plus ONE struct-max
+    aggregate — no corpus window, no sort."""
+    corpus = _corpus(spark, sf_dir).filter(F.expr(_SUBSET_PRED))
+    pairs = xdedup.ngram_jaccard_pairs(corpus, n=3, threshold=0.4).select(
+        "key_a", "key_b"
+    )
+    return xdedup.best_representative(corpus, pairs)

@@ -717,3 +717,50 @@ def events_cusum_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "event_type", "ts", "value"
     )
     return cusum_scan(ev, k=55.0, h=200.0)
+
+
+@query(
+    "events_split_temporal",
+    oracle="""
+WITH e AS (
+  SELECT event_type, user_id, value,
+         CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS DOUBLE) / 1000000.0 AS t
+  FROM events
+),
+b AS (SELECT MIN(t) AS t0, MAX(t) AS t1 FROM e),
+lab AS (
+  SELECT event_type, user_id, value,
+         CASE WHEN t <= t0 + 0.7 * (t1 - t0) THEN 'train'
+              WHEN t <= t0 + 0.75 * (t1 - t0) THEN 'embargo'
+              ELSE 'test' END AS split
+  FROM e CROSS JOIN b
+)
+SELECT split, event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       ROUND(SUM(value), 4) AS total_value
+FROM lab GROUP BY 1, 2
+""",
+)
+def events_split_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embargoed temporal train/test split (purged-CV shape): 70% of
+    the time RANGE trains, the next 5% is discarded as the embargo
+    gap, the rest tests — summarized per (split, event_type).  The
+    cutoffs are one 1-row min/max aggregate broadcast over the scan
+    (timestamp→double is micros/1e6 in both engines, so the boundary
+    comparisons are bit-identical); assignment is a map-only
+    comparison cascade."""
+    from fastmlframework_spark.ml.folds import temporal_split
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "value", "ts"
+    )
+    return (
+        temporal_split(ev, train_frac=0.7, embargo_frac=0.05)
+        .groupBy("split", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )

@@ -25,14 +25,16 @@ _WORDS_SQL = r"list_filter(string_split_regex(COALESCE(text, ''), '\s+'), __x ->
 _LINES_SQL = r"list_filter(string_split_regex(COALESCE(text, ''), '\n'), __x -> __x <> '')"
 
 
-def _gopher_oracle() -> str:
+def _gopher_fl_ctes() -> str:
+    """Shared CTE chain (``base`` → ``sig`` → ``fl``): per-document
+    Gopher signals and fail flags, reused by the rule-report oracle
+    and the Wilson-interval oracle."""
     th = xfilt.GOPHER_THRESHOLDS
     stop_types = " + ".join(
         f"CAST(list_contains(ws, '{s}') AS INT)"
         for s in xfilt.GOPHER_STOPWORDS
     )
-    return f"""
-WITH base AS (
+    return f"""base AS (
   SELECT source,
          COALESCE(text, '') AS t,
          {_WORDS_SQL} AS ws,
@@ -68,7 +70,12 @@ fl AS (
          alpha_frac < {th["min_alpha_word_frac"]} AS fail_alpha,
          stop_types < {th["min_stopword_types"]} AS fail_stopword
   FROM sig
-)
+)"""
+
+
+def _gopher_oracle() -> str:
+    return f"""
+WITH {_gopher_fl_ctes()}
 SELECT source,
        COUNT(*) AS n_docs,
        CAST(SUM(CAST(fail_words AS INT)) AS BIGINT) AS n_fail_words,
@@ -82,6 +89,42 @@ SELECT source,
                           OR fail_bullet OR fail_ellipsis OR fail_alpha
                           OR fail_stopword) AS INT)) AS BIGINT) AS n_pass
 FROM fl GROUP BY source
+"""
+
+
+def _wilson_oracle() -> str:
+    """SQL twin of ``curation.quality_confidence``: the shared flag
+    CTEs feed a per-source (n_docs, n_pass) aggregate, and the Wilson
+    bounds mirror the Spark expression tree operation-for-operation
+    (same literals, same association) so the float64 results are
+    bit-identical before the 6-dp round."""
+    z = 1.959963984540054
+    z2 = z * z
+    return f"""
+WITH {_gopher_fl_ctes()},
+cnt AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         CAST(SUM(CAST(NOT (fail_words OR fail_word_len OR fail_symbol
+                            OR fail_bullet OR fail_ellipsis OR fail_alpha
+                            OR fail_stopword) AS INT)) AS BIGINT) AS n_pass
+  FROM fl GROUP BY source
+),
+wil AS (
+  SELECT source, n_docs, n_pass,
+         CAST(n_docs AS DOUBLE) AS n,
+         n_pass / CAST(n_docs AS DOUBLE) AS p
+  FROM cnt
+)
+SELECT source, n_docs, n_pass,
+       ROUND(p, 6) AS pass_rate,
+       ROUND(((p + {z2!r} / (2.0 * n))
+              - {z!r} * sqrt(p * (1.0 - p) / n + {z2!r} / ((4.0 * n) * n)))
+             / (1.0 + {z2!r} / n), 6) AS ci_low,
+       ROUND(((p + {z2!r} / (2.0 * n))
+              + {z!r} * sqrt(p * (1.0 - p) / n + {z2!r} / ((4.0 * n) * n)))
+             / (1.0 + {z2!r} / n), 6) AS ci_high
+FROM wil
 """
 
 

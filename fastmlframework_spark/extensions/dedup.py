@@ -1251,16 +1251,15 @@ def best_representative(
     labeled = df.join(
         comp.withColumnRenamed("node", key_col), on=key_col, how="left"
     ).withColumn("cluster", F.coalesce("component", F.col(key_col)))
-    # max(struct) orders lexicographically: longest text first, then
-    # the NEGATED key so ties resolve to the smallest key.
-    best = F.max(
-        F.struct(
-            F.length(text_col).alias("len"),
-            (-F.col(key_col)).alias("negkey"),
-        )
+    # min_by over struct(-len, key): the struct orders longest text
+    # first, ties to the smallest key, with the key compared DIRECTLY
+    # (length is always numeric so negating it is safe; negating the
+    # key is not — string doc ids would go NULL/error under ANSI).
+    order = F.struct(
+        (-F.length(text_col)).alias("neglen"), F.col(key_col).alias("k")
     )
     return labeled.groupBy("cluster").agg(
-        (-best.getField("negkey")).cast("long").alias("best_key"),
-        best.getField("len").cast("long").alias("best_len"),
+        F.min_by(F.col(key_col), order).alias("best_key"),
+        F.max(F.length(text_col)).cast("long").alias("best_len"),
         F.count(F.lit(1)).alias("n_members"),
     )

@@ -225,10 +225,10 @@ def temporal_split(
     scale.  Fractions apply to the TIME RANGE, not row counts, so the
     split is stable under resampling and identical across engines
     (pure float64 arithmetic on epoch seconds)."""
-    if not 0 < train_frac < train_frac + embargo_frac < 1:
+    if not (0 < train_frac and embargo_frac >= 0 and train_frac + embargo_frac < 1):
         raise ValueError(
-            "need 0 < train_frac and train_frac + embargo_frac < 1 "
-            f"(got {train_frac}/{embargo_frac})"
+            "need 0 < train_frac, embargo_frac >= 0, and "
+            f"train_frac + embargo_frac < 1 (got {train_frac}/{embargo_frac})"
         )
     t = F.col(ts_col).cast("double")
     bounds = df.agg(

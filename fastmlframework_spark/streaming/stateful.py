@@ -145,6 +145,19 @@ CUSUM_SCHEMA = StructType(
 _CUSUM_STATE_SCHEMA = StructType([StructField("s", DoubleType())])
 
 
+def _cusum_schema(in_schema: StructType, id_col: str, key_col: str) -> StructType:
+    """Output schema named after the CALLER's columns (non-default
+    key/id columns must not come back labeled event_id/event_type)."""
+    return StructType(
+        [
+            StructField(id_col, in_schema[id_col].dataType),
+            StructField(key_col, in_schema[key_col].dataType),
+            StructField("cusum", DoubleType()),
+            StructField("alarm", BooleanType()),
+        ]
+    )
+
+
 def streaming_cusum(
     events_stream: DataFrame,
     key_col: str = "event_type",
@@ -164,13 +177,20 @@ def streaming_cusum(
 
     State is ONE double per key (the current S), partitioned by the
     grouping key — bounded by |keys|, scale-free in event volume.
-    Within a batch, rows process in (ts, id) order with the same
-    left-associated ``(s + x) − k`` float64 loop as the batch
-    operator, so when micro-batches arrive in timestamp order (the
-    ingest premise) the emitted values equal the batch ``cusum`` over
-    the concatenated stream bit-for-bit — pinned by the cross-batch
-    parity test.  NULL values are dropped up front (no evidence, no
-    state change), matching the batch form."""
+    Spark hands a key's micro-batch rows to ``update`` as ARBITRARY
+    Arrow chunks in shuffle order (``arrow.maxRecordsPerBatch`` rows
+    each), so the key's batch is materialized and sorted ONCE by
+    (ts, id) before the recursion — chunk-local sorts would interleave
+    chunks out of global time order and silently diverge from the
+    batch operator for any key spanning >1 chunk.  The memory bound is
+    one key's rows per micro-batch (trigger-sized, not stream-sized).
+    The recursion is the same left-associated ``(s + x) − k`` float64
+    loop as the batch operator, so when micro-batches arrive in
+    timestamp order (the ingest premise) the emitted values equal the
+    batch ``cusum`` over the concatenated stream bit-for-bit — pinned
+    by the cross-batch parity test, including a forced multi-chunk
+    run at ``maxRecordsPerBatch=7``.  NULL values are dropped up
+    front (no evidence, no state change), matching the batch form."""
 
     def update(
         key: tuple,
@@ -178,7 +198,11 @@ def streaming_cusum(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (s,) = state.get if state.exists else (0.0,)
-        for pdf in pdfs:
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = chunks[0] if len(chunks) == 1 else pd.concat(
+                chunks, ignore_index=True
+            )
             pdf = pdf.sort_values([ts_col, id_col])
             out = []
             for x in pdf[val_col].astype(float):
@@ -188,8 +212,8 @@ def streaming_cusum(
                 out.append(s)
             yield pd.DataFrame(
                 {
-                    "event_id": pdf[id_col].values,
-                    "event_type": [key[0]] * len(pdf),
+                    id_col: pdf[id_col].values,
+                    key_col: [key[0]] * len(pdf),
                     "cusum": [round(v, 6) for v in out],
                     "alarm": [v > h for v in out],
                 }
@@ -202,7 +226,9 @@ def streaming_cusum(
         .groupBy(key_col)
         .applyInPandasWithState(
             update,
-            outputStructType=CUSUM_SCHEMA,
+            outputStructType=_cusum_schema(
+                events_stream.schema, id_col, key_col
+            ),
             stateStructType=_CUSUM_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,

@@ -10,3 +10,36 @@ def test_minhash_band_index_excludes_null_text(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = minhash_band_index(df).collect()
     assert {r["doc_id"] for r in out} == {1}
+
+
+def test_best_representative_string_keys_and_ties(spark):
+    """Survivor selection must work with NON-numeric keys (the old
+    tie-break negated the key, which NULLs/errors on strings) and
+    resolve equal-length ties to the smallest key."""
+    from fastmlframework_spark.extensions.dedup import best_representative
+
+    rows = [
+        ("docB", "a much longer text body here"),
+        ("docA", "short text"),
+        ("docC", "short text"),  # same length as docA -> tie
+        ("solo", "alone"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    pairs = spark.createDataFrame(
+        [("docA", "docB"), ("docA", "docC")], "key_a string, key_b string"
+    )
+    out = {
+        r.cluster: (r.best_key, r.best_len, r.n_members)
+        for r in best_representative(df, pairs).collect()
+    }
+    assert out["docA"] == ("docB", 28, 3)  # longest member wins
+    assert out["solo"] == ("solo", 5, 1)  # singleton survives
+
+    # equal-length tie inside one cluster -> smallest key
+    df2 = spark.createDataFrame(
+        [("z2", "same size!"), ("a1", "same size!")],
+        "doc_id string, text string",
+    )
+    pairs2 = spark.createDataFrame([("a1", "z2")], "key_a string, key_b string")
+    (row,) = best_representative(df2, pairs2).collect()
+    assert (row.best_key, row.best_len, row.n_members) == ("a1", 10, 2)

@@ -168,3 +168,67 @@ def test_target_encoding_is_leak_free(spark, sf_dir_small):
     assert len(unchanged) == len(f0)  # fold-0 encodings identical
     moved = [k for k in a0 if k not in f0 and a0[k] != b0[k]]
     assert moved  # other folds felt the flip
+
+
+def test_temporal_split_accepts_zero_embargo(spark):
+    from fastmlframework_spark.ml.folds import temporal_split
+
+    df = spark.range(0, 100).select(F.col("id").cast("double").alias("ts"))
+    out = temporal_split(df, ts_col="ts", train_frac=0.7, embargo_frac=0.0)
+    got = {r.split for r in out.select("split").distinct().collect()}
+    assert got == {"train", "test"}  # no embargo band when frac is 0
+    with pytest.raises(ValueError):
+        temporal_split(df, ts_col="ts", train_frac=0.7, embargo_frac=-0.1)
+    with pytest.raises(ValueError):
+        temporal_split(df, ts_col="ts", train_frac=0.0, embargo_frac=0.1)
+    with pytest.raises(ValueError):
+        temporal_split(df, ts_col="ts", train_frac=0.9, embargo_frac=0.2)
+
+
+def _hyp():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    return given, settings, st
+
+
+_given, _settings, _st = _hyp()
+
+
+@_settings(max_examples=8, deadline=None)
+@_given(
+    ts=_st.lists(
+        _st.integers(0, 10_000_000), min_size=8, max_size=60, unique=True
+    ),
+    train_frac=_st.floats(0.1, 0.8),
+    embargo_frac=_st.floats(0.0, 0.15),
+)
+def test_temporal_split_embargo_property(spark, ts, train_frac, embargo_frac):
+    """Purge-gap contract on ANY timestamps/fractions: the three bands
+    partition the rows, no train row is at-or-after any test row, and
+    the time gap between the last train row and the first test row
+    exceeds embargo_frac x span (the embargo band really purges that
+    stretch of time, not merely some rows)."""
+    from fastmlframework_spark.ml.folds import temporal_split
+
+    spark_df = spark.createDataFrame(
+        [(float(t),) for t in ts], "ts double"
+    )
+    out = temporal_split(
+        spark_df, ts_col="ts", train_frac=train_frac, embargo_frac=embargo_frac
+    ).select("ts", "split")
+    rows = out.collect()
+    assert len(rows) == len(ts)  # partition: every row, exactly once
+    by = {"train": [], "embargo": [], "test": []}
+    for r in rows:
+        by[r.split].append(r.ts)
+    span = max(ts) - min(ts)
+    assert by["train"], "min-ts row always trains (train_frac > 0)"
+    assert by["test"], "max-ts row always tests (train+embargo < 1)"
+    if by["test"]:
+        lo_test = min(by["test"])
+        if by["train"]:
+            assert max(by["train"]) < lo_test
+            assert lo_test - max(by["train"]) > embargo_frac * span
+        for e in by["embargo"]:
+            assert max(by["train"]) < e < lo_test

@@ -5,6 +5,7 @@ batch result."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from fastmlframework_spark.core.tables import load_table
 from fastmlframework_spark.streaming.windows import (
@@ -475,12 +476,20 @@ def test_streaming_near_dedup_within_batch_self_probe(spark, tmp_path):
     assert idx.count() == n_index_before + 2 * 4  # bands=4 per novel doc
 
 
-def test_streaming_cusum_matches_batch_across_batches(spark, sf_dir_small, tmp_path):
+@pytest.mark.parametrize("arrow_batch", [None, 7])
+def test_streaming_cusum_matches_batch_across_batches(
+    spark, sf_dir_small, tmp_path, arrow_batch
+):
     """Drain ts-ordered micro-batches through the stateful CUSUM and
     the per-row detector values must equal the batch loop-form cusum
     over the whole table bit-for-bit — state genuinely carries S
     across batch boundaries (a detector that resets per batch fails
-    on every row after the first file)."""
+    on every row after the first file).
+
+    The ``arrow_batch=7`` variant forces every key's micro-batch rows
+    to arrive as MANY shuffle-ordered Arrow chunks: a chunk-local sort
+    (instead of one concat+sort per key per batch) processes rows out
+    of global time order and diverges here."""
     import os
     import time
 
@@ -523,15 +532,25 @@ def test_streaming_cusum_matches_batch_across_batches(spark, sf_dir_small, tmp_p
         .option("maxFilesPerTrigger", 1)
         .parquet(src + "/*")
     )
-    q = (
-        streaming_cusum(stream_df)
-        .writeStream.format("memory")
-        .queryName("cusum_stream")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    conf_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(conf_key, None)
+    if arrow_batch is not None:
+        spark.conf.set(conf_key, str(arrow_batch))
+    try:
+        q = (
+            streaming_cusum(stream_df)
+            .writeStream.format("memory")
+            .queryName("cusum_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if arrow_batch is not None and prev is not None:
+            spark.conf.set(conf_key, prev)
+        elif arrow_batch is not None:
+            spark.conf.unset(conf_key)
     got = spark.table("cusum_stream")
     expected = cusum(events)
     assert got.count() == expected.count()
@@ -545,3 +564,16 @@ def test_streaming_cusum_matches_batch_across_batches(spark, sf_dir_small, tmp_p
         | (F.col("g.alarm") != F.col("e.alarm"))
     )
     assert bad.count() == 0, bad.limit(5).collect()
+
+
+def test_streaming_cusum_schema_follows_column_names(spark):
+    """Non-default key/id columns must come back under THEIR names
+    (and native types), not hardcoded event_id/event_type labels."""
+    from fastmlframework_spark.streaming.stateful import _cusum_schema
+
+    df = spark.createDataFrame(
+        [("s1", "m", 1.0, 0.5)], "sensor string, metric string, t double, value double"
+    )
+    sch = _cusum_schema(df.schema, id_col="sensor", key_col="metric")
+    assert [f.name for f in sch.fields] == ["sensor", "metric", "cusum", "alarm"]
+    assert sch["sensor"].dataType.simpleString() == "string"

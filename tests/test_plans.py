@@ -481,3 +481,19 @@ def test_row_level_reports_have_no_global_sort(spark, sf_dir_small):
     ):
         plan = _plan(spark, sf_dir_small, q)
         assert "rangepartitioning" not in plan, (q, plan)
+
+
+def test_weighted_median_cumsum_is_bucket_partitioned(spark, sf_dir_small):
+    """The weighted-quantile cumulative weight must be the distributed
+    bucketed prefix sum: a sort window partitioned only by
+    l_returnflag (a THREE-value key) funnels every lineitem row
+    through 3 single-task sorts — one flag's whole slice serializes
+    at 100×.  Every window that orders by the value column must be
+    partitioned by the value bucket; the only group-keyed windows
+    allowed are the ≤ n_buckets-row offset/total cumulations (which
+    order by __bkt, not the value)."""
+    plan = _plan(spark, sf_dir_small, "weighted_median_price")
+    assert "__bkt" in plan, plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line and "l_extendedprice" in line:
+            assert "__bkt" in line, line

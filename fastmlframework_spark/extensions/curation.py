@@ -175,6 +175,7 @@ def global_rank(
     order_cols: list[str],
     keep_cols: list[str],
     rank_col: str = "rank",
+    total_col: str | None = None,
 ) -> DataFrame:
     """Distributed global ROW_NUMBER over ``order_cols`` →
     ``keep_cols + [rank]``, rank 1..N with no single-partition window:
@@ -182,7 +183,13 @@ def global_rank(
     (Spark's distributed sort), then the global rank = within-partition
     row_number + the partition's offset, where offsets come from
     per-partition counts — a #partitions-sized driver exchange, never
-    a data collect."""
+    a data collect.
+
+    ``total_col`` additionally attaches the global row count to every
+    row — free, since it is the sum of the SAME per-partition counts
+    the offsets need: callers that rank an expensively-computed frame
+    (a scored corpus) and also need N (rank deciles) must not pay a
+    separate ``count()`` pass over that frame's lineage."""
     par = df.sparkSession.sparkContext.defaultParallelism
     sorted_df = (
         df.repartitionByRange(par, *order_cols)
@@ -191,10 +198,16 @@ def global_rank(
     )
     sizes = sorted_df.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
     woff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    wtot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     offsets = sizes.select(
-        "__pid", F.coalesce(F.sum("__n").over(woff), F.lit(0)).alias("__off")
+        "__pid",
+        F.coalesce(F.sum("__n").over(woff), F.lit(0)).alias("__off"),
+        F.sum("__n").over(wtot).alias("__tot"),
     )
     wrank = Window.partitionBy("__pid").orderBy(*order_cols)
+    extra = [F.col("__tot").alias(total_col)] if total_col else []
     return (
         sorted_df.join(F.broadcast(offsets), on="__pid")
         .select(
@@ -202,6 +215,7 @@ def global_rank(
             (F.row_number().over(wrank) + F.col("__off"))
             .cast("long")
             .alias(rank_col),
+            *extra,
         )
     )
 

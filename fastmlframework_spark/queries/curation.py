@@ -335,13 +335,26 @@ def quality_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastmlframework_spark.extensions.text import quality_score
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    q = quality_score(docs).select("doc_id", "quality")
-    ranked = xcur.global_rank(
-        q, order_cols=["quality", "doc_id"], keep_cols=["quality"]
+    # Materialize the scored frame (2 narrow columns, ~0.1% of the
+    # text it came from) before ranking: repartitionByRange SAMPLES
+    # its child to pick bounds, so ranking the raw lineage runs the
+    # whole regex battery twice.  The checkpoint RDD is released by
+    # the ContextCleaner once the result frame is dropped.
+    q = (
+        quality_score(docs)
+        .select("doc_id", "quality")
+        .localCheckpoint(eager=False)
     )
-    total = q.agg(F.count(F.lit(1)).alias("__total"))
+    # N rides along from global_rank's own partition-size aggregate —
+    # a separate count() would re-run the whole quality_score lineage
+    ranked = xcur.global_rank(
+        q,
+        order_cols=["quality", "doc_id"],
+        keep_cols=["quality"],
+        total_col="__total",
+    )
     return (
-        ranked.crossJoin(F.broadcast(total))
+        ranked
         .withColumn(
             "decile",
             (

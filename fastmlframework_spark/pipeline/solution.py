@@ -532,11 +532,16 @@ class BuildSolution(Task):
 
 
 def build_solution(
-    spark: SparkSession, config: dict, project_dir: str, workers: int = 1
+    spark: SparkSession,
+    config: dict,
+    project_dir: str,
+    workers: int = 1,
+    timings: dict[str, float] | None = None,
 ) -> list[str]:
     """``luigi.build([BuildSolution(...)])`` equivalent
     (create_solution.py:822-824).  Returns ids of tasks that ran.
     ``workers > 1``: independent per-model tasks (O4 fan-out) run
-    concurrently as parallel Spark job chains."""
+    concurrently as parallel Spark job chains.  ``timings`` receives
+    per-task wall seconds when provided."""
     ctx = SolutionContext(spark, config, project_dir)
-    return build([BuildSolution(ctx)], workers=workers)
+    return build([BuildSolution(ctx)], workers=workers, timings=timings)

@@ -20,6 +20,7 @@ Parquet/config-reconstruction (S5 note).
 from __future__ import annotations
 
 import os
+import time
 from collections.abc import Iterable
 
 
@@ -81,7 +82,11 @@ class DAGError(RuntimeError):
 
 
 def build(
-    tasks: Iterable[Task], *, force: bool = False, workers: int = 1
+    tasks: Iterable[Task],
+    *,
+    force: bool = False,
+    workers: int = 1,
+    timings: dict[str, float] | None = None,
 ) -> list[str]:
     """Run the closure of ``tasks`` in dependency order, skipping
     complete tasks (unless ``force``).  Returns the ids of tasks that
@@ -93,7 +98,10 @@ def build(
     (O4: one prediction task per model).  Spark job submission is
     thread-safe; concurrent tasks become concurrently-scheduled job
     chains on the shared session, which is exactly how independent
-    model fits should share a cluster."""
+    model fits should share a cluster.
+
+    ``timings``: pass a dict to receive per-task wall seconds for
+    every task that ran (tools/bench_pipeline.py's breakdown)."""
     # Discover the closure + dependency edges (cycle-checked).
     nodes: dict[str, Task] = {}
     deps: dict[str, list[str]] = {}
@@ -123,7 +131,10 @@ def build(
         task = nodes[tid]
         if not force and task.complete():
             return None
+        t0 = time.perf_counter()
         task.run()
+        if timings is not None:
+            timings[tid] = round(time.perf_counter() - t0, 4)
         if not task.complete():
             raise DAGError(f"{tid} ran but its output targets do not exist")
         return tid

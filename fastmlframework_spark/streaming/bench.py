@@ -130,8 +130,67 @@ def bench_stream_cusum(spark, sf_dir: str) -> int:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_stream_near_dedup(spark, sf_dir: str) -> int:
+    """Drain documents through the MinHash band-index near-dedup
+    stream (VERDICT r6 #7): the index is seeded with half the corpus,
+    the other half streams in over two micro-batches with a replayed
+    slice of the indexed half, so every trigger exercises the corpus
+    probe, the within-batch self-probe, and the novel-rows index
+    append — the most expensive streaming path and the likeliest to
+    regress (an accidental index-side shuffle lands here).  Returns
+    rows emitted."""
+    from fastmlframework_spark.extensions.dedup import minhash_band_index
+    from fastmlframework_spark.streaming.dedup import streaming_near_dedup
+
+    work = tempfile.mkdtemp(prefix="fastml_stream_bench_")
+    try:
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        # quarter-corpus slices: the bench gates the PLAN (broadcast
+        # probes, no index shuffle), so per-trigger fixed cost + a
+        # representative probe size suffice — full halves just triple
+        # the suite cost for the same regression signal
+        seeded = docs.filter(F.col("doc_id") % 4 == 0)
+        index_dir = os.path.join(work, "bindex")
+        minhash_band_index(seeded).coalesce(4).write.mode("overwrite").parquet(
+            index_dir
+        )
+        # exactly TWO triggers (wall-clock is per-trigger fixed cost:
+        # batch signature jobs + two parquet appends each): trigger 1
+        # ingests novel docs, trigger 2 replays an indexed slice under
+        # new ids → cross-batch corpus hits through the trigger-1
+        # appends
+        src = os.path.join(work, "incoming")
+        for i in range(2):
+            (
+                docs.filter((F.col("doc_id") % 8) == 2 * i + 1)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(src, f"b{i}"))
+            )
+        (
+            seeded.filter(F.col("doc_id") % 16 == 0)
+            .withColumn("doc_id", F.col("doc_id") + 10_000_000)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(src, "replay"))
+        )
+        q = streaming_near_dedup(
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src + "/*"),
+            index_dir,
+            os.path.join(work, "out"),
+            os.path.join(work, "ckpt"),
+        )
+        q.awaitTermination()
+        return spark.read.parquet(os.path.join(work, "out")).count()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 STREAMING_BENCHES = {
     "stream_exact_dedup": bench_stream_exact_dedup,
     "stream_seasonal_stats": bench_stream_seasonal_stats,
     "stream_cusum": bench_stream_cusum,
+    "stream_near_dedup": bench_stream_near_dedup,
 }

@@ -27,7 +27,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 from fastmlframework_spark.extensions.dedup import shingles
-from fastmlframework_spark.extensions.text import TOKEN_PATTERN
+from fastmlframework_spark.extensions.text import TOKEN_PATTERN, count_bpe_tokens
 
 
 def eval_contamination(
@@ -111,7 +111,7 @@ def pack_streams(
     through a single sort; ``shards`` independent streams pack in
     parallel with one window each, and training consumes packs in any
     shard order."""
-    n_tok = F.regexp_count(F.col(text_col), F.lit(TOKEN_PATTERN)).cast("long")
+    n_tok = count_bpe_tokens(F.col(text_col)).cast("long")
     base = df.select(
         F.col(key_col),
         (F.col(key_col) % shards).alias("shard"),

@@ -640,3 +640,158 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select(query_key_col, key_col, "cosine", "rank")
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 8,
+    n_probe: int = 2,
+    m: int = 8,
+    n_codes: int = 32,
+    refine: int = 8,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_key_col: str = "query_id",
+    seed: int = 7,
+    max_iter: int = 3,
+    pq_max_iter: int = 2,
+) -> DataFrame:
+    """IVF-PQ top-k → [query_id, vec_id, cosine, rank] — the FAISS
+    production shape for billion-vector search: an IVF coarse
+    quantizer prunes the corpus to ``n_probe`` cells per query, a PQ
+    ADC scan scores only the probed cells' byte-codes with ``m``
+    table lookups each, and the top ``refine * k`` survivors are
+    re-ranked with the exact dot product.  Combines ``ivf_topk``'s
+    scan pruning (touch n_probe/n_clusters of the corpus) with
+    ``pq_topk``'s memory compression (m bytes per vector), which is
+    the point at 100 TB: the probed slice of a byte-code index is
+    both small AND cheap to score.
+
+    Codes quantize RAW vectors (FAISS ``by_residual=False``), so with
+    ``n_probe = n_clusters`` the candidate set is the whole corpus
+    and the result is IDENTICAL to ``pq_topk`` at the same PQ
+    parameters — the same degenerate-exactness contract ``ivf_topk``
+    uses to share the brute-force oracle (here it shares the full
+    hash-matched PQ oracle); partial-probe recall is pinned by the
+    planted-copy query and a recall floor test.
+
+    Plan shape: ONE corpus pass assigns the coarse cell and all m
+    subspace codes in a single Arrow-batched projection
+    (``with_cells`` with m+1 codebooks); both quantizers fit
+    driver-side from the SAME ≤64k hash-sample; the probed-cell
+    filter is a broadcast hash join on the (query, cell) pairs; the
+    corpus is never shuffled."""
+    dim = vec_dim(corpus, vec_col)
+    if dim % m != 0:
+        raise ValueError(f"ivfpq_topk: m={m} must divide dim={dim}")
+    sub = dim // m
+
+    c = normalize(corpus, vec_col, "cv").select(key_col, "cv")
+    sample = hash_sample_rows(c, key_col, "cv", seed=seed)
+    coarse = lloyd_centers(sample, n_clusters, seed=seed, max_iter=max_iter)
+    centers = [
+        lloyd_centers(
+            [row[s * sub: (s + 1) * sub] for row in sample],
+            n_codes,
+            seed=seed + s,
+            max_iter=pq_max_iter,
+        )
+        for s in range(m)
+    ]
+    encoded = with_cells(
+        c,
+        "cv",
+        [("cell", coarse, 0)]
+        + [(f"__code{s}", centers[s], s * sub) for s in range(m)],
+    )
+    codes = encoded.select(
+        key_col, "cell", *[F.col(f"__code{s}") for s in range(m)]
+    )
+
+    spark = corpus.sparkSession
+    centers_df = spark.createDataFrame(
+        [(i, c_) for i, c_ in enumerate(coarse)], ["cell", "center"]
+    ).withColumn("center", F.col("center").cast("array<double>"))
+    q = normalize(queries, vec_col, "qv").select(
+        F.col(key_col).alias(query_key_col), "qv"
+    )
+    qcells = (
+        q.crossJoin(F.broadcast(centers_df))
+        .withColumn("dist", -F.expr(dot_expr("qv", "center", dim)))
+        .withColumn(
+            "probe_rank",
+            F.row_number().over(
+                Window.partitionBy(query_key_col).orderBy("dist", "cell")
+            ),
+        )
+        .filter(F.col("probe_rank") <= n_probe)
+        .select(query_key_col, "cell")
+    )
+
+    # Per-query flat ADC LUT — identical construction to pq_topk.
+    offsets = [0]
+    for ctrs in centers:
+        offsets.append(offsets[-1] + len(ctrs))
+    cb_rows = [
+        (offsets[s] + j, s, ctr)
+        for s, ctrs in enumerate(centers)
+        for j, ctr in enumerate(ctrs)
+    ]
+    cb = spark.createDataFrame(cb_rows, ["idx", "s", "center"]).withColumn(
+        "center", F.col("center").cast("array<double>")
+    )
+    luts = (
+        q.crossJoin(F.broadcast(cb))
+        .select(
+            query_key_col,
+            "qv",
+            "idx",
+            F.expr(
+                "aggregate(zip_with(slice(qv, s * {sub} + 1, {sub}), center,"
+                " (x, y) -> x * y), 0.0D, (a, v) -> a + v)".format(sub=sub)
+            ).alias("d"),
+        )
+        .groupBy(query_key_col)
+        .agg(
+            F.first("qv").alias("qv"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "d"))),
+                lambda x: x["d"],
+            ).alias("lut"),
+        )
+    )
+
+    adc_score = None
+    for s in range(m):
+        term = F.element_at(
+            F.col("lut"), F.col(f"__code{s}") + F.lit(offsets[s] + 1)
+        )
+        adc_score = term if adc_score is None else adc_score + term
+    cand_w = Window.partitionBy(query_key_col).orderBy(
+        F.desc("__adc"), F.asc(key_col)
+    )
+    candidates = (
+        codes.join(F.broadcast(qcells), on="cell")
+        .join(F.broadcast(luts.select(query_key_col, "lut")), on=query_key_col)
+        .filter(F.col(key_col) != F.col(query_key_col))
+        .withColumn("__adc", adc_score)
+        .withColumn("__crank", F.row_number().over(cand_w))
+        .filter(F.col("__crank") <= refine * k)
+        .select(query_key_col, key_col)
+    )
+
+    exact = (
+        candidates.join(c, on=key_col)
+        .join(F.broadcast(luts.select(query_key_col, "qv")), on=query_key_col)
+        .withColumn("cosine", F.round(F.expr(dot_expr("cv", "qv", dim)), 6))
+    )
+    w = Window.partitionBy(query_key_col).orderBy(
+        F.desc("cosine"), F.asc(key_col)
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_key_col, key_col, "cosine", "rank")
+    )

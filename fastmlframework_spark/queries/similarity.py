@@ -210,3 +210,59 @@ def ann_pq_planted_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+@query("ann_topk_ivfpq", bench=True, oracle=_pq_oracle())
+def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: coarse cells prune the scan, PQ byte-codes + ADC score
+    the probed cells, exact refine re-ranks — the FAISS production
+    shape for billion-vector corpora.  Probing every cell (n_probe =
+    n_clusters, raw-vector codes) makes the candidate set the whole
+    corpus, so the result is IDENTICAL to ``ann_topk_pq`` at the same
+    PQ parameters and shares its full hash-matched oracle
+    (queries/pq_sql.py) — the same degenerate-exactness contract
+    ``ann_topk_ivf`` uses with the brute-force oracle.  Partial-probe
+    behavior is pinned by ``ann_ivfpq_planted_top1`` and the recall
+    floor test."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return xsim.ivfpq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=3,
+        n_clusters=4,
+        n_probe=4,
+    )
+
+
+@query(
+    "ann_ivfpq_planted_top1",
+    bench=False,
+    oracle="""
+SELECT vec_id AS query_id, vec_id + 10000 AS vec_id,
+       CAST(1.0 AS DOUBLE) AS cosine, CAST(1 AS INTEGER) AS rank
+FROM embeddings WHERE vec_id < 10
+""",
+)
+def ann_ivfpq_planted_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-probe recall invariant for IVF-PQ (n_probe 2 of 8): a
+    planted exact copy lands in the query's OWN nearest cell (identical
+    vector, identical argmin centroid), so it survives any n_probe ≥ 1
+    cell cut, shares every subspace code, survives the ADC cut, and
+    the exact refine MUST rank it first at cosine 1.0 — the
+    driver-checked contract for the pruned path the shared-oracle
+    query (which probes every cell) cannot see."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.unionByName(
+        queries.select((F.col("vec_id") + 10000).alias("vec_id"), "embedding")
+    )
+    return (
+        xsim.ivfpq_topk(corpus, queries, k=1, n_clusters=8, n_probe=2)
+        .filter(F.col("rank") == 1)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round("cosine", 6).alias("cosine"),
+            "rank",
+        )
+    )

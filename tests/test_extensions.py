@@ -545,3 +545,36 @@ def test_embedding_lsh_oracle_corpus_size_assumption(spark, sf_dir):
         f"sf0.01 planted corpus now has {n} rows; regenerate the "
         "dedup_embedding_lsh oracle plane count"
     )
+
+
+def test_ivfpq_full_probe_equals_pq(spark, sf_dir):
+    """With n_probe = n_clusters (raw-vector codes) the probed cells
+    cover the corpus, so IVF-PQ must equal pq_topk row-for-row at the
+    same PQ parameters — the degenerate-exactness contract that lets
+    ann_topk_ivfpq share the hash-matched PQ oracle."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    pq = xsim.pq_topk(emb, queries, k=3)
+    ivfpq = xsim.ivfpq_topk(emb, queries, k=3, n_clusters=4, n_probe=4)
+    diff = pq.exceptAll(ivfpq).count() + ivfpq.exceptAll(pq).count()
+    assert diff == 0
+
+
+def test_ivfpq_partial_probe_recall_and_guards(spark, sf_dir):
+    """Partial probes (2 of 8 cells) keep useful recall vs brute
+    force while scanning a fraction of the corpus; m must divide
+    dim.  Near-orthogonal random embeddings are IVF's worst case
+    (true neighbors scatter across cells — same reason the
+    multiprobe test bars at 0.35); measured 0.45 here, floor 0.35
+    for codebook seed drift."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = xsim.cosine_topk(emb, queries, k=5)
+    approx = xsim.ivfpq_topk(emb, queries, k=5, n_clusters=8, n_probe=2)
+    assert xsim.recall_at_k(approx, exact) >= 0.35
+    with pytest.raises(ValueError, match="must divide"):
+        xsim.ivfpq_topk(emb, queries, m=7)

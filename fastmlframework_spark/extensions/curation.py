@@ -176,6 +176,7 @@ def global_rank(
     keep_cols: list[str],
     rank_col: str = "rank",
     total_col: str | None = None,
+    cum_cols: list[str] | None = None,
 ) -> DataFrame:
     """Distributed global ROW_NUMBER over ``order_cols`` →
     ``keep_cols + [rank]``, rank 1..N with no single-partition window:
@@ -189,25 +190,57 @@ def global_rank(
     row — free, since it is the sum of the SAME per-partition counts
     the offsets need: callers that rank an expensively-computed frame
     (a scored corpus) and also need N (rank deciles) must not pay a
-    separate ``count()`` pass over that frame's lineage."""
+    separate ``count()`` pass over that frame's lineage.
+
+    ``cum_cols`` attaches, per listed column ``c``, the INCLUSIVE
+    running sum of ``c`` in global rank order as ``cum_<c>`` plus the
+    global total as ``total_<c>`` — the same distributed prefix-sum
+    trick applied to values: within-partition window cumsum shifted by
+    per-partition sum offsets whose own prefix runs over the
+    #partitions-row table.  This is what greedy budgeted selection
+    ("take the best documents until N tokens") needs, with no
+    single-partition window anywhere."""
+    cum_cols = list(cum_cols or [])
     par = df.sparkSession.sparkContext.defaultParallelism
     sorted_df = (
         df.repartitionByRange(par, *order_cols)
         .sortWithinPartitions(*order_cols)
         .withColumn("__pid", F.spark_partition_id())
     )
-    sizes = sorted_df.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    sizes = sorted_df.groupBy("__pid").agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.sum(c).alias(f"__s_{c}") for c in cum_cols],
+    )
     woff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     wtot = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
+    cum_exprs: list = []
+    for c in cum_cols:
+        cum_exprs.append(
+            F.coalesce(F.sum(f"__s_{c}").over(woff), F.lit(0)).alias(
+                f"__coff_{c}"
+            )
+        )
+        cum_exprs.append(F.sum(f"__s_{c}").over(wtot).alias(f"total_{c}"))
     offsets = sizes.select(
         "__pid",
         F.coalesce(F.sum("__n").over(woff), F.lit(0)).alias("__off"),
         F.sum("__n").over(wtot).alias("__tot"),
+        *cum_exprs,
     )
     wrank = Window.partitionBy("__pid").orderBy(*order_cols)
+    wcum = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     extra = [F.col("__tot").alias(total_col)] if total_col else []
+    for c in cum_cols:
+        extra.append(
+            (F.sum(c).over(wcum) + F.col(f"__coff_{c}")).alias(f"cum_{c}")
+        )
+        extra.append(F.col(f"total_{c}"))
     return (
         sorted_df.join(F.broadcast(offsets), on="__pid")
         .select(
@@ -217,6 +250,47 @@ def global_rank(
             .alias(rank_col),
             *extra,
         )
+    )
+
+
+def select_to_token_budget(
+    df: DataFrame,
+    quality_col: str = "quality",
+    token_col: str = "n_tokens",
+    budget_frac: float = 0.5,
+    key_col: str = "doc_id",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Greedy budgeted selection: take documents in quality order
+    (best first, ties to the smallest key) until the cumulative token
+    count fills ``budget_frac`` of the corpus total → the SELECTED
+    rows with [key, *keep, token_col, rank, cum_tokens].  A document
+    is selected iff it STARTS before the budget boundary
+    (``cum − own_tokens < budget``), so the boundary document is
+    included and the budget is met, never undershot — the dataset-
+    construction step of a training run sized in tokens, not rows.
+
+    Distributed via ``global_rank``'s cumulative columns: the running
+    token sum is a range-partitioned window cumsum shifted by
+    per-partition offsets, and the budget itself derives from the same
+    per-partition sums — no extra pass over the scored lineage, no
+    single-partition window."""
+    keep = [c for c in (keep_cols or []) if c != token_col]
+    ranked = global_rank(
+        df.withColumn("__negq", -F.col(quality_col)),
+        order_cols=["__negq", key_col],
+        keep_cols=[key_col, *keep, token_col],
+        cum_cols=[token_col],
+    )
+    budget = F.lit(budget_frac) * F.col(f"total_{token_col}")
+    return ranked.filter(
+        (F.col(f"cum_{token_col}") - F.col(token_col)) < budget
+    ).select(
+        key_col,
+        *keep,
+        token_col,
+        "rank",
+        F.col(f"cum_{token_col}").alias("cum_tokens"),
     )
 
 

@@ -745,3 +745,73 @@ def contamination_embedding_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     evals = emb.filter(F.col("vec_id") % 10 == 0).select("embedding")
     return xcur.embedding_contamination(emb, evals)
+
+
+@query(
+    "corpus_token_budget",
+    oracle=f"""
+WITH q AS (
+  SELECT doc_id, source, {_QUALITY_SQL} AS quality,
+         CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS BIGINT)
+             AS n_tokens
+  FROM documents
+),
+r AS (
+  SELECT *,
+         SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(n_tokens) OVER () AS total
+  FROM q
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+       ROUND(MIN(quality), 6) AS min_quality
+FROM r WHERE cum - n_tokens < 0.5 * total
+GROUP BY source ORDER BY source
+""",
+)
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget selection: take documents best-quality
+    first until half the corpus's tokens are spent (the boundary doc
+    included — budgets are met, never undershot), reported per source
+    — the dataset-construction step of a training run sized in
+    TOKENS, not rows, and the per-source mix it implies.
+
+    The running token sum is `global_rank`'s distributed prefix sum
+    (range-partitioned cumsum + per-partition offsets); the budget
+    derives from the same per-partition sums, so the scored frame —
+    lazily checkpointed, it is 4 narrow columns — is scanned once
+    with no single-partition window.  The oracle replays the
+    selection with a plain SQL window cumsum; integer token counts
+    keep both engines' sums exact, so the `<` boundary cannot flip."""
+    from fastmlframework_spark.extensions.text import (
+        count_bpe_tokens,
+        quality_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    scored = (
+        quality_score(docs)
+        .select(
+            "doc_id",
+            "source",
+            "quality",
+            count_bpe_tokens(F.col("text")).cast("long").alias("n_tokens"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    sel = xcur.select_to_token_budget(
+        scored, budget_frac=0.5, keep_cols=["source", "quality"]
+    )
+    return (
+        sel.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("tokens"),
+            F.round(F.min("quality"), 6).alias("min_quality"),
+        )
+        .orderBy("source")
+    )

@@ -315,3 +315,31 @@ def test_embedding_contamination_broadcasts_eval_side(spark):
     plan = buf.getvalue()
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_select_to_token_budget_boundary_and_order(spark):
+    """Greedy selection must take docs best-quality-first, include the
+    BOUNDARY doc (budget met, never undershot), and the distributed
+    cum_/total_ columns must equal a plain window cumsum."""
+    from fastmlframework_spark.extensions.curation import (
+        global_rank,
+        select_to_token_budget,
+    )
+
+    rows = [(i, float(100 - i), 10 * (i + 1)) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, quality double, n_tokens long")
+    total = sum(r[2] for r in rows)  # 550
+    sel = select_to_token_budget(df, budget_frac=0.5)  # budget 275.0
+    got = {r.doc_id: r for r in sel.collect()}
+    # quality desc == doc_id asc here; cum 10,30,60,100,150,210,280:
+    # doc 6 STARTS at 210 < 275 -> included; doc 7 starts at 280 -> out
+    assert sorted(got) == [0, 1, 2, 3, 4, 5, 6]
+    assert got[6].cum_tokens == 280  # budget met, not undershot
+    assert [got[i].rank for i in sorted(got)] == list(range(1, 8))
+
+    ranked = global_rank(
+        df, ["doc_id"], ["doc_id"], cum_cols=["n_tokens"]
+    ).collect()
+    for r in ranked:
+        assert r.total_n_tokens == total
+        assert r.cum_n_tokens == sum(10 * (i + 1) for i in range(r.rank))

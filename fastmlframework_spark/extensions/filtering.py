@@ -598,3 +598,107 @@ def repetition_signals(
             ),
         )
     )
+
+
+# C4 cleaning heuristics (Raffel et al. 2020, §2.2 "Colossal Clean
+# Crawled Corpus"): page-level drop rules plus the line-level
+# retention filter.  Public-paper rule set; phrase lists below are the
+# paper's examples.
+C4_POLICY_PHRASES = (
+    "terms of use",
+    "privacy policy",
+    "cookie policy",
+    "uses cookies",
+)
+
+
+def c4_page_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-page C4 drop-rule flags → ``fail_*`` booleans + ``passes``:
+    curly braces (code), "lorem ipsum" placeholder text, policy
+    boilerplate phrases, and fewer than 3 sentence terminators.  One
+    map-only projection, same battery shape as ``gopher_rule_flags``."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    tl = F.lower(t)
+    policy = None
+    for p in C4_POLICY_PHRASES:
+        c = tl.contains(p)
+        policy = c if policy is None else policy | c
+    flags = {
+        "fail_curly": t.contains("{"),
+        "fail_lorem": tl.contains("lorem ipsum"),
+        "fail_policy": policy,
+        "fail_sentences": F.regexp_count(t, F.lit(r"[.!?]")) < 3,
+    }
+    out = df.withColumns(flags)
+    passes = None
+    for name in flags:
+        c = ~F.col(name)
+        passes = c if passes is None else passes & c
+    return out.withColumn("passes", passes)
+
+
+def c4_rules(
+    df: DataFrame, by: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-group C4 page-rule report → [by, n_docs, n_fail_*, n_pass].
+    One corpus scan + a tiny map-side-combined aggregate."""
+    flagged = c4_page_flags(df, text_col)
+    fail_cols = [c for c in flagged.columns if c.startswith("fail_")]
+    return flagged.groupBy(by).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[F.sum(F.col(c).cast("long")).alias(f"n_{c}") for c in fail_cols],
+        F.sum(F.col("passes").cast("long")).alias("n_pass"),
+    )
+
+
+def c4_line_keep(line: Column) -> Column:
+    """C4's line-retention predicate: the (trimmed) line ends in
+    terminal punctuation, has at least 5 words, and mentions neither
+    "javascript" nor a policy phrase.  Expressed so the SQL twin can
+    mirror it term-for-term."""
+    lt = F.trim(line)
+    ll = F.lower(line)
+    words = F.filter(F.split(lt, r"\s+"), lambda w: w != F.lit(""))
+    keep = (
+        lt.rlike(r'[.!?"]$')
+        & (F.size(words) >= 5)
+        & ~ll.contains("javascript")
+    )
+    for p in C4_POLICY_PHRASES:
+        keep = keep & ~ll.contains(p)
+    return keep
+
+
+def c4_line_stats(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Line-level C4 filtering summary per document → [key, *keep,
+    n_lines, n_kept, intact]: how much of each page survives the line
+    filter (the paper REWRITES pages to their kept lines; the stats
+    form keeps the query corpus-sized while ``c4_clean_text`` does
+    the rewrite).  All array higher-order functions — map-only;
+    ``keep_cols`` ride along so grouping columns need no re-join."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(F.split(t, r"\n"), lambda l: F.trim(l) != F.lit(""))
+    kept = F.filter(lines, c4_line_keep)
+    return df.select(
+        F.col(key_col),
+        *(keep_cols or []),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+    ).withColumn("intact", F.col("n_kept") == F.col("n_lines"))
+
+
+def c4_clean_text(
+    df: DataFrame, text_col: str = "text", out_col: str = "clean_text"
+) -> DataFrame:
+    """The C4 page rewrite: pages keep only the lines passing
+    ``c4_line_keep``, joined back with newlines.  Map-only."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(F.split(t, r"\n"), lambda l: F.trim(l) != F.lit(""))
+    return df.withColumn(
+        out_col, F.array_join(F.filter(lines, c4_line_keep), "\n")
+    )

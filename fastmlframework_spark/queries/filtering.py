@@ -427,3 +427,101 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("passes").cast("int")) / F.count(F.lit(1)), 6
         ).alias("gopher_pass_rate"),
     )
+
+
+_C4_POLICY = ("terms of use", "privacy policy", "cookie policy", "uses cookies")
+_C4_POLICY_OR = " OR ".join(f"contains(lower(text), '{p}')" for p in _C4_POLICY)
+
+
+@query(
+    "quality_c4_rules",
+    oracle=f"""
+WITH fl AS (
+  SELECT source,
+         contains(text, '{{') AS fail_curly,
+         contains(lower(text), 'lorem ipsum') AS fail_lorem,
+         ({_C4_POLICY_OR}) AS fail_policy,
+         len(regexp_extract_all(text, '[.!?]')) < 3 AS fail_sentences
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CAST(fail_curly AS INT)) AS BIGINT) AS n_fail_curly,
+       CAST(SUM(CAST(fail_lorem AS INT)) AS BIGINT) AS n_fail_lorem,
+       CAST(SUM(CAST(fail_policy AS INT)) AS BIGINT) AS n_fail_policy,
+       CAST(SUM(CAST(fail_sentences AS INT)) AS BIGINT) AS n_fail_sentences,
+       CAST(SUM(CAST(NOT (fail_curly OR fail_lorem OR fail_policy
+                          OR fail_sentences) AS INT)) AS BIGINT) AS n_pass
+FROM fl GROUP BY source ORDER BY source
+""",
+)
+def quality_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 page-rule battery per source (Raffel et al. 2020 §2.2):
+    curly braces, lorem ipsum, policy boilerplate, too-few sentences —
+    one map-only projection + a tiny per-source aggregate, the
+    companion screen to the Gopher battery."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    return xfilt.c4_rules(docs, by="source").orderBy("source")
+
+
+_C4_LINE_KEEP_SQL = (
+    "regexp_matches(trim(__l), '[.!?\"]$')"
+    " AND len(list_filter(string_split_regex(trim(__l), '\\s+'),"
+    " __w -> __w != '')) >= 5"
+    " AND NOT contains(lower(__l), 'javascript')"
+    + "".join(
+        f" AND NOT contains(lower(__l), '{p}')" for p in _C4_POLICY
+    )
+)
+
+
+@query(
+    "text_c4_line_stats",
+    oracle=f"""
+WITH d AS (
+  SELECT source,
+         list_filter(string_split(COALESCE(text, ''), chr(10)),
+                     __l -> trim(__l) != '') AS lines
+  FROM documents
+),
+s AS (
+  SELECT source,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(lines, __l -> {_C4_LINE_KEEP_SQL}))
+              AS BIGINT) AS n_kept
+  FROM d
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_lines) AS BIGINT) AS total_lines,
+       CAST(SUM(n_kept) AS BIGINT) AS kept_lines,
+       ROUND(SUM(n_kept) * 1.0 / GREATEST(SUM(n_lines), 1), 6) AS kept_frac,
+       CAST(SUM(CAST(n_kept = n_lines AS INT)) AS BIGINT) AS docs_intact
+FROM s GROUP BY source ORDER BY source
+""",
+)
+def text_c4_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-retention summary per source: how much of each page
+    survives the keep-terminal-punctuation / ≥5-words / no-js-or-
+    policy-phrase line filter (the rewrite itself is
+    ``c4_clean_text``; the stats form keeps the output
+    corpus-sized).  Array HOFs end-to-end — map-only scan."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    st = xfilt.c4_line_stats(docs, keep_cols=["source"])
+    return (
+        st.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_lines").alias("total_lines"),
+            F.sum("n_kept").alias("kept_lines"),
+            F.round(
+                F.sum("n_kept")
+                / F.greatest(F.sum("n_lines"), F.lit(1)),
+                6,
+            ).alias("kept_frac"),
+            F.sum(F.col("intact").cast("long")).alias("docs_intact"),
+        )
+        .orderBy("source")
+    )

@@ -373,3 +373,43 @@ def test_heaps_law_fit_matches_closed_form(spark):
     assert abs(out["heaps_ln_k"] - round(ln_k, 6)) <= 1e-6
     # doubling corpus doubles vocab here -> beta == 1 exactly
     assert out["heaps_beta"] == 1.0
+
+
+def test_c4_page_flags_and_clean_text(spark):
+    from fastmlframework_spark.extensions.filtering import (
+        c4_clean_text,
+        c4_page_flags,
+    )
+
+    rows = [
+        (1, "This is a fine first sentence. Here is another one! A third?"),
+        (2, "function() { return 1; } Some text. More text. And more."),
+        (3, "Lorem Ipsum dolor sit amet. Second sentence. Third sentence."),
+        (4, "Read our Privacy Policy here. Second sentence. Third one."),
+        (5, "Too short."),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in c4_page_flags(df).collect()}
+    assert got[1].passes
+    assert got[2].fail_curly and not got[2].passes
+    assert got[3].fail_lorem  # case-insensitive
+    assert got[4].fail_policy
+    assert got[5].fail_sentences
+    assert got[6].fail_sentences and not got[6].passes  # NULL text
+
+    text = (
+        "A proper sentence with enough words here.\n"
+        "short line.\n"
+        "This line uses JavaScript for tracking purposes today.\n"
+        "No terminal punctuation on this longer line here\n"
+        "Another good long sentence that clearly qualifies too!"
+    )
+    (row,) = c4_clean_text(
+        spark.createDataFrame([(1, text)], "doc_id long, text string")
+    ).collect()
+    kept = row.clean_text.split("\n")
+    assert kept == [
+        "A proper sentence with enough words here.",
+        "Another good long sentence that clearly qualifies too!",
+    ]

@@ -95,7 +95,7 @@ def exact_dedup(
     )
 
 
-def shingles(
+def shingle_sets(
     df: DataFrame,
     key_col: str = "doc_id",
     text_col: str = "text",
@@ -103,9 +103,9 @@ def shingles(
     words: bool = True,
 ) -> DataFrame:
     """Distinct n-gram shingle DIGEST set per document → [key,
-    shingle] with ``shingle`` an 8-byte ``xxhash64`` long.  Word
-    shingles by default (reference-free extension; char shingles via
-    words=False).
+    shingle_set: array<long>, n_sh: int], ONE row per document, with
+    each shingle an 8-byte ``xxhash64`` long.  Word shingles by
+    default (reference-free extension; char shingles via words=False).
 
     Every consumer (Jaccard inverted-index joins, PPJoin prefixes,
     contamination containment) uses shingles only for EQUALITY, so
@@ -116,10 +116,15 @@ def shingles(
     transform lambda re-evaluates the split per window, O(len²) per
     doc), each word is hashed once, and each window digests as an
     ``xxhash64`` chain over its n word-hash longs.  The chain is
-    injective on token tuples exactly like the old single-space join
+    injective on token tuples exactly like a single-space join
     (tokens cannot contain whitespace), so equality classes — and
     every downstream oracle-checked count — are unchanged up to
-    64-bit collisions (~n²/2⁶⁵, the family's standing budget)."""
+    64-bit collisions (~n²/2⁶⁵, the family's standing budget).
+
+    The ARRAY form is the cache/materialization unit for the pair
+    joins: one compact row per doc (vs ~|doc| exploded rows), and the
+    set size is carried map-side as ``n_sh`` — consumers never need a
+    per-key count aggregation (a corpus-wide shuffle) to learn |A|."""
     if words:
         hargs = ", ".join(f"try_element_at(__wa, i + {k})" for k in range(n))
         base = _spread(df).select(
@@ -140,7 +145,22 @@ def shingles(
             f" i -> xxhash64(substring({text_col}, i, {n})))"
         )
     return base.select(
-        F.col(key_col), F.explode(F.array_distinct(arr)).alias("shingle")
+        F.col(key_col), F.array_distinct(arr).alias("shingle_set")
+    ).withColumn("n_sh", F.size("shingle_set"))
+
+
+def shingles(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    words: bool = True,
+) -> DataFrame:
+    """Exploded view of ``shingle_sets`` → [key, shingle], one row per
+    distinct (doc, shingle).  The inverted-index building block for
+    consumers that don't need the per-doc array (containment joins)."""
+    return shingle_sets(df, key_col, text_col, n, words).select(
+        F.col(key_col), F.explode("shingle_set").alias("shingle")
     )
 
 
@@ -156,25 +176,31 @@ def ngram_jaccard_pairs(
 
     |A∩B| from the shingle-equi-join, |A∪B| = |A|+|B|−|A∩B|; only
     pairs sharing ≥1 shingle are ever materialized.
-    """
-    sh = shingles(df, key_col, text_col, n).cache()
-    sizes = sh.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(key_col).alias("key_a"), "shingle")
-    b = sh.select(F.col(key_col).alias("key_b"), "shingle")
-    inter = (
+
+    Set sizes ride the exploded index rows (+8 bytes/row through the
+    self-join shuffle) so |A| and |B| come out of the SAME aggregation
+    as |A∩B| — no per-key count shuffle, no corpus-sized size joins
+    after the pair aggregate (they were 2 of this operator's 3
+    shuffle stages beyond the self-join, for data already known
+    map-side)."""
+    sets = shingle_sets(df, key_col, text_col, n).cache()
+    ex = sets.select(
+        F.col(key_col), "n_sh", F.explode("shingle_set").alias("shingle")
+    )
+    a = ex.select(
+        F.col(key_col).alias("key_a"), F.col("n_sh").alias("na"), "shingle"
+    )
+    b = ex.select(
+        F.col(key_col).alias("key_b"), F.col("n_sh").alias("nb"), "shingle"
+    )
+    out = (
         a.join(b, on="shingle")
         .filter(F.col("key_a") < F.col("key_b"))
         .groupBy("key_a", "key_b")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    out = (
-        inter.join(
-            sizes.select(F.col(key_col).alias("key_a"), F.col("n_sh").alias("na")),
-            on="key_a",
-        )
-        .join(
-            sizes.select(F.col(key_col).alias("key_b"), F.col("n_sh").alias("nb")),
-            on="key_b",
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
         )
         # Threshold the UNROUNDED ratio (matching the SQL oracle);
         # rounding only in the final projection.  Filtering the rounded
@@ -187,7 +213,7 @@ def ngram_jaccard_pairs(
         .filter(F.col("__jacc") >= threshold)
         .select("key_a", "key_b", F.round("__jacc", 6).alias("jaccard"))
     )
-    return _materialize_release(out, sh)
+    return _materialize_release(out, sets)
 
 
 # Universal-hash constants: h_j(x) = a_j*x31 + b_j where x31 is the
@@ -879,19 +905,26 @@ def ngram_jaccard_pairs_prefix(
     and, because prefixes hold the RAREST shingles, the high-df
     stop-shingles that dominate the full index's join fan-out never
     generate candidates at all (the 100 TB win).  Candidates verify
-    exactly via sorted-array intersection of the full shingle sets."""
-    sh = shingles(df, key_col, text_col, n).cache()
-    sizes = sh.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
-    wpos = Window.partitionBy(key_col).orderBy("__df", "shingle")
-    positioned = (
-        sh.join(dfreq, on="shingle")
-        .withColumn("__pos", F.row_number().over(wpos))
-        .join(sizes, on=key_col)
+    exactly via array intersection of the full shingle sets.
+
+    The per-doc shingle ARRAY (``shingle_sets``) is the cached unit:
+    set sizes come map-side from the array (no per-key count shuffle),
+    the verify step joins candidates straight to the cached arrays (no
+    collect_list re-aggregation of exploded rows), and only the
+    document-frequency count and the per-doc rarity ranking — the two
+    genuinely relational steps of prefix filtering — shuffle at all."""
+    sets = shingle_sets(df, key_col, text_col, n).cache()
+    ex = sets.select(
+        F.col(key_col), "n_sh", F.explode("shingle_set").alias("shingle")
     )
+    dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    wpos = Window.partitionBy(key_col).orderBy("__df", "shingle")
     prefix_len = F.col("n_sh") - F.ceil(threshold * F.col("n_sh")) + 1
-    prefix = positioned.filter(F.col("__pos") <= prefix_len).select(
-        key_col, "shingle"
+    prefix = (
+        ex.join(dfreq, on="shingle")
+        .withColumn("__pos", F.row_number().over(wpos))
+        .filter(F.col("__pos") <= prefix_len)
+        .select(key_col, "shingle")
     )
     cand = (
         prefix.select(F.col(key_col).alias("key_a"), "shingle")
@@ -903,24 +936,20 @@ def ngram_jaccard_pairs_prefix(
         .select("key_a", "key_b")
         .distinct()
     )
-    sets = sh.groupBy(key_col).agg(
-        F.sort_array(F.collect_list("shingle")).alias("__arr"),
-        F.count(F.lit(1)).alias("__n"),
-    )
     out = (
         cand.join(
             sets.select(
                 F.col(key_col).alias("key_a"),
-                F.col("__arr").alias("__aa"),
-                F.col("__n").alias("na"),
+                F.col("shingle_set").alias("__aa"),
+                F.col("n_sh").alias("na"),
             ),
             on="key_a",
         )
         .join(
             sets.select(
                 F.col(key_col).alias("key_b"),
-                F.col("__arr").alias("__ab"),
-                F.col("__n").alias("nb"),
+                F.col("shingle_set").alias("__ab"),
+                F.col("n_sh").alias("nb"),
             ),
             on="key_b",
         )
@@ -935,7 +964,7 @@ def ngram_jaccard_pairs_prefix(
         .filter(F.col("__jacc") >= threshold)
         .select("key_a", "key_b", F.round("__jacc", 6).alias("jaccard"))
     )
-    return _materialize_release(out, sh)
+    return _materialize_release(out, sets)
 
 
 def incremental_exact_dedup(

@@ -236,7 +236,15 @@ def main() -> None:
         sf_dirs = [os.path.join(base, f"sf{s}") for s in ("0.001", "0.01", "0.1")]
         if args.sf1_dir:
             sf_dirs.append(args.sf1_dir)
-        result = probe_exponents(spark, sf_dirs, list(exponent_queries()))
+        # An explicit --queries narrows the probe to just those names
+        # (re-probing after a targeted optimization); the default is
+        # the full benched registry.
+        names = (
+            [q.strip() for q in args.queries.split(",") if q.strip()]
+            if args.queries != DEFAULT_QUERIES
+            else list(exponent_queries())
+        )
+        result = probe_exponents(spark, sf_dirs, names)
         with open(args.json_out, "w") as fh:
             json.dump(result, fh, indent=1, sort_keys=True)
         print(f"wrote {args.json_out}")

@@ -216,6 +216,53 @@ def ngram_jaccard_pairs(
     return _materialize_release(out, sets)
 
 
+def containment_pairs(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Shingle CONTAINMENT near-dup pairs → [key_a, key_b, containment]
+    with key_a < key_b and containment = |A∩B| / min(|A|, |B|).
+
+    Symmetric Jaccard misses subset-duplicates: a document fully
+    embedded in a 5×-longer one has J = |A|/|B| ≈ 0.2 but containment
+    1.0 — the truncation/quote/boilerplate-wrap duplicates a crawl
+    actually contains (Broder's resemblance-vs-containment split).
+    Same inverted-index self-join as ``ngram_jaccard_pairs`` — set
+    sizes ride the index rows, one aggregation, no post-joins — only
+    the denominator differs.  The equi-join still requires ≥1 shared
+    shingle, so the pair space stays output-bounded, and the
+    UNROUNDED ratio is thresholded to match the SQL twin."""
+    sets = shingle_sets(df, key_col, text_col, n).cache()
+    ex = sets.select(
+        F.col(key_col), "n_sh", F.explode("shingle_set").alias("shingle")
+    )
+    a = ex.select(
+        F.col(key_col).alias("key_a"), F.col("n_sh").alias("na"), "shingle"
+    )
+    b = ex.select(
+        F.col(key_col).alias("key_b"), F.col("n_sh").alias("nb"), "shingle"
+    )
+    out = (
+        a.join(b, on="shingle")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .groupBy("key_a", "key_b")
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
+        .withColumn(
+            "__cont", F.col("common") / F.least(F.col("na"), F.col("nb"))
+        )
+        .filter(F.col("__cont") >= threshold)
+        .select("key_a", "key_b", F.round("__cont", 6).alias("containment"))
+    )
+    return _materialize_release(out, sets)
+
+
 # Universal-hash constants: h_j(x) = a_j*x31 + b_j where x31 is the
 # base hash masked to 31 bits — products stay < 2^62, so the
 # arithmetic is ANSI-mode safe (Spark 4 throws on bigint overflow;

@@ -107,6 +107,51 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return xdedup.ngram_jaccard_pairs(corpus, n=3, threshold=0.4)
 
 
+@query(
+    "dedup_containment",
+    oracle=f"""
+WITH corpus AS (
+  SELECT * FROM ({_CORPUS_SQL}) c WHERE {_SUBSET_PRED}
+),
+toks AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM corpus
+),
+idx AS (
+  SELECT doc_id, w,
+         unnest(generate_series(1, GREATEST(len(w) - 2, 1))) AS i
+  FROM toks
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(w[CAST(i AS INT):CAST(i AS INT) + 2], ' ') AS shingle
+  FROM idx
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS key_a, b.doc_id AS key_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT key_a, key_b,
+       ROUND(common * 1.0 / LEAST(sa.n_sh, sb.n_sh), 6) AS containment
+FROM inter
+JOIN sizes sa ON sa.doc_id = key_a
+JOIN sizes sb ON sb.doc_id = key_b
+WHERE common * 1.0 / LEAST(sa.n_sh, sb.n_sh) >= 0.9
+""",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-containment pairs (|A∩B| / min set size ≥ 0.9): the
+    asymmetric dual of `dedup_ngram_jaccard` that catches SUBSET
+    duplicates — the 80%-truncated corpus copies score containment
+    ≈1.0 here while their symmetric Jaccard sits near the 0.4 fringe
+    (Broder's resemblance-vs-containment distinction).  Same
+    size-carrying inverted-index self-join, one aggregation, no
+    post-joins."""
+    corpus = _corpus(spark, sf_dir).filter(F.expr(_SUBSET_PRED))
+    return xdedup.containment_pairs(corpus, n=3, threshold=0.9)
+
+
 # --- Literal SQL twins for the sketch paths (VERDICT r3 "next" #2) -----
 # The sketches are seed-deterministic JVM xxhash64 expressions, so their
 # outputs ARE reproducible in SQL once DuckDB can compute the same hash:

@@ -43,3 +43,36 @@ def test_best_representative_string_keys_and_ties(spark):
     pairs2 = spark.createDataFrame([("a1", "z2")], "key_a string, key_b string")
     (row,) = best_representative(df2, pairs2).collect()
     assert (row.best_key, row.best_len, row.n_members) == ("a1", 10, 2)
+
+
+def test_containment_catches_subset_duplicates(spark):
+    """A document fully embedded in a much longer one: containment
+    1.0 (caught at threshold 0.9) while symmetric Jaccard is far
+    below any usable near-dup threshold."""
+    from fastmlframework_spark.extensions.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(20))
+    rows = [
+        (1, short),
+        (2, short + " " + filler),  # superset: contains all of doc 1
+        (3, "totally different words entirely here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    cont = {
+        (r.key_a, r.key_b): r.containment
+        for r in containment_pairs(df, threshold=0.9).collect()
+    }
+    assert (1, 2) in cont and cont[(1, 2)] == 1.0
+    assert all(k == (1, 2) for k in cont)
+
+    # the same pair is invisible to symmetric Jaccard at 0.4
+    jacc = {
+        (r.key_a, r.key_b)
+        for r in ngram_jaccard_pairs(df, threshold=0.4).collect()
+    }
+    assert (1, 2) not in jacc

@@ -519,6 +519,138 @@ def bpe_merge_candidates(
     )
 
 
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 10,
+) -> DataFrame:
+    """Full ITERATIVE BPE tokenizer fit (Sennrich et al. 2016) →
+    the learned merge table [merge_rank, lhs, rhs, merged,
+    pair_count], one row per merge round in training order.
+
+    Scale contract: the corpus is scanned ONCE — the word-count
+    groupBy collapses it to its VOCABULARY (Heaps-bounded: ~N^0.5
+    types for N tokens), and every merge round runs over that small
+    table, never the corpus.  Each round is one vocabulary-sized
+    pair-count aggregate + a 1-row argmax collect (count desc, pair
+    asc — the deterministic boundary) + a map-only merge rewrite.
+
+    The merge rewrite is the trick that keeps both the Spark plan and
+    the SQL twin loop-free per round: a word's symbol sequence is
+    kept as a DOUBLE-space-joined, single-space-padded string
+    (``' h  e  l  l  o '``), so applying merge (l, r) is a literal
+    ``replace(syms, ' l  r ', ' lr ')``.  Non-overlapping
+    leftmost-first replacement is exactly BPE's greedy merge order,
+    and because every symbol carries its own delimiters on both
+    sides, adjacent matches never share characters — replace() in
+    Spark and DuckDB agree byte-for-byte (symbols are whitespace-free
+    by construction; chars-of-word splitting assumes BMP text — the
+    engines' UTF-16 vs codepoint indexing only diverges on astral
+    planes).
+
+    Lineage is truncated with an eager localCheckpoint every few
+    rounds — the same discipline as ``connected_components``.  A
+    checkpoint EVERY round would double the job count for nothing:
+    between checkpoints the chain is narrow map-only replaces, so a
+    round's aggregate re-applies at most ``ckpt_every`` cheap string
+    rewrites over the vocab table.  Driver transfer is ONE row per
+    round."""
+    ckpt_every = 4
+    words = (
+        df.select(
+            F.explode(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+")
+            ).alias("__w")
+        )
+        .filter(F.col("__w") != F.lit(""))
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__wc"))
+    )
+    vocab = words.select(
+        F.concat(
+            F.lit(" "), F.array_join(F.split("__w", ""), "  "), F.lit(" ")
+        ).alias("__syms"),
+        "__wc",
+    ).localCheckpoint(eager=True)
+    last_ckpt = vocab
+    spark = df.sparkSession
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        s = F.expr("split(trim(__syms), '  ')")
+        pair_arr = F.expr(
+            "transform(sequence(1, size(__s) - 1),"
+            " i -> struct(__s[i - 1] AS lhs, __s[i] AS rhs))"
+        )
+        best = (
+            vocab.select(s.alias("__s"), "__wc")
+            .filter(F.size("__s") >= 2)
+            .select(F.explode(pair_arr).alias("__p"), "__wc")
+            .groupBy("__p.lhs", "__p.rhs")
+            .agg(F.sum("__wc").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), F.asc("lhs"), F.asc("rhs"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        lhs, rhs, pc = best[0]["lhs"], best[0]["rhs"], best[0]["pair_count"]
+        merges.append((rank, lhs, rhs, lhs + rhs, pc))
+        nxt = vocab.withColumn(
+            "__syms",
+            F.replace(
+                F.col("__syms"),
+                F.lit(f" {lhs}  {rhs} "),
+                F.lit(f" {lhs}{rhs} "),
+            ),
+        )
+        if rank % ckpt_every == 0:
+            nxt = nxt.localCheckpoint(eager=True)
+            last_ckpt.rdd.unpersist()
+            last_ckpt = nxt
+        vocab = nxt
+    last_ckpt.rdd.unpersist()
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, lhs string, rhs string, merged string,"
+        " pair_count long",
+    )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_symbols",
+) -> DataFrame:
+    """Apply a learned BPE merge table to a corpus → ``df`` +
+    ``out_col: array<string>`` of per-word symbol sequences,
+    flattened across the document in word order.
+
+    Pure map-only: each word becomes its padded symbol string, every
+    merge is one literal ``replace`` (the merge table is a handful of
+    LITERALS compiled into the plan — the broadcast-free small-model
+    pattern), and the final split recovers the symbol array.  Merge
+    literals are bound as Column values, never spliced into SQL text,
+    so symbols containing quotes are safe.  No shuffle, no UDF; a
+    100 TB corpus encodes in one codegen'd scan."""
+
+    def _encode_word(w: Column) -> Column:
+        s = F.concat(F.lit(" "), F.array_join(F.split(w, ""), "  "), F.lit(" "))
+        for lhs, rhs in merges:
+            s = F.replace(
+                s, F.lit(f" {lhs}  {rhs} "), F.lit(f" {lhs}{rhs} ")
+            )
+        return F.split(F.trim(s), "  ")
+
+    words = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda w: w != F.lit(""),
+    )
+    return df.withColumn(
+        out_col, F.flatten(F.transform(words, _encode_word))
+    )
+
+
 def heaps_law_fit(
     df: DataFrame, by: str = "source", text_col: str = "text"
 ) -> DataFrame:

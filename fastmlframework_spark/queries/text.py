@@ -325,6 +325,75 @@ def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return xtext.bpe_merge_candidates(docs)
 
 
+def _bpe_oracle(n_merges: int) -> str:
+    """Generate the full iterative-BPE oracle as a chained CTE
+    sequence: each round re-derives pair counts from the current
+    vocabulary, picks the argmax (count desc, pair asc), and applies
+    the merge with the SAME padded-string replace() rewrite the Spark
+    operator uses — the representation that makes a training LOOP
+    expressible as straight-line SQL."""
+    ctes = [
+        """words AS (
+  SELECT w, COUNT(*) AS wc FROM (
+    SELECT unnest(string_split_regex(text, '\\s+')) AS w
+    FROM documents WHERE text IS NOT NULL
+  ) WHERE w <> '' GROUP BY w
+)""",
+        """v0 AS (
+  SELECT ' ' || array_to_string(
+           list_transform(generate_series(1, length(w)),
+                          i -> substr(w, CAST(i AS INT), 1)), '  ')
+         || ' ' AS syms, wc
+  FROM words
+)""",
+    ]
+    for k in range(1, n_merges + 1):
+        ctes.append(
+            f"""p{k} AS (
+  SELECT s[CAST(i AS INT)] AS lhs, s[CAST(i AS INT) + 1] AS rhs,
+         SUM(wc) AS pc
+  FROM (
+    SELECT s, wc, unnest(generate_series(1, len(s) - 1)) AS i
+    FROM (SELECT string_split(trim(syms), '  ') AS s, wc FROM v{k - 1})
+  ) GROUP BY 1, 2
+)""",
+        )
+        ctes.append(
+            f"""b{k} AS (
+  SELECT lhs, rhs, pc FROM p{k} ORDER BY pc DESC, lhs, rhs LIMIT 1
+)""",
+        )
+        ctes.append(
+            f"""v{k} AS (
+  SELECT replace(syms, ' ' || b.lhs || '  ' || b.rhs || ' ',
+                 ' ' || b.lhs || b.rhs || ' ') AS syms, wc
+  FROM v{k - 1}, b{k} b
+)""",
+        )
+    finals = "\nUNION ALL\n".join(
+        f"SELECT {k} AS merge_rank, lhs, rhs, lhs || rhs AS merged,"
+        f" CAST(pc AS BIGINT) AS pair_count FROM b{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n" + finals + "\nORDER BY merge_rank"
+    )
+
+
+@query("text_bpe_train", oracle=_bpe_oracle(10))
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full iterative BPE tokenizer fit, 10 merge rounds → the merge
+    table in training order.  The corpus collapses to its word
+    vocabulary in ONE scan; every round then runs over the
+    Heaps-bounded vocab table (pair-count aggregate + 1-row argmax +
+    map-only padded-string replace), with per-round localCheckpoints
+    truncating the iterative lineage — the reference one-round
+    statistic (`text_bpe_merge_candidates`) taken to the real
+    training loop."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    return xtext.bpe_train(docs, n_merges=10).orderBy("merge_rank")
+
+
 @query(
     "text_heaps_law",
     oracle="""

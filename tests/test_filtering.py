@@ -413,3 +413,79 @@ def test_c4_page_flags_and_clean_text(spark):
         "A proper sentence with enough words here.",
         "Another good long sentence that clearly qualifies too!",
     ]
+
+
+def _py_bpe(rows, n_merges):
+    """Reference BPE (Sennrich et al. 2016): explicit pairwise scan
+    with leftmost-first merge application — the ground truth the
+    padded-string replace() rewrite must reproduce."""
+    from collections import Counter
+
+    words = Counter()
+    for _, t in rows:
+        for w in (t or "").split():
+            words[w] += 1
+    vocab = {w: list(w) for w in words}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pc = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += words[w]
+        if not pc:
+            break
+        (l, r), c = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((rank, l, r, l + r, c))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab
+
+
+def test_bpe_train_matches_reference_scan(spark):
+    from fastmlframework_spark.extensions.text import bpe_train
+
+    rows = [
+        (1, "low lower lowest low low newer newest new"),
+        (2, "low newer wider wide wide aaa aaaa"),  # odd/even runs
+        (3, None),  # NULL text must not contribute
+    ]
+    ref, _ = _py_bpe(rows, 8)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [tuple(r) for r in bpe_train(df, n_merges=8).collect()]
+    assert got == ref
+
+
+def test_bpe_train_overlapping_run_semantics(spark):
+    """Merge (a,a) over odd runs: leftmost-first gives [aa, a] for
+    'aaa' — the replace() rewrite must not double-merge."""
+    from fastmlframework_spark.extensions.text import bpe_encode, bpe_train
+
+    rows = [(1, "aaa aaaa aa")]
+    ref_merges, ref_vocab = _py_bpe(rows, 2)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [tuple(r) for r in bpe_train(df, n_merges=2).collect()]
+    assert got == ref_merges
+
+    enc = bpe_encode(df, [(m[1], m[2]) for m in ref_merges])
+    (row,) = enc.collect()
+    want = []
+    for w in rows[0][1].split():
+        want += ref_vocab[w]
+    assert list(row.bpe_symbols) == want
+
+
+def test_bpe_train_stops_when_no_pairs_left(spark):
+    from fastmlframework_spark.extensions.text import bpe_train
+
+    df = spark.createDataFrame([(1, "ab ab cd")], "doc_id long, text string")
+    out = bpe_train(df, n_merges=50).collect()
+    # only 2-char words: after merging 'ab' and 'cd' no pairs remain
+    assert [r.merged for r in out] == ["ab", "cd"]

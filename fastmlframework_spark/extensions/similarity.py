@@ -795,3 +795,129 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select(query_key_col, key_col, "cosine", "rank")
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_key_col: str = "query_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training → [query_id,
+    query_label, vec_id, neg_label, cosine, rank]: for each query
+    vector, the k corpus vectors MOST similar to it that carry a
+    DIFFERENT label — the negatives that dominate the InfoNCE
+    gradient (easy negatives contribute ~0; see e.g. Robinson et al.
+    2021, "Contrastive Learning with Hard Negative Samples").
+    Beyond-reference operator: the reference stops at model training
+    (`modeling/model_wrappers.py`); pair mining for metric/contrastive
+    objectives is a training-DATA op, so it lives here.
+
+    Same scale shape as ``cosine_topk``: the query side is broadcast,
+    the corpus is scanned once with the label-mismatch predicate
+    fused into the join condition (no post-filter over a wider
+    candidate set), and per-query top-k runs as a rank-limit window
+    (WindowGroupLimit pushdown keeps the partial top-k map-side).
+    For corpus×corpus mining, feed IVF/LSH candidate pairs in as
+    ``queries`` batches instead of ranking n² pairs."""
+    dim = vec_dim(corpus, vec_col)
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    c = normalize(corpus, vec_col, "cv").select(
+        key_col, F.col(label_col).alias("neg_label"), "cv"
+    ).repartition(par)
+    q = normalize(queries, vec_col, "qv").select(
+        F.col(key_col).alias(query_key_col),
+        F.col(label_col).alias("query_label"),
+        "qv",
+    )
+    scored = c.join(
+        F.broadcast(q),
+        on=F.col("neg_label") != F.col("query_label"),
+    ).withColumn("cosine", F.round(F.expr(dot_expr("cv", "qv", dim)), 6))
+    w = Window.partitionBy(query_key_col).orderBy(
+        F.desc("cosine"), F.asc(key_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_key_col, "query_label", key_col, "neg_label",
+            "cosine", "rank",
+        )
+    )
+
+
+def label_prototypes(
+    df: DataFrame,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label mean vector (class prototype) → [label, n, centroid].
+
+    Dimension-exploded aggregation: ``posexplode`` fans each row into
+    (label, dim, value) triples and a ``groupBy(label, dim)`` mean
+    collapses them — map-side partial aggregation eats the d× row
+    inflation before the shuffle, so exchanged bytes are
+    O(|labels| × d × partitions) regardless of corpus size.  The
+    centroid array is rebuilt from the tiny aggregate with an
+    index-sorted ``collect_list`` (|labels| × d rows total — this
+    ``collect_list`` never sees corpus-sized groups)."""
+    per_dim = (
+        df.select(
+            label_col, F.posexplode(F.col(vec_col).cast("array<double>"))
+        )
+        .groupBy(label_col, "pos")
+        .agg(F.avg("col").alias("m"), F.count(F.lit(1)).alias("__n"))
+    )
+    return per_dim.groupBy(label_col).agg(
+        F.max("__n").alias("n"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda x: x["m"],
+        ).alias("centroid"),
+    )
+
+
+def prototype_outliers(
+    df: DataFrame,
+    k: int = 5,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Prototypicality pruning (Sorscher et al. 2022, "Beyond neural
+    scaling laws"): cosine of every vector to its OWN label's
+    prototype, keeping the k LEAST prototypical per label →
+    [label, vec_id, cos_centroid, rank].  Low scores are the prune /
+    label-error-review candidates; in the hard-data-first regime they
+    are instead the examples worth keeping.
+
+    The prototype table is |labels| rows — broadcast back over one
+    corpus scan; the per-label bottom-k is a rank-limit window
+    (WindowGroupLimit partial top-k map-side).  No corpus shuffle
+    beyond the d×-compacted centroid aggregate."""
+    dim = vec_dim(df, vec_col)
+    protos = label_prototypes(df, key_col, vec_col, label_col).select(
+        label_col, "centroid"
+    )
+    scored = (
+        normalize(df, vec_col, "nv")
+        .select(key_col, label_col, "nv")
+        .join(F.broadcast(protos), on=label_col)
+        .withColumn("cn", F.expr(_NORM.format(v="centroid")))
+        .withColumn(
+            "cos_centroid", F.round(F.expr(dot_expr("nv", "cn", dim)), 6)
+        )
+    )
+    w = Window.partitionBy(label_col).orderBy(
+        F.asc("cos_centroid"), F.asc(key_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(label_col, key_col, "cos_centroid", "rank")
+    )

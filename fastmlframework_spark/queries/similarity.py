@@ -266,3 +266,80 @@ def ann_ivfpq_planted_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+@query(
+    "ann_hard_negatives",
+    oracle="""
+WITH q AS (
+  SELECT vec_id AS query_id, label AS query_label,
+         CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 10
+),
+c AS (
+  SELECT vec_id, label AS neg_label, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings
+),
+scored AS (
+  SELECT query_id, query_label, vec_id, neg_label,
+         ROUND(list_cosine_similarity(cv, qv), 6) AS cosine
+  FROM q, c WHERE neg_label <> query_label
+)
+SELECT query_id, query_label, vec_id, neg_label, cosine, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+) t WHERE rank <= 5
+""",
+)
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive objectives: for 10 query
+    vectors, the 5 most-similar corpus vectors with a DIFFERENT
+    label.  Broadcast query side, label-mismatch predicate fused into
+    the join, rank-limit window top-k — one corpus scan."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    return xsim.hard_negatives(
+        emb, emb.filter(F.col("vec_id") < 10), k=5
+    )
+
+
+@query(
+    "embedding_prototype_outliers",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+dims AS (
+  SELECT label, UNNEST(v) AS val, generate_subscripts(v, 1) AS idx FROM e
+),
+cent AS (
+  SELECT label, list(m ORDER BY idx) AS centroid FROM (
+    SELECT label, idx, AVG(val) AS m FROM dims GROUP BY label, idx
+  ) GROUP BY label
+),
+scored AS (
+  SELECT e.label, e.vec_id,
+         ROUND(list_cosine_similarity(e.v, c.centroid), 6) AS cos_centroid
+  FROM e JOIN cent c ON e.label = c.label
+)
+SELECT label, vec_id, cos_centroid, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+                               ORDER BY cos_centroid ASC, vec_id) AS rank
+  FROM scored
+) t WHERE rank <= 5
+""",
+)
+def embedding_prototype_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototypicality pruning (Sorscher et al. 2022): cosine of each
+    vector to its own label's mean-vector prototype, keeping the 5
+    LEAST prototypical per label — the prune / label-error-review
+    candidates.  Centroids come from a dimension-exploded partial
+    aggregate (map-side combine eats the d× inflation); the
+    |labels|-row prototype table broadcasts back over one corpus
+    scan."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    return xsim.prototype_outliers(emb, k=5)

@@ -578,3 +578,64 @@ def test_ivfpq_partial_probe_recall_and_guards(spark, sf_dir):
     assert xsim.recall_at_k(approx, exact) >= 0.35
     with pytest.raises(ValueError, match="must divide"):
         xsim.ivfpq_topk(emb, queries, m=7)
+
+
+def test_hard_negatives_labels_and_planted_order(spark):
+    """Planted geometry: query q (label 0) sits nearest to n1
+    (label 1), then n2 (label 2); s0 (label 0) is MOST similar of
+    all but must be excluded — same-label vectors are never
+    negatives."""
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),        # query
+        (1, [0.999, 0.045, 0.0], 0),    # same label, closest overall
+        (2, [0.9, 0.43, 0.0], 1),       # hard negative 1
+        (3, [0.7, 0.71, 0.0], 2),       # hard negative 2
+        (4, [0.0, 1.0, 0.0], 1),        # easy negative
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = xsim.hard_negatives(
+        df, df.filter(F.col("vec_id") == 0), k=2
+    ).collect()
+    assert [(r.vec_id, r.neg_label, r.rank) for r in out] == [
+        (2, 1, 1),
+        (3, 2, 2),
+    ]
+    assert all(r.query_label == 0 for r in out)
+
+
+def test_label_prototypes_are_per_label_means(spark):
+    rows = [
+        (0, [1.0, 3.0], 0),
+        (1, [3.0, 5.0], 0),
+        (2, [10.0, -2.0], 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {
+        r.label: (r.n, [round(v, 9) for v in r.centroid])
+        for r in xsim.label_prototypes(df).collect()
+    }
+    assert got == {0: (2, [2.0, 4.0]), 1: (1, [10.0, -2.0])}
+
+
+def test_prototype_outliers_rank_least_prototypical_first(spark):
+    """Three label-0 vectors around +x and one flipped to −x: the
+    flipped vector has the lowest cosine to the label mean and must
+    rank 1."""
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.95, 0.3], 0),
+        (2, [-1.0, 0.05], 0),   # the outlier
+        (3, [0.9, -0.4], 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = xsim.prototype_outliers(df, k=4).collect()
+    assert out[0].vec_id == 2 and out[0].rank == 1
+    assert [r.rank for r in out] == [1, 2, 3, 4]
+    cs = [r.cos_centroid for r in out]
+    assert cs == sorted(cs)

@@ -497,3 +497,25 @@ def test_weighted_median_cumsum_is_bucket_partitioned(spark, sf_dir_small):
     for line in plan.splitlines():
         if "windowspecdefinition" in line and "l_extendedprice" in line:
             assert "__bkt" in line, line
+
+
+def test_hard_negatives_rank_limit_pushdown_and_broadcast(spark, sf_dir_small):
+    """Hard-negative mining must keep both scale properties of the
+    ANN family: the query side broadcast (no corpus shuffle for the
+    join) and the partial WindowGroupLimit below the exchange (per-
+    query top-k pruned map-side)."""
+    plan = _plan(spark, sf_dir_small, "ann_hard_negatives")
+    assert _window_group_limit_below_exchange(plan), plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_prototype_outliers_partial_agg_and_broadcast(spark, sf_dir_small):
+    """The centroid aggregate must partial-aggregate below its
+    exchange (map-side combine eats the d× posexplode inflation) and
+    the |labels|-row prototype table must broadcast back over the
+    corpus scan; the per-label bottom-k keeps the rank-limit
+    pushdown."""
+    plan = _plan(spark, sf_dir_small, "embedding_prototype_outliers")
+    assert _window_group_limit_below_exchange(plan), plan
+    assert "BroadcastExchange" in plan, plan
+    assert "partial_avg" in plan, plan

@@ -523,7 +523,8 @@ def bpe_train(
     df: DataFrame,
     text_col: str = "text",
     n_merges: int = 10,
-) -> DataFrame:
+    return_vocab: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Full ITERATIVE BPE tokenizer fit (Sennrich et al. 2016) →
     the learned merge table [merge_rank, lhs, rhs, merged,
     pair_count], one row per merge round in training order.
@@ -554,7 +555,12 @@ def bpe_train(
     between checkpoints the chain is narrow map-only replaces, so a
     round's aggregate re-applies at most ``ckpt_every`` cheap string
     rewrites over the vocab table.  Driver transfer is ONE row per
-    round."""
+    round.
+
+    With ``return_vocab=True`` returns ``(merges, vocab)`` where
+    ``vocab`` is the post-merge vocabulary [__w, __syms, __wc] —
+    the word → symbol-sequence map consumers join against instead of
+    re-encoding the corpus (``bpe_fertility``)."""
     ckpt_every = 4
     words = (
         df.select(
@@ -567,6 +573,7 @@ def bpe_train(
         .agg(F.count(F.lit(1)).alias("__wc"))
     )
     vocab = words.select(
+        "__w",
         F.concat(
             F.lit(" "), F.array_join(F.split("__w", ""), "  "), F.lit(" ")
         ).alias("__syms"),
@@ -608,12 +615,20 @@ def bpe_train(
             last_ckpt.rdd.unpersist()
             last_ckpt = nxt
         vocab = nxt
-    last_ckpt.rdd.unpersist()
-    return spark.createDataFrame(
+    merges_df = spark.createDataFrame(
         merges,
         "merge_rank int, lhs string, rhs string, merged string,"
         " pair_count long",
     )
+    if return_vocab:
+        # Re-checkpoint so the returned frame owns its blocks before
+        # the loop's intermediate checkpoint is released.
+        vocab = vocab.localCheckpoint(eager=True)
+        if last_ckpt is not vocab:
+            last_ckpt.rdd.unpersist()
+        return merges_df, vocab
+    last_ckpt.rdd.unpersist()
+    return merges_df
 
 
 def bpe_encode(
@@ -648,6 +663,61 @@ def bpe_encode(
     )
     return df.withColumn(
         out_col, F.flatten(F.transform(words, _encode_word))
+    )
+
+
+def bpe_fertility(
+    df: DataFrame,
+    text_col: str = "text",
+    by: str = "source",
+    n_merges: int = 10,
+) -> DataFrame:
+    """Tokenizer fertility audit → [by, n_words, n_tokens, fertility,
+    chars_per_token]: train BPE for ``n_merges`` rounds on the whole
+    corpus, then measure tokens-per-word (fertility) and
+    chars-per-token per group — the standard check that a tokenizer
+    doesn't over-fragment some source/language (fertility ≫ 1 on one
+    slice means that slice pays more sequence length per word of
+    content than the rest of the mix).
+
+    Scale contract: the corpus is scanned ONCE more after training —
+    for per-(group, word) counts, a vocabulary-bounded table.  The
+    encode step never touches documents: each distinct word's token
+    count is read off the TRAINED VOCABULARY (word → merged symbol
+    string), and the group stats are weighted sums over the
+    (group, word) counts joined to that vocab table — a join between
+    two Heaps-bounded sides, corpus-size-free."""
+    merges, vocab = bpe_train(
+        df, text_col=text_col, n_merges=n_merges, return_vocab=True
+    )
+    enc = vocab.select(
+        "__w",
+        F.size(F.expr("split(trim(__syms), '  ')")).alias("__ntok"),
+    )
+    gw = (
+        df.select(
+            F.col(by),
+            F.explode(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+")
+            ).alias("__w"),
+        )
+        .filter(F.col("__w") != F.lit(""))
+        .groupBy(by, "__w")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    toks = F.sum(F.col("__c") * F.col("__ntok"))
+    return (
+        gw.join(enc, on="__w")
+        .groupBy(by)
+        .agg(
+            F.sum("__c").alias("n_words"),
+            toks.alias("n_tokens"),
+            F.round(toks / F.sum("__c"), 6).alias("fertility"),
+            F.round(
+                F.sum(F.col("__c") * F.length("__w")) / toks, 6
+            ).alias("chars_per_token"),
+        )
+        .orderBy(by)
     )
 
 

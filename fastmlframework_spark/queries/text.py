@@ -325,22 +325,24 @@ def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return xtext.bpe_merge_candidates(docs)
 
 
-def _bpe_oracle(n_merges: int) -> str:
-    """Generate the full iterative-BPE oracle as a chained CTE
-    sequence: each round re-derives pair counts from the current
-    vocabulary, picks the argmax (count desc, pair asc), and applies
-    the merge with the SAME padded-string replace() rewrite the Spark
-    operator uses — the representation that makes a training LOOP
-    expressible as straight-line SQL."""
+def _bpe_ctes(n_merges: int) -> list[str]:
+    """Shared CTE chain of the iterative-BPE oracles: per-(source,
+    word) counts, the global word vocabulary, and one (pair-count →
+    argmax → replace) trio per merge round.  Each v_k carries the
+    original word ``w`` so consumers can map words back to their
+    final symbol sequence (``_bpe_fertility_oracle``)."""
     ctes = [
-        """words AS (
-  SELECT w, COUNT(*) AS wc FROM (
-    SELECT unnest(string_split_regex(text, '\\s+')) AS w
+        """swords AS (
+  SELECT source, w, COUNT(*) AS c FROM (
+    SELECT source, unnest(string_split_regex(text, '\\s+')) AS w
     FROM documents WHERE text IS NOT NULL
-  ) WHERE w <> '' GROUP BY w
+  ) WHERE w <> '' GROUP BY source, w
+)""",
+        """words AS (
+  SELECT w, CAST(SUM(c) AS BIGINT) AS wc FROM swords GROUP BY w
 )""",
         """v0 AS (
-  SELECT ' ' || array_to_string(
+  SELECT w, ' ' || array_to_string(
            list_transform(generate_series(1, length(w)),
                           i -> substr(w, CAST(i AS INT), 1)), '  ')
          || ' ' AS syms, wc
@@ -365,18 +367,53 @@ def _bpe_oracle(n_merges: int) -> str:
         )
         ctes.append(
             f"""v{k} AS (
-  SELECT replace(syms, ' ' || b.lhs || '  ' || b.rhs || ' ',
-                 ' ' || b.lhs || b.rhs || ' ') AS syms, wc
+  SELECT w, replace(syms, ' ' || b.lhs || '  ' || b.rhs || ' ',
+                    ' ' || b.lhs || b.rhs || ' ') AS syms, wc
   FROM v{k - 1}, b{k} b
 )""",
         )
+    return ctes
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """Full iterative-BPE merge-table oracle: each round re-derives
+    pair counts from the current vocabulary, picks the argmax (count
+    desc, pair asc), and applies the merge with the SAME padded-string
+    replace() rewrite the Spark operator uses — the representation
+    that makes a training LOOP expressible as straight-line SQL."""
     finals = "\nUNION ALL\n".join(
         f"SELECT {k} AS merge_rank, lhs, rhs, lhs || rhs AS merged,"
         f" CAST(pc AS BIGINT) AS pair_count FROM b{k}"
         for k in range(1, n_merges + 1)
     )
     return (
-        "WITH " + ",\n".join(ctes) + "\n" + finals + "\nORDER BY merge_rank"
+        "WITH "
+        + ",\n".join(_bpe_ctes(n_merges))
+        + "\n"
+        + finals
+        + "\nORDER BY merge_rank"
+    )
+
+
+def _bpe_fertility_oracle(n_merges: int) -> str:
+    """Fertility oracle: read each word's token count off the trained
+    vocabulary (v_n) and weight by the per-(source, word) counts —
+    the corpus itself is never re-encoded."""
+    return (
+        "WITH "
+        + ",\n".join(_bpe_ctes(n_merges))
+        + f""",
+enc AS (
+  SELECT w, len(string_split(trim(syms), '  ')) AS ntok FROM v{n_merges}
+)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_words,
+       CAST(SUM(c * ntok) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(c * ntok) AS DOUBLE) / SUM(c), 6) AS fertility,
+       ROUND(CAST(SUM(c * length(w)) AS DOUBLE) / SUM(c * ntok), 6)
+         AS chars_per_token
+FROM swords JOIN enc USING (w)
+GROUP BY source ORDER BY source"""
     )
 
 
@@ -392,6 +429,19 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     training loop."""
     docs = load_table(spark, sf_dir, "documents").select("text")
     return xtext.bpe_train(docs, n_merges=10).orderBy("merge_rank")
+
+
+@query("text_bpe_fertility", oracle=_bpe_fertility_oracle(10))
+def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by source after a 10-round BPE fit:
+    tokens-per-word and chars-per-token per slice — the audit that a
+    tokenizer doesn't over-fragment one source/language of the
+    training mix.  The encode step reads token counts off the trained
+    VOCABULARY (word → merged symbols) and weights them by per-
+    (source, word) counts, so no document is ever re-encoded: one
+    extra corpus scan, then vocabulary-bounded joins only."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    return xtext.bpe_fertility(docs, by="source", n_merges=10)
 
 
 @query(

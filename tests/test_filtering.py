@@ -489,3 +489,32 @@ def test_bpe_train_stops_when_no_pairs_left(spark):
     out = bpe_train(df, n_merges=50).collect()
     # only 2-char words: after merging 'ab' and 'cd' no pairs remain
     assert [r.merged for r in out] == ["ab", "cd"]
+
+
+def test_bpe_fertility_matches_reference_vocab(spark):
+    from fastmlframework_spark.extensions.text import bpe_fertility
+
+    rows = [
+        (1, "low lower lowest low low", "web"),
+        (2, "newer newest new low", "web"),
+        (3, "aaa aaaa aa", "books"),
+        (4, None, "books"),  # NULL text: no words, group may vanish
+    ]
+    ref_merges, ref_vocab = _py_bpe([(i, t) for i, t, _ in rows], 4)
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r.source: (r.n_words, r.n_tokens, r.fertility, r.chars_per_token)
+        for r in bpe_fertility(df, by="source", n_merges=4).collect()
+    }
+    import collections
+
+    want = {}
+    per_src = collections.defaultdict(lambda: [0, 0, 0])
+    for _, t, src in rows:
+        for w in (t or "").split():
+            per_src[src][0] += 1
+            per_src[src][1] += len(ref_vocab[w])
+            per_src[src][2] += len(w)
+    for src, (nw, nt, nc) in per_src.items():
+        want[src] = (nw, nt, round(nt / nw, 6), round(nc / nt, 6))
+    assert got == want

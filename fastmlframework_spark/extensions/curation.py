@@ -697,3 +697,83 @@ def quality_confidence(
         F.round((center - half) / denom, 6).alias("ci_low"),
         F.round((center + half) / denom, 6).alias("ci_high"),
     )
+
+
+def curation_funnel(
+    corpus: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    near_threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end curation survivor funnel → [stage, stage_name,
+    n_docs, n_tokens]: the document/token mass remaining after each
+    cumulative stage of the standard LLM-corpus pipeline —
+
+      1 raw          everything ingested
+      2 quality      docs passing the full Gopher rule battery
+      3 exact_dedup  one survivor (min key) per content digest
+      4 near_dedup   drop the higher-key member of every verified
+                     MinHash-LSH near-dup pair among the survivors
+
+    — the shrinkage report data teams publish next to a datacard
+    (what did each gate cost us, in docs and tokens?).
+
+    Scale shape: stages 1–2 are map-only flag projections into 2-row
+    aggregates; stage 3 shuffles digest-sized keys once (window min
+    per md5 — identical grouping to ``exact_dedup``); stage 4 runs
+    the sub-quadratic banded MinHash join ONLY over the
+    already-quality-filtered, exact-deduped survivor set — the same
+    ordering production pipelines use precisely because each gate
+    shrinks the candidate set for the costlier one after it."""
+    from fastmlframework_spark.extensions.dedup import minhash_lsh_pairs
+    from fastmlframework_spark.extensions.filtering import gopher_rule_flags
+
+    ntok = F.size(
+        F.filter(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+            lambda w: w != F.lit(""),
+        )
+    )
+    d0 = gopher_rule_flags(corpus.select(key_col, text_col), text_col).select(
+        key_col, text_col, "passes", ntok.alias("__ntok")
+    )
+    s2 = d0.filter(F.col("passes")).select(key_col, text_col, "__ntok")
+    dig_w = Window.partitionBy(F.md5(F.col(text_col)))
+    s3 = (
+        s2.withColumn("__mn", F.min(key_col).over(dig_w))
+        .filter(F.col(key_col) == F.col("__mn"))
+        .drop("__mn")
+    )
+    pairs = minhash_lsh_pairs(
+        s3.select(key_col, text_col),
+        key_col=key_col,
+        text_col=text_col,
+        n=n,
+        num_hashes=num_hashes,
+        bands=bands,
+        verify_threshold=near_threshold,
+    )
+    drop = pairs.select(F.col("key_b").alias(key_col)).distinct()
+    s4 = s3.join(drop, on=key_col, how="left_anti")
+
+    def _stage(df: DataFrame, stage: int, name: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("__ntok"), F.lit(0)).alias("n_tokens"),
+        ).select(
+            F.lit(stage).alias("stage"),
+            F.lit(name).alias("stage_name"),
+            "n_docs",
+            "n_tokens",
+        )
+
+    return (
+        _stage(d0, 1, "raw")
+        .unionByName(_stage(s2, 2, "quality"))
+        .unionByName(_stage(s3, 3, "exact_dedup"))
+        .unionByName(_stage(s4, 4, "near_dedup"))
+        .orderBy("stage")
+    )

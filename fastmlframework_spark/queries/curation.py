@@ -815,3 +815,69 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def _funnel_oracle(
+    num_hashes: int = 8, bands: int = 4, threshold: float = 0.5
+) -> str:
+    """SQL twin of the 4-stage curation funnel: the Gopher flag CTEs
+    re-keyed by doc_id over the planted dedup corpus, the md5 window
+    min of ``dedup_exact``, and the xxhash64 MinHash band twin of
+    ``dedup_minhash_lsh`` — composed into one cumulative survivor
+    pipeline."""
+    from fastmlframework_spark.queries.dedup import _CORPUS_SQL, _mh_sql_parts
+    from fastmlframework_spark.queries.filtering import _gopher_fl_ctes
+
+    hlist, sig_cols, band_eq, agree = _mh_sql_parts(num_hashes, bands)
+    fails = (
+        "fail_words OR fail_word_len OR fail_symbol OR fail_bullet"
+        " OR fail_ellipsis OR fail_alpha OR fail_stopword"
+    )
+    return f"""
+WITH corpus AS ({_CORPUS_SQL}),
+{_gopher_fl_ctes(keys="doc_id", rel="corpus")},
+p2 AS (SELECT doc_id, n_words FROM fl WHERE NOT ({fails})),
+txt AS (
+  SELECT c.doc_id, c.text, p.n_words FROM corpus c JOIN p2 p USING (doc_id)
+),
+s3 AS (
+  SELECT doc_id, text, n_words FROM (
+    SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS __mn FROM txt
+  ) WHERE doc_id = __mn
+),
+hashed AS (SELECT doc_id, {hlist} AS __H FROM s3),
+sg AS (SELECT doc_id, {sig_cols} FROM hashed),
+cand AS (
+  SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+         ({agree}) / {float(num_hashes)} AS agr
+  FROM sg a JOIN sg b ON a.doc_id < b.doc_id AND ({band_eq})
+),
+dropped AS (SELECT DISTINCT key_b FROM cand WHERE agr >= {threshold}),
+s4 AS (SELECT * FROM s3 WHERE doc_id NOT IN (SELECT key_b FROM dropped))
+SELECT CAST(1 AS INT) AS stage, 'raw' AS stage_name,
+       COUNT(*) AS n_docs, CAST(SUM(n_words) AS BIGINT) AS n_tokens
+FROM fl
+UNION ALL
+SELECT 2, 'quality', COUNT(*),
+       CAST(COALESCE(SUM(n_words), 0) AS BIGINT) FROM p2
+UNION ALL
+SELECT 3, 'exact_dedup', COUNT(*),
+       CAST(COALESCE(SUM(n_words), 0) AS BIGINT) FROM s3
+UNION ALL
+SELECT 4, 'near_dedup', COUNT(*),
+       CAST(COALESCE(SUM(n_words), 0) AS BIGINT) FROM s4
+ORDER BY stage
+"""
+
+
+@query("curation_funnel", oracle=_funnel_oracle())
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation shrinkage report over the planted
+    dedup corpus: docs/tokens surviving raw → Gopher quality →
+    exact dedup → MinHash near-dedup, each gate shrinking the
+    candidate set for the costlier gate after it.  Fully
+    oracle-backed by composing the Gopher flag CTEs, the md5 exact-
+    dedup grouping, and the bit-exact xxhash64 MinHash twin."""
+    from fastmlframework_spark.queries.dedup import _corpus
+
+    return xcur.curation_funnel(_corpus(spark, sf_dir))

@@ -25,24 +25,25 @@ _WORDS_SQL = r"list_filter(string_split_regex(COALESCE(text, ''), '\s+'), __x ->
 _LINES_SQL = r"list_filter(string_split_regex(COALESCE(text, ''), '\n'), __x -> __x <> '')"
 
 
-def _gopher_fl_ctes() -> str:
+def _gopher_fl_ctes(keys: str = "source", rel: str = "documents") -> str:
     """Shared CTE chain (``base`` → ``sig`` → ``fl``): per-document
-    Gopher signals and fail flags, reused by the rule-report oracle
-    and the Wilson-interval oracle."""
+    Gopher signals and fail flags, reused by the rule-report oracle,
+    the Wilson-interval oracle, and (keyed by doc_id over the planted
+    dedup corpus) the curation-funnel oracle."""
     th = xfilt.GOPHER_THRESHOLDS
     stop_types = " + ".join(
         f"CAST(list_contains(ws, '{s}') AS INT)"
         for s in xfilt.GOPHER_STOPWORDS
     )
     return f"""base AS (
-  SELECT source,
+  SELECT {keys},
          COALESCE(text, '') AS t,
          {_WORDS_SQL} AS ws,
          {_LINES_SQL} AS ls
-  FROM documents
+  FROM {rel}
 ),
 sig AS (
-  SELECT source,
+  SELECT {keys},
          len(ws) AS n_words,
          (LENGTH(t) - len(regexp_extract_all(t, '\\s'))) * 1.0
              / GREATEST(len(ws), 1) AS mean_word_len,
@@ -59,7 +60,7 @@ sig AS (
   FROM base
 ),
 fl AS (
-  SELECT source,
+  SELECT {keys}, n_words,
          (n_words < {th["min_words"]} OR n_words > {th["max_words"]})
              AS fail_words,
          (mean_word_len < {th["min_mean_word_len"]}

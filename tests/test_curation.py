@@ -343,3 +343,26 @@ def test_select_to_token_budget_boundary_and_order(spark):
     for r in ranked:
         assert r.total_n_tokens == total
         assert r.cum_n_tokens == sum(10 * (i + 1) for i in range(r.rank))
+
+
+def test_curation_funnel_monotone_and_stage_order(spark, sf_dir_small):
+    """Each funnel gate can only shrink the corpus: docs and tokens
+    must be non-increasing across stages 1→4, with raw equal to the
+    planted corpus size."""
+    from fastmlframework_spark.queries.curation import (
+        curation_funnel as funnel_q,
+    )
+    from fastmlframework_spark.queries.dedup import _corpus
+
+    rows = {r.stage: r for r in funnel_q(spark, sf_dir_small).collect()}
+    assert [rows[s].stage_name for s in (1, 2, 3, 4)] == [
+        "raw", "quality", "exact_dedup", "near_dedup",
+    ]
+    assert rows[1].n_docs == _corpus(spark, sf_dir_small).count()
+    for a, b in ((1, 2), (2, 3), (3, 4)):
+        assert rows[a].n_docs >= rows[b].n_docs
+        assert rows[a].n_tokens >= rows[b].n_tokens
+    # the planted corpus guarantees every gate actually fires
+    assert rows[2].n_docs < rows[1].n_docs
+    assert rows[3].n_docs < rows[2].n_docs
+    assert rows[4].n_docs < rows[3].n_docs

@@ -1339,3 +1339,52 @@ def best_representative(
         F.max(F.length(text_col)).cast("long").alias("best_len"),
         F.count(F.lit(1)).alias("n_members"),
     )
+
+
+def cluster_size_histogram(
+    components: DataFrame,
+    universe: DataFrame,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Duplicate-cluster size distribution → [cluster_size,
+    n_clusters, n_docs]: how many clusters of each multiplicity the
+    corpus contains, and how many documents they absorb — the
+    duplication-profile figure dedup papers lead with (most of a web
+    corpus's duplicate MASS sits in a few huge clusters; the long
+    tail is pairs).  ``components`` is a [node, component] frame from
+    :func:`connected_components`; ``universe`` supplies every corpus
+    key so never-duplicated documents are reported as size-1
+    clusters instead of silently vanishing.
+
+    Plan: the components frame (only docs that HAVE a duplicate)
+    collapses to per-component counts, then to a ≤|max size|-row
+    histogram; singletons come from one anti-join + 1-row count —
+    nothing beyond the components step itself touches corpus-scale
+    data more than once."""
+    sizes = components.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    multi = sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )
+    single = (
+        universe.select(key_col)
+        .join(
+            components.select(F.col("node").alias(key_col)),
+            on=key_col,
+            how="left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            F.lit(1).cast("long").alias("cluster_size"), "n_clusters"
+        )
+    )
+    return (
+        multi.unionByName(single)
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )

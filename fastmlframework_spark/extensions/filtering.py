@@ -702,3 +702,113 @@ def c4_clean_text(
     return df.withColumn(
         out_col, F.array_join(F.filter(lines, c4_line_keep), "\n")
     )
+
+
+def word_bigram_nll(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    dim_uni: int = 256,
+    dim_bi: int = 2048,
+    lam: float = 0.75,
+    fit_modulus: int = 1,
+) -> DataFrame:
+    """Interpolated hashed word-bigram LM negative log-likelihood per
+    document → [key, n_bigrams, nll] (nats/bigram).  One rung up the
+    CCNet perplexity-filter ladder from :func:`chargram_nll`: the
+    score of each adjacent word pair (w1, w2) is
+
+        ln( λ·(c(w1w2)+1)/(c(w1)+dim_bi)          -- conditional
+          + (1−λ)·(c(w2)+1)/(N+dim_uni) )         -- unigram backoff
+
+    — Jelinek-Mercer interpolation with Laplace floors, over hashed
+    vocabulary buckets (unigrams mod ``dim_uni``, pairs mod
+    ``dim_bi``; both must be powers of two for the pmod/unsigned-mod
+    oracle contract).  High-NLL docs are the boilerplate/spam/
+    word-salad tail whose word ORDER diverges from the corpus even
+    when character statistics look fine.
+
+    Plan: two dim-bounded explode→groupBy count aggregates on the
+    ``key % fit_modulus == 0`` fit slice (train-on-a-sample, the
+    CCNet recipe), broadcast back as ONE 1-row two-array model frame;
+    scoring is a map-only HOF ``aggregate`` over the word array —
+    left-to-right summation mirrored exactly by the oracle's
+    ``list_reduce``.  Docs with fewer than two words drop.  All three
+    per-pair hashes are JVM codegen ``xxhash64`` calls; the pair key
+    is w1‖US‖w2 (chr(31)) so one string hash covers the bigram."""
+    for d in (dim_uni, dim_bi):
+        if d <= 0 or d & (d - 1):
+            raise ValueError("dims must be powers of two")
+    words = f"filter(split({text_col}, '\\\\s+'), __x -> __x != '')"
+    base = (
+        df.filter(F.col(text_col).isNotNull())
+        .withColumn("__ws", F.expr(words))
+        .filter(F.size("__ws") >= 2)
+    )
+    fit_on = (
+        base.filter(F.col(key_col) % fit_modulus == 0)
+        if fit_modulus > 1
+        else base
+    )
+    u_counts = (
+        fit_on.select(F.explode("__ws").alias("__w"))
+        .groupBy(F.expr(f"pmod(xxhash64(__w), {dim_uni})").alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    pair_arr = (
+        "transform(sequence(1, size(__ws) - 1), __i -> "
+        "concat(element_at(__ws, __i), chr(31), element_at(__ws, __i + 1)))"
+    )
+    b_counts = (
+        fit_on.select(F.explode(F.expr(pair_arr)).alias("__p"))
+        .groupBy(F.expr(f"pmod(xxhash64(__p), {dim_bi})").alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+
+    def _dense(counts: DataFrame, dim: int, arr: str, with_total: bool):
+        aggs = [
+            F.map_from_entries(
+                F.collect_list(F.struct("__b", "__c"))
+            ).alias("__m")
+        ]
+        if with_total:
+            aggs.append(
+                F.coalesce(F.sum("__c"), F.lit(0)).alias("__n")
+            )
+        out = counts.agg(*aggs).select(
+            F.expr(
+                f"transform(sequence(0, {dim - 1}), __i -> "
+                "coalesce(element_at(__m, CAST(__i AS BIGINT)), 0L))"
+            ).alias(arr),
+            *(["__n"] if with_total else []),
+        )
+        return out
+
+    model = _dense(u_counts, dim_uni, "__cu", True).crossJoin(
+        _dense(b_counts, dim_bi, "__cb", False)
+    )
+    u_at = (
+        f"element_at(__cu, CAST(pmod(xxhash64(element_at(__ws, {{i}})), "
+        f"{dim_uni}) AS INT) + 1)"
+    )
+    b_at = (
+        "element_at(__cb, CAST(pmod(xxhash64(concat("
+        "element_at(__ws, __i), chr(31), element_at(__ws, __i + 1)"
+        f")), {dim_bi}) AS INT) + 1)"
+    )
+    lam_s, one_m = repr(float(lam)), repr(1.0 - float(lam))
+    term = (
+        f"ln({lam_s}D * ({b_at} + 1) / ({u_at.format(i='__i')} + {dim_bi})"
+        f" + {one_m}D * ({u_at.format(i='__i + 1')} + 1)"
+        f" / (__n + {dim_uni}))"
+    )
+    total = (
+        f"aggregate(sequence(1, size(__ws) - 1), 0.0D, "
+        f"(__a, __i) -> __a + {term})"
+    )
+    n_bg = (F.size("__ws") - 1).cast("long")
+    return base.crossJoin(F.broadcast(model)).select(
+        F.col(key_col),
+        n_bg.alias("n_bigrams"),
+        F.round(-F.expr(total) / n_bg, 6).alias("nll"),
+    )

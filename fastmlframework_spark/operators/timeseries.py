@@ -447,3 +447,44 @@ def cusum_scan(
             ).alias("alarm"),
         )
     )
+
+
+def transition_matrix(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event
+    streams → [from_state, to_state, n_transitions, p_transition]:
+    for every consecutive pair of events within a key (ordered by
+    time, deterministic tie-break on the id), count the
+    state→next-state transition and normalize rows to conditional
+    probabilities.  The journey-analysis primitive behind funnel
+    discovery, session modeling, and next-event prediction baselines
+    (the reference's pandas users would reach for a groupby-shift
+    crosstab; cf. reference data_processing/preprocessing.py's
+    grouped derived-feature shapes).
+
+    Scale: one shuffle on ``key_col`` for the LEAD window (the same
+    partitioning every per-key stream op here reuses), then the
+    corpus collapses to a |states|² grouped aggregate — the row
+    normalization windows over that TINY matrix, never the corpus."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    trans = df.select(
+        F.col(state_col).alias("from_state"),
+        F.lead(state_col).over(w).alias("to_state"),
+    ).filter(F.col("to_state").isNotNull())
+    counts = trans.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    row_tot = Window.partitionBy("from_state")
+    return counts.select(
+        "from_state",
+        "to_state",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(row_tot), 6
+        ).alias("p_transition"),
+    ).orderBy("from_state", "to_state")

@@ -962,3 +962,130 @@ def dedup_best_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
         "key_a", "key_b"
     )
     return xdedup.best_representative(corpus, pairs)
+
+
+@query(
+    "dedup_cluster_size_hist",
+    oracle=f"""
+WITH RECURSIVE
+corpus AS ({_CORPUS_SQL}),
+dg AS (SELECT doc_id, md5(text) AS g FROM corpus),
+pairs AS (
+  SELECT a.doc_id AS key_a, b.doc_id AS key_b
+  FROM dg a JOIN dg b ON a.g = b.g AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT key_a AS u, key_b AS v FROM pairs
+  UNION ALL
+  SELECT key_b, key_a FROM pairs
+),
+walk(node, label) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.node
+),
+comp AS (SELECT node, MIN(label) AS component FROM walk GROUP BY node),
+sz AS (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY 1),
+multi AS (
+  SELECT cluster_size, COUNT(*) AS n_clusters FROM sz GROUP BY 1
+),
+single AS (
+  SELECT CAST(1 AS BIGINT) AS cluster_size, COUNT(*) AS n_clusters
+  FROM corpus WHERE doc_id NOT IN (SELECT node FROM comp)
+)
+SELECT cluster_size, n_clusters,
+       CAST(cluster_size * n_clusters AS BIGINT) AS n_docs
+FROM (SELECT * FROM multi UNION ALL SELECT * FROM single)
+ORDER BY cluster_size
+""",
+)
+def dedup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication profile of the planted corpus: exact-dup pairs →
+    connected components → cluster-size histogram, with
+    never-duplicated docs reported as size-1 clusters (one anti-join
+    + 1-row count — the corpus is never rescanned)."""
+    corpus = _corpus(spark, sf_dir)
+    d = corpus.select("doc_id", F.md5("text").alias("g"))
+    pairs = (
+        d.select(F.col("doc_id").alias("key_a"), "g")
+        .join(d.select(F.col("doc_id").alias("key_b"), "g"), on="g")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b")
+    )
+    return xdedup.cluster_size_histogram(
+        xdedup.connected_components(pairs), corpus
+    )
+
+
+def _cross_source_oracle(
+    num_hashes: int = 8, bands: int = 4, threshold: float = 0.5
+) -> str:
+    """MinHash twin (same xxhash64 signature pieces as
+    ``dedup_minhash_lsh``) with both pair ends joined back to their
+    origin document's source."""
+    hlist, sig_cols, band_eq, agree = _mh_sql_parts(num_hashes, bands)
+    return f"""
+WITH corpus AS ({_CORPUS_SQL}),
+hashed AS (SELECT doc_id, {hlist} AS __H FROM corpus),
+sig AS (SELECT doc_id, {sig_cols} FROM hashed),
+p AS (
+  SELECT a.doc_id AS key_a, b.doc_id AS key_b
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_eq})
+  WHERE ({agree}) / {float(num_hashes)} >= {threshold}
+),
+j AS (
+  SELECT LEAST(da.source, db.source) AS source_a,
+         GREATEST(da.source, db.source) AS source_b
+  FROM p
+  JOIN documents da ON (p.key_a % 100000) = da.doc_id
+  JOIN documents db ON (p.key_b % 100000) = db.doc_id
+)
+SELECT source_a, source_b, COUNT(*) AS n_pairs
+FROM j GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@query("dedup_cross_source_matrix", oracle=_cross_source_oracle())
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources duplicate each other: MinHash-LSH verified
+    near-dup pairs with both ends attributed to their origin source,
+    counted per unordered source pair — the mirror-site /
+    content-farm detection matrix a corpus audit publishes (diagonal
+    = within-source duplication, off-diagonal = cross-source
+    copying).
+
+    Plan: the pair set is the sub-quadratic banded join; source
+    attribution is two BROADCAST joins of the small dimension-like
+    documents(doc_id, source) projection against the pair list, then
+    a |sources|² grouped aggregate — the corpus text is never
+    rescanned after signatures."""
+    pairs = xdedup.minhash_lsh_pairs(
+        _corpus(spark, sf_dir),
+        n=3,
+        num_hashes=8,
+        bands=4,
+        verify_threshold=0.5,
+    ).select("key_a", "key_b")
+    src = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("__orig"), "source"
+    )
+    j = (
+        pairs.join(
+            F.broadcast(src.withColumnRenamed("source", "__sa")),
+            (F.col("key_a") % 100000) == F.col("__orig"),
+        )
+        .drop("__orig")
+        .join(
+            F.broadcast(src.withColumnRenamed("source", "__sb")),
+            (F.col("key_b") % 100000) == F.col("__orig"),
+        )
+        .select(
+            F.least("__sa", "__sb").alias("source_a"),
+            F.greatest("__sa", "__sb").alias("source_b"),
+        )
+    )
+    return (
+        j.groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("source_a", "source_b")
+    )

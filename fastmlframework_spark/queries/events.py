@@ -764,3 +764,33 @@ def events_split_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("total_value"),
         )
     )
+
+
+@query(
+    "events_transition_matrix",
+    oracle="""
+WITH tr AS (
+  SELECT event_type AS from_state,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS to_state
+  FROM events
+),
+c AS (
+  SELECT from_state, to_state, COUNT(*) AS n_transitions
+  FROM tr WHERE to_state IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_state, to_state, n_transitions,
+       ROUND(n_transitions * 1.0
+             / SUM(n_transitions) OVER (PARTITION BY from_state),
+             6) AS p_transition
+FROM c
+ORDER BY from_state, to_state
+""",
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: LEAD window on (user_id → ts, event_id), |states|²
+    grouped aggregate, row-normalized conditional probabilities."""
+    from fastmlframework_spark.operators.timeseries import transition_matrix
+
+    return transition_matrix(load_table(spark, sf_dir, "events"))

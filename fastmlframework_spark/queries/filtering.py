@@ -526,3 +526,87 @@ def text_c4_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def _bigram_lm_oracle(
+    dim_uni: int = 256,
+    dim_bi: int = 2048,
+    lam: float = 0.75,
+    fit_modulus: int = 4,
+) -> str:
+    """SQL twin of ``word_bigram_nll``: same xxhash64 buckets
+    (unsigned % dim == pmod of the signed hash for power-of-two
+    dims), same chr(31)-joined pair keys, same Jelinek-Mercer +
+    Laplace arithmetic in the same left-to-right association.  Hashes
+    run once per DISTINCT token / pair (map CTEs) — the pure-SQL
+    XXH64 is ~1000 ops per call."""
+    w_hash = xx.xxh64_bytes(xx.utf8_bytes("__w"), 42)
+    p_hash = xx.xxh64_bytes(xx.utf8_bytes("__p"), 42)
+    lam_s, one_m = repr(float(lam)), repr(1.0 - float(lam))
+    return f"""
+WITH d2 AS (
+  SELECT doc_id, {_WORDS_SQL} AS ws
+  FROM documents WHERE text IS NOT NULL
+  AND len({_WORDS_SQL}) >= 2
+),
+prs AS (
+  SELECT doc_id,
+         list_transform(range(1, len(ws)),
+                        __i -> ws[__i] || chr(31) || ws[__i + 1]) AS ps
+  FROM d2
+),
+distw AS (SELECT DISTINCT unnest(ws) AS __w FROM d2),
+hu AS (
+  SELECT __w AS w, CAST(({w_hash}) % {dim_uni} AS BIGINT) AS b FROM distw
+),
+um AS (SELECT MAP(list(w), list(b)) AS mu FROM hu),
+distp AS (SELECT DISTINCT unnest(ps) AS __p FROM prs),
+hp AS (
+  SELECT __p AS p, CAST(({p_hash}) % {dim_bi} AS BIGINT) AS b FROM distp
+),
+pm AS (SELECT MAP(list(p), list(b)) AS mp FROM hp),
+ucnt AS (
+  SELECT h.b, COUNT(*) AS c
+  FROM (SELECT unnest(ws) AS w FROM d2 WHERE doc_id % {fit_modulus} = 0) u
+  JOIN hu h ON u.w = h.w GROUP BY 1
+),
+pcnt AS (
+  SELECT h.b, COUNT(*) AS c
+  FROM (SELECT unnest(ps) AS p FROM prs WHERE doc_id % {fit_modulus} = 0) u
+  JOIN hp h ON u.p = h.p GROUP BY 1
+),
+ua AS (
+  SELECT list(COALESCE(c.c, 0) ORDER BY g.i) AS cu,
+         SUM(COALESCE(c.c, 0)) AS n
+  FROM range(0, {dim_uni}) g(i) LEFT JOIN ucnt c ON c.b = g.i
+),
+pa AS (
+  SELECT list(COALESCE(c.c, 0) ORDER BY g.i) AS cb
+  FROM range(0, {dim_bi}) g(i) LEFT JOIN pcnt c ON c.b = g.i
+)
+SELECT doc_id,
+       CAST(len(ws) - 1 AS BIGINT) AS n_bigrams,
+       ROUND(-(list_reduce([0.0::DOUBLE] ||
+           list_transform(range(1, len(ws)), __i ->
+             ln({lam_s} * (cb[CAST(mp[ws[__i] || chr(31) || ws[__i + 1]][1]
+                               AS INT) + 1] + 1)
+                  / (cu[CAST(mu[ws[__i]][1] AS INT) + 1] + {dim_bi})
+              + {one_m} * (cu[CAST(mu[ws[__i + 1]][1] AS INT) + 1] + 1)
+                  / (n + {dim_uni}))),
+           (__a, __b) -> __a + __b)) / (len(ws) - 1), 6) AS nll
+FROM prs JOIN d2 USING (doc_id), um, pm, ua, pa
+"""
+
+
+@query("text_bigram_lm_nll", oracle=_bigram_lm_oracle())
+def text_bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated hashed word-bigram LM NLL per document — the
+    word-order-aware rung of the CCNet perplexity-filter ladder
+    (chargram NLL sees characters; this sees token sequence).  Model
+    fits on the deterministic doc_id % 4 slice, scoring covers every
+    doc; two dim-bounded aggregates + broadcast two-array model +
+    map-only HOF scoring."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return xfilt.word_bigram_nll(
+        docs, dim_uni=256, dim_bi=2048, lam=0.75, fit_modulus=4
+    )

@@ -76,3 +76,32 @@ def test_containment_catches_subset_duplicates(spark):
         for r in ngram_jaccard_pairs(df, threshold=0.4).collect()
     }
     assert (1, 2) not in jacc
+
+
+def test_cluster_size_histogram_accounts_for_every_doc(spark, sf_dir_small):
+    """Histogram mass check: Σ n_docs == corpus size, singletons are
+    size-1 rows, and every multi-doc cluster size has n_docs ==
+    size * n_clusters."""
+    from fastmlframework_spark.queries.dedup import (
+        _corpus,
+        dedup_cluster_size_hist,
+    )
+
+    rows = dedup_cluster_size_hist(spark, sf_dir_small).collect()
+    total = _corpus(spark, sf_dir_small).count()
+    assert sum(r.n_docs for r in rows) == total
+    for r in rows:
+        assert r.n_docs == r.cluster_size * r.n_clusters
+    # the planted corpus guarantees both singletons and >=2 clusters
+    sizes = {r.cluster_size for r in rows}
+    assert 1 in sizes and any(s >= 2 for s in sizes)
+
+
+def test_cross_source_matrix_is_canonical_and_positive(spark, sf_dir_small):
+    from fastmlframework_spark.queries.dedup import dedup_cross_source_matrix
+
+    rows = dedup_cross_source_matrix(spark, sf_dir_small).collect()
+    assert rows, "planted corpus must produce near-dup pairs"
+    for r in rows:
+        assert r.source_a <= r.source_b  # unordered pair canonical form
+        assert r.n_pairs > 0

@@ -518,3 +518,38 @@ def test_bpe_fertility_matches_reference_vocab(spark):
     for src, (nw, nt, nc) in per_src.items():
         want[src] = (nw, nt, round(nt / nw, 6), round(nc / nt, 6))
     assert got == want
+
+
+def test_word_bigram_nll_separates_shuffled_from_natural(spark):
+    """A document whose words repeat the corpus's dominant bigram
+    pattern scores lower NLL than one using the same vocabulary in an
+    order the fit slice never saw (word order is the whole point of
+    the bigram rung vs chargram)."""
+    from fastmlframework_spark.extensions.filtering import word_bigram_nll
+
+    natural = "the cat sat on the mat " * 30
+    shuffled = "mat the on sat the cat " * 30
+    df = spark.createDataFrame(
+        [(0, natural), (2, natural), (4, natural), (1, shuffled)],
+        "doc_id long, text string",
+    )
+    # fit on the even ids (all natural); score everything
+    got = {
+        r.doc_id: r.nll
+        for r in word_bigram_nll(df, fit_modulus=2).collect()
+    }
+    assert got[1] > got[0]
+    assert got[0] == got[2] == got[4]
+
+
+def test_word_bigram_nll_drops_short_docs_and_counts_pairs(spark):
+    from fastmlframework_spark.extensions.filtering import word_bigram_nll
+
+    df = spark.createDataFrame(
+        [(1, "one"), (2, None), (3, "a b c d"), (4, "  "), (5, "x y")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in word_bigram_nll(df).collect()}
+    assert set(rows) == {3, 5}
+    assert rows[3].n_bigrams == 3 and rows[5].n_bigrams == 1
+    assert all(r.nll > 0 for r in rows.values())

@@ -179,3 +179,45 @@ def test_cusum_scan_equals_loop(spark, sf_dir_small):
     import pyspark.sql.functions as F
 
     assert j.filter(F.abs(F.col("c1") - F.col("c2")) > 1e-9).count() == 0
+
+
+def test_transition_matrix_rows_normalize_and_order(spark):
+    """Per-from_state probabilities sum to ~1 and transitions follow
+    the (ts, event_id) order within a key, not input order."""
+    from fastmlframework_spark.operators.timeseries import transition_matrix
+
+    rows = [
+        # user 1: a -> b -> a (out of input order on purpose)
+        (3, "2024-01-01 00:02:00", 1, "a", 0.0, None),
+        (1, "2024-01-01 00:00:00", 1, "a", 0.0, None),
+        (2, "2024-01-01 00:01:00", 1, "b", 0.0, None),
+        # user 2: b -> b
+        (4, "2024-01-01 00:00:00", 2, "b", 0.0, None),
+        (5, "2024-01-01 00:05:00", 2, "b", 0.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        (r.from_state, r.to_state): (r.n_transitions, r.p_transition)
+        for r in transition_matrix(df).collect()
+    }
+    assert got == {
+        ("a", "b"): (1, 1.0),
+        ("b", "a"): (1, 0.5),
+        ("b", "b"): (1, 0.5),
+    }
+
+
+def test_transition_matrix_probabilities_sum_to_one(spark, sf_dir_small):
+    from fastmlframework_spark.core.tables import load_table
+    from fastmlframework_spark.operators.timeseries import transition_matrix
+
+    out = transition_matrix(load_table(spark, sf_dir_small, "events"))
+    sums = (
+        out.groupBy("from_state")
+        .agg(F.sum("p_transition").alias("s"))
+        .collect()
+    )
+    assert sums and all(abs(r.s - 1.0) < 1e-4 for r in sums)

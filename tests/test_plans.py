@@ -519,3 +519,24 @@ def test_prototype_outliers_partial_agg_and_broadcast(spark, sf_dir_small):
     assert _window_group_limit_below_exchange(plan), plan
     assert "BroadcastExchange" in plan, plan
     assert "partial_avg" in plan, plan
+
+
+def test_bigram_lm_model_broadcasts_and_scores_map_only(spark, sf_dir_small):
+    """word_bigram_nll: the two-array model must reach the corpus via
+    a broadcast (BroadcastNestedLoopJoin of the 1-row frame), and the
+    corpus side must see NO exchange after its scan — scoring is a
+    map-only HOF over the word array; only the dim-bounded count
+    aggregates shuffle."""
+    plan = _plan(spark, sf_dir_small, "text_bigram_lm_nll")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    # no corpus-wide sort anywhere (scores are per-row, order-free)
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_transition_matrix_single_corpus_shuffle(spark, sf_dir_small):
+    """The LEAD window shuffles events ONCE on user_id; everything
+    after operates on the |states|^2 aggregate.  Exactly one exchange
+    may hash-partition on user_id, and no window may order the full
+    corpus without the user_id partitioning."""
+    plan = _plan(spark, sf_dir_small, "events_transition_matrix")
+    assert plan.lower().count("hashpartitioning(user_id") == 1, plan

@@ -17,7 +17,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 
 def standardize(
@@ -146,3 +146,79 @@ def clip_quantiles(
             F.least(F.greatest(F.col(col), F.col("__lo")), F.col("__hi")),
         ),
     ).drop("__lo", "__hi")
+
+
+def rank_transform(
+    df: DataFrame,
+    col: str,
+    out_col: str = "pct_rank",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Percent-rank scaling (pandas ``rank(pct=True,
+    method='average')``): every row gains ``out_col`` = its average
+    rank over the whole column divided by the non-null row count —
+    the monotone, outlier-immune normalization tabular pipelines use
+    when minmax/z-score are distorted by heavy tails (and the first
+    half of a rank-Gauss transform).  NULL values pass through with a
+    NULL rank.
+
+    The naive form — ``percent_rank()`` over an unpartitioned window
+    — total-orders the corpus through ONE task at scale.  Here the
+    rank is the same distributed value-bucketed prefix sum as
+    ``ml.metrics.roc_auc_df`` (ranks depend only on per-VALUE counts,
+    never row identity): distinct values pre-aggregate to counts, a
+    1-row broadcast [min, max] agg buckets them uniformly, cumulation
+    runs within each bucket and is shifted by per-bucket offsets whose
+    own prefix covers ≤ ``n_buckets`` rows; the per-value rank table
+    then joins back to the fact rows on the value.  All rank
+    arithmetic is on exact integer counts, so bucketing cannot change
+    any output.  Cost: two shuffles keyed on the value (distinct-agg
+    + rank join-back) — both distribute across the full cluster; no
+    single-task stage anywhere."""
+    d = df.filter(F.col(col).isNotNull())
+    per_val = d.groupBy(col).agg(F.count(F.lit(1)).alias("__n"))
+    v = F.col(col).cast("double")
+    rng = d.agg(
+        F.min(v).alias("__lo"),
+        F.max(v).alias("__hi"),
+        F.count(F.lit(1)).alias("__nn"),
+    )
+    bucketed = per_val.crossJoin(F.broadcast(rng)).withColumn(
+        "__bkt",
+        F.least(
+            F.floor(
+                (v - F.col("__lo"))
+                / F.greatest(F.col("__hi") - F.col("__lo"), F.lit(1e-300))
+                * n_buckets
+            ),
+            F.lit(n_buckets - 1),
+        ),
+    )
+    w_local = (
+        Window.partitionBy("__bkt")
+        .orderBy(col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = bucketed.withColumn(
+        "__below", F.coalesce(F.sum("__n").over(w_local), F.lit(0))
+    )
+    w_off = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        bucketed.groupBy("__bkt")
+        .agg(F.sum("__n").alias("__bn"))
+        .withColumn("__off", F.coalesce(F.sum("__bn").over(w_off), F.lit(0)))
+        .select("__bkt", "__off")
+    )
+    ranks = (
+        local.join(F.broadcast(offsets), "__bkt")
+        .select(
+            col,
+            (
+                (F.col("__off") + F.col("__below") + (F.col("__n") + 1) / 2.0)
+                / F.col("__nn")
+            ).alias("__pr"),
+        )
+    )
+    return df.join(ranks, on=col, how="left").withColumn(
+        out_col, F.round("__pr", 6)
+    ).drop("__pr")

@@ -1089,3 +1089,96 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("source_a", "source_b")
     )
+
+
+_SWEEP_THRESHOLDS = (0.9, 0.95, 0.99, 0.999)
+
+
+def _semdedup_sweep_oracle(dim: int = 64) -> str:
+    """Same seed-7 hyperplane CTE chain as ``_embedding_lsh_oracle``,
+    but the verified pair set (floored at the loosest sweep threshold)
+    fans out over the threshold list via a VALUES join."""
+    from fastmlframework_spark.extensions.dedup import adaptive_n_planes
+    from fastmlframework_spark.extensions.similarity import hyperplanes
+    from fastmlframework_spark.queries import lsh_sql as L
+
+    planes = hyperplanes(
+        dim, adaptive_n_planes(_ORACLE_EMBED_CORPUS_ROWS), seed=7
+    )
+    vals = ", ".join(f"({t}::DOUBLE)" for t in _SWEEP_THRESHOLDS)
+    return f"""
+WITH corpus AS (
+  SELECT vec_id, embedding AS v FROM ({_EMBED_CORPUS_SQL}) e
+),
+base AS (
+  SELECT vec_id, v, sqrt({L.norm_sq_double_sql("v")}) AS nrm,
+         {L.bucket_sql("v", planes)} AS bucket
+  FROM corpus
+),
+pairs AS (
+  SELECT a.vec_id AS key_a, b.vec_id AS key_b,
+         ROUND({L.dot_sql("a.v", "b.v", dim, cast_a=True)}
+               / (a.nrm * b.nrm), 6) AS cosine
+  FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+floor_pairs AS (
+  SELECT key_a, key_b, cosine FROM pairs
+  WHERE cosine >= {min(_SWEEP_THRESHOLDS)}
+),
+ths(threshold) AS (VALUES {vals}),
+tot AS (SELECT COUNT(*) AS n FROM corpus)
+SELECT t.threshold,
+       COUNT(*) AS n_pairs,
+       COUNT(DISTINCT p.key_b) AS n_dropped,
+       CAST(MIN(tot.n) - COUNT(DISTINCT p.key_b) AS BIGINT) AS n_survivors
+FROM floor_pairs p JOIN ths t ON p.cosine >= t.threshold, tot
+GROUP BY t.threshold
+ORDER BY t.threshold
+"""
+
+
+@query("semdedup_threshold_sweep", oracle=_semdedup_sweep_oracle())
+def semdedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aggressiveness curve (the SemDeDup / datacard figure):
+    for each cosine threshold in the sweep, how many verified near-dup
+    pairs qualify, how many docs a keep-lowest-key policy drops, and
+    how many survive.  The expensive step — hyperplane-bucketed pair
+    generation + exact cosine verify — runs ONCE at the loosest
+    threshold; the sweep itself is a tiny explode over the pair list
+    (thresholds × pairs rows, pairs ≪ corpus), so the whole curve
+    costs one dedup pass instead of |thresholds| passes.  Corpus size
+    arrives as a 1-row broadcast aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.unionByName(
+        emb.filter(F.col("vec_id") % 10 == 0).select(
+            (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+        )
+    )
+    pairs = xdedup.lsh_dup_pairs(
+        corpus, threshold=min(_SWEEP_THRESHOLDS)
+    )
+    tot = corpus.agg(F.count(F.lit(1)).alias("__n"))
+    fanned = pairs.select(
+        "key_b",
+        F.explode(
+            F.array(*[F.lit(float(t)) for t in _SWEEP_THRESHOLDS])
+        ).alias("threshold"),
+        "cosine",
+    ).filter(F.col("cosine") >= F.col("threshold"))
+    return (
+        fanned.groupBy("threshold")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.count_distinct("key_b").alias("n_dropped"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "threshold",
+            "n_pairs",
+            "n_dropped",
+            (F.col("__n") - F.col("n_dropped")).alias("n_survivors"),
+        )
+        .orderBy("threshold")
+    )

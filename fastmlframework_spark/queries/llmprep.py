@@ -16,7 +16,7 @@ contract).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from fastmlframework_spark.core.tables import load_table
 from fastmlframework_spark.extensions import chunking
@@ -198,4 +198,45 @@ def freq_items_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_contains(F.col("items"), F.col("top_token")).alias(
             "in_sketch"
         ),
+    )
+
+
+def _exact_k_oracle(k: int = 20) -> str:
+    """Signed xxhash64 of the stringified key (xxh64_sql twin) as the
+    deterministic shuffle order inside each stratum."""
+    from fastmlframework_spark.queries import xxh64_sql as xx
+
+    h = xx.signed64(
+        xx.xxh64_bytes(xx.utf8_bytes("CAST(doc_id AS VARCHAR)"), 42)
+    )
+    return f"""
+SELECT lang, doc_id FROM (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY {h}, doc_id) AS rn
+  FROM documents
+) t WHERE rn <= {k}
+"""
+
+
+@query("sample_exact_k_per_lang", oracle=_exact_k_oracle())
+def sample_exact_k_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota sampling: EXACTLY k=20 documents per language
+    (fewer only if the stratum is smaller), drawn uniformly and
+    reproducibly by ranking each stratum on xxhash64 of the key — the
+    eval-set/human-review construction primitive that fraction-based
+    sampling (``sample_stratified_hash``) can't give you (a fraction
+    of a small stratum can be 0 or 2×k).
+
+    Scale: rank ≤ k over a hash order is the WindowGroupLimit shape —
+    Spark prunes each input partition to k rows per stratum MAP-SIDE before
+    the exchange (plan-pinned), so the shuffle moves ≤ k·partitions
+    rows per language, never the corpus."""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "doc_id")
+    h = F.expr("xxhash64(CAST(doc_id AS STRING))")
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("lang", "doc_id")
     )

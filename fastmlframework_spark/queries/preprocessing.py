@@ -551,3 +551,31 @@ def clip_winsorize_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("v"), 2).alias("mx"),
         F.round(F.avg("v"), 4).alias("mean_clipped"),
     )
+
+
+@query(
+    "scale_rank_acctbal",
+    oracle="""
+SELECT c_custkey, c_acctbal,
+       ROUND((RANK() OVER (ORDER BY c_acctbal)
+              + (COUNT(*) OVER (PARTITION BY c_acctbal) - 1) / 2.0)
+             / COUNT(*) OVER (), 6) AS pct_rank
+FROM customer
+""",
+)
+def scale_rank_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-rank scaling of customer balances (pandas
+    rank(pct=True, method='average')) — the distributed value-
+    bucketed prefix sum of ``operators/scaling.py:rank_transform``,
+    never an unpartitioned percent_rank window (the oracle's window
+    form is the semantics; the Spark plan is the scale-safe one —
+    average rank = strictly-below + (ties+1)/2, both sides exact
+    integer-count arithmetic)."""
+    from fastmlframework_spark.operators.scaling import rank_transform
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    return rank_transform(cust, "c_acctbal").select(
+        "c_custkey", "c_acctbal", "pct_rank"
+    )

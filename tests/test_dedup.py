@@ -105,3 +105,23 @@ def test_cross_source_matrix_is_canonical_and_positive(spark, sf_dir_small):
     for r in rows:
         assert r.source_a <= r.source_b  # unordered pair canonical form
         assert r.n_pairs > 0
+
+
+def test_semdedup_sweep_is_monotone(spark, sf_dir_small):
+    """Tightening the threshold can only shrink the pair set and the
+    dropped set (and so grow survivors); the loosest rung must carry
+    the planted exact copies."""
+    from fastmlframework_spark.queries.dedup import semdedup_threshold_sweep
+
+    rows = sorted(
+        semdedup_threshold_sweep(spark, sf_dir_small).collect(),
+        key=lambda r: r.threshold,
+    )
+    assert len(rows) >= 2
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_pairs >= b.n_pairs
+        assert a.n_dropped >= b.n_dropped
+        assert a.n_survivors <= b.n_survivors
+    assert rows[-1].n_pairs > 0  # planted copies sit at cosine 1.0
+    for r in rows:
+        assert r.n_survivors + r.n_dropped > 0

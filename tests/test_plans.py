@@ -540,3 +540,24 @@ def test_transition_matrix_single_corpus_shuffle(spark, sf_dir_small):
     corpus without the user_id partitioning."""
     plan = _plan(spark, sf_dir_small, "events_transition_matrix")
     assert plan.lower().count("hashpartitioning(user_id") == 1, plan
+
+
+def test_rank_transform_is_bucket_partitioned(spark, sf_dir_small):
+    """Percent-rank scaling must never total-order the corpus: every
+    window that orders by the value column must be partitioned by the
+    value bucket (the only unpartitioned window is the ≤ n_buckets-row
+    offset prefix, which orders by __bkt)."""
+    plan = _plan(spark, sf_dir_small, "scale_rank_acctbal")
+    assert "__bkt" in plan, plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line and "c_acctbal" in line:
+            assert "__bkt" in line, line
+
+
+def test_exact_k_sample_rank_limit_pushdown(spark, sf_dir_small):
+    """The per-stratum quota sample must keep the partial
+    WindowGroupLimit below the exchange — map-side pruning to k rows
+    per language per partition is what makes the quota sample a
+    shuffle of k·partitions rows instead of the corpus."""
+    plan = _plan(spark, sf_dir_small, "sample_exact_k_per_lang")
+    assert _window_group_limit_below_exchange(plan), plan

@@ -154,3 +154,18 @@ def test_clip_quantiles_nulls_and_bounds(spark):
     assert got[101] is None  # NULL passes through, NOT clamped to lo
     with pytest.raises(ValueError, match="lower < upper"):
         clip_quantiles(df, "v", 0.9, 0.1)
+
+
+def test_rank_transform_average_ties_and_null_passthrough(spark):
+    from fastmlframework_spark.operators.scaling import rank_transform
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 20.0), (4, 40.0), (5, None)],
+        "id long, v double",
+    )
+    got = {r.id: r.pct_rank for r in rank_transform(df, "v").collect()}
+    # ranks over 4 non-null rows: 10->1, 20/20->avg(2,3)=2.5, 40->4
+    assert got[1] == 0.25
+    assert got[2] == got[3] == 0.625
+    assert got[4] == 1.0
+    assert got[5] is None

@@ -188,9 +188,40 @@ def bench_stream_near_dedup(spark, sf_dir: str) -> int:
         shutil.rmtree(work, ignore_errors=True)
 
 
+
+
+def bench_stream_quality_gate(spark, sf_dir: str) -> int:
+    """Drain documents through the ingest-time Gopher gate (map-only
+    battery + per-trigger stats row); returns rows admitted.  Exists
+    so a regression that sneaks state or a shuffle into the gate's
+    per-batch plan trips the 2× gate."""
+    from fastmlframework_spark.streaming.quality import (
+        streaming_quality_gate,
+    )
+
+    work = tempfile.mkdtemp(prefix="fastml_stream_bench_")
+    try:
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        src = os.path.join(work, "incoming")
+        docs.repartition(4).write.mode("overwrite").parquet(src)
+        q = streaming_quality_gate(
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src),
+            os.path.join(work, "out"),
+            os.path.join(work, "stats"),
+            os.path.join(work, "ckpt"),
+        )
+        q.awaitTermination()
+        return spark.read.parquet(os.path.join(work, "out")).count()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 STREAMING_BENCHES = {
     "stream_exact_dedup": bench_stream_exact_dedup,
     "stream_seasonal_stats": bench_stream_seasonal_stats,
     "stream_cusum": bench_stream_cusum,
     "stream_near_dedup": bench_stream_near_dedup,
+    "stream_quality_gate": bench_stream_quality_gate,
 }

@@ -133,15 +133,6 @@ def streaming_dedup(
     )
 
 
-CUSUM_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("cusum", DoubleType()),
-        StructField("alarm", BooleanType()),
-    ]
-)
-
 _CUSUM_STATE_SCHEMA = StructType([StructField("s", DoubleType())])
 
 

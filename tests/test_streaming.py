@@ -577,3 +577,42 @@ def test_streaming_cusum_schema_follows_column_names(spark):
     sch = _cusum_schema(df.schema, id_col="sensor", key_col="metric")
     assert [f.name for f in sch.fields] == ["sensor", "metric", "cusum", "alarm"]
     assert sch["sensor"].dataType.simpleString() == "string"
+
+
+def test_streaming_quality_gate_matches_batch(spark, sf_dir_small, tmp_path):
+    """The streamed Gopher gate is stateless: the union of per-batch
+    survivors must equal the batch battery's pass set over the same
+    corpus, and the stats rows must account for every input row."""
+    import pyspark.sql.functions as F
+
+    from fastmlframework_spark.extensions.filtering import gopher_rule_flags
+    from fastmlframework_spark.streaming.quality import (
+        streaming_quality_gate,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir_small}/documents.parquet")
+    src = str(tmp_path / "in")
+    docs.repartition(4).write.parquet(src)
+    q = streaming_quality_gate(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        str(tmp_path / "out"),
+        str(tmp_path / "stats"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+
+    got = {
+        r.doc_id for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    want = {
+        r.doc_id
+        for r in gopher_rule_flags(docs).filter(F.col("passes")).collect()
+    }
+    assert got == want and 0 < len(got) < docs.count()
+
+    stats = spark.read.parquet(str(tmp_path / "stats"))
+    agg = stats.agg(F.sum("n_in").alias("i"), F.sum("n_pass").alias("p")).first()
+    assert agg.i == docs.count() and agg.p == len(got)
+    assert stats.count() > 1  # several triggers actually ran

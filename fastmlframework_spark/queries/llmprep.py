@@ -240,3 +240,47 @@ def sample_exact_k_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .select("lang", "doc_id")
     )
+
+
+@query(
+    "sketch_merge_distinct",
+    oracle="""
+SELECT source, COUNT(DISTINCT doc_id) AS exact_cnt, TRUE AS within_tol
+FROM documents GROUP BY source
+UNION ALL
+SELECT '__ALL__', COUNT(DISTINCT doc_id), TRUE FROM documents
+ORDER BY source
+""",
+)
+def sketch_merge_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABILITY of the HLL distinct sketch — the property that
+    makes it the 100 TB distinct counter: per-source Datasketches HLL
+    sketches (`hll_sketch_agg`) estimate each shard's cardinality, and
+    the GLOBAL count comes from `hll_union_agg` over the ~kB per-shard
+    sketches — the corpus is never rescanned and no distinct value
+    ever shuffles.  Each estimate must land within 5% of the exact
+    count (computable while data is small); the '__ALL__' row is the
+    union-merge path under test."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "doc_id")
+    per_src = docs.groupBy("source").agg(
+        F.hll_sketch_agg("doc_id").alias("__sk"),
+        F.count_distinct("doc_id").alias("exact_cnt"),
+    )
+    ok = (
+        F.abs(F.hll_sketch_estimate("__sk") - F.col("exact_cnt"))
+        <= 0.05 * F.col("exact_cnt")
+    )
+    src_rows = per_src.select("source", "exact_cnt", ok.alias("within_tol"))
+    g_exact = docs.agg(F.count_distinct("doc_id").alias("exact_cnt"))
+    g_est = per_src.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias("__est")
+    )
+    all_row = g_exact.crossJoin(F.broadcast(g_est)).select(
+        F.lit("__ALL__").alias("source"),
+        "exact_cnt",
+        (
+            F.abs(F.col("__est") - F.col("exact_cnt"))
+            <= 0.05 * F.col("exact_cnt")
+        ).alias("within_tol"),
+    )
+    return src_rows.unionByName(all_row).orderBy("source")

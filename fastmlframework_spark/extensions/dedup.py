@@ -126,26 +126,37 @@ def shingle_sets(
     set size is carried map-side as ``n_sh`` — consumers never need a
     per-key count aggregation (a corpus-wide shuffle) to learn |A|."""
     if words:
-        hargs = ", ".join(f"try_element_at(__wa, i + {k})" for k in range(n))
-        base = _spread(df).select(
-            F.col(key_col),
-            F.expr(
-                f"transform(split({text_col}, '\\\\s+'),"
-                f" __w -> xxhash64(__w))"
-            ).alias("__wa"),
+        hargs = ", ".join(
+            f"try_element_at(__wa, __i + {k})" for k in range(n)
         )
+        # The whole set is ONE let-bound expression — the word-hash
+        # array binds as `transform(array(<expr>), __wa -> ...)[0]`
+        # (the Spark-side twin of xxh64_sql's let idiom) instead of a
+        # separate projection.  A projected __wa column survives only
+        # until an optimizer collapse: under explode()/Generate
+        # consumers CollapseProject inlines it into every chain slot,
+        # re-evaluating split+hash per window — the O(len²) trap this
+        # docstring warns about, measured LIVE at 13.2 s vs 1.4 s for
+        # the sf0.1 documents explode (r7).  The let form is immune in
+        # every consumer, cached or not.
         arr = F.expr(
+            f"transform(array(transform(split({text_col}, '\\\\s+'),"
+            " __w -> xxhash64(__w))),"
+            " __wa -> array_distinct("
             f"transform(sequence(1, greatest(size(__wa) - {n - 1}, 1)),"
-            f" i -> xxhash64({hargs}))"
+            f" __i -> xxhash64({hargs}))))[0]"
         )
+        base = _spread(df).select(F.col(key_col), F.col(text_col))
     else:
         base = _spread(df).select(F.col(key_col), F.col(text_col))
-        arr = F.expr(
-            f"transform(sequence(1, greatest(length({text_col}) - {n - 1}, 1)),"
-            f" i -> xxhash64(substring({text_col}, i, {n})))"
+        arr = F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, greatest(length({text_col}) - {n - 1}, 1)),"
+                f" i -> xxhash64(substring({text_col}, i, {n})))"
+            )
         )
     return base.select(
-        F.col(key_col), F.array_distinct(arr).alias("shingle_set")
+        F.col(key_col), arr.alias("shingle_set")
     ).withColumn("n_sh", F.size("shingle_set"))
 
 

@@ -1113,10 +1113,17 @@ def _span_windows(
     declare every empty doc a duplicate passage of every other, and
     the rewrite path would index into an empty word array."""
     words = _span_words_expr(text_col)
-    hargs = ", ".join(f"try_element_at(__wh, i + {k})" for k in range(n))
+    hargs = ", ".join(f"try_element_at(__wh, __i + {k})" for k in range(n))
+    # Word-hash array LET-BOUND inside the window expression
+    # (`transform(array(<wh>), __wh -> ...)[0]`) rather than projected:
+    # a projected __wh gets inlined into the posexplode generator by
+    # CollapseProject, re-evaluating the per-word hash pass per
+    # consumer — measured 1.7 s → 0.92 s on the sf0.1 corpus explode
+    # (r7; same fix class as ``shingle_sets``).
     arr = (
-        f"transform(sequence(1, greatest(size(__wh) - {n - 1}, 1)),"
-        f" i -> xxhash64({hargs}))"
+        "transform(array(transform(__ws, __w -> xxhash64(__w))),"
+        f" __wh -> transform(sequence(1, greatest(size(__wh) - {n - 1}, 1)),"
+        f" __i -> xxhash64({hargs})))[0]"
     )
     return (
         _spread(df.filter(F.col(text_col).isNotNull()))
@@ -1125,11 +1132,6 @@ def _span_windows(
         .select(
             F.col(key_col),
             F.size("__ws").cast("long").alias("n_words"),
-            F.expr("transform(__ws, __w -> xxhash64(__w))").alias("__wh"),
-        )
-        .select(
-            F.col(key_col),
-            "n_words",
             F.posexplode(F.expr(arr)).alias("__p0", "__dg"),
         )
         .select(key_col, "n_words", (F.col("__p0") + 1).alias("pos"), "__dg")

@@ -48,6 +48,8 @@ EXCLUDED_REASONS = {
     "already benched as ann_topk_lsh",
     "ann_pq_planted_top1": "planted-recall invariant over the PQ path "
     "already benched as ann_topk_pq",
+    "ann_ivfpq_planted_top1": "planted-recall invariant over the IVF-PQ "
+    "path already benched as ann_topk_ivfpq",
     "events_cusum_alarms": "per-key applyInPandas loop kept only as the "
     "oracle cross-check for events_cusum_scan (the benched form)",
     "cv_oof_logreg": "real 3-fold MLlib fit (~29 s at sf0.1) — timed "

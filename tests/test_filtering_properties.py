@@ -200,3 +200,25 @@ def test_repetition_signals_invariants(spark, n_docs, vocab, doc_len, seed):
         assert r["top_2gram_char_frac"] >= 0.0
         assert r["n_lines"] >= 0
     assert out[n_docs]["dup_5gram_word_frac"] == 1.0
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.lists(_word, min_size=2, max_size=30), min_size=2, max_size=12
+    )
+)
+def test_word_bigram_nll_positive_and_full_fit_default(spark, docs_words):
+    """On random corpora: every scored doc has nll > 0 (probabilities
+    < 1 after smoothing), n_bigrams == words-1, and fit_modulus=1
+    scores every doc against the full-corpus model (same output row
+    count as input)."""
+    from fastmlframework_spark.extensions.filtering import word_bigram_nll
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs_words)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in word_bigram_nll(df).collect()}
+    assert len(out) == len(rows)
+    for i, ws in enumerate(docs_words):
+        assert out[i].n_bigrams == len(ws) - 1
+        assert out[i].nll > 0

@@ -169,3 +169,34 @@ def test_rank_transform_average_ties_and_null_passthrough(spark):
     assert got[2] == got[3] == 0.625
     assert got[4] == 1.0
     assert got[5] is None
+
+
+def test_rank_transform_is_monotone_property(spark):
+    """Hypothesis-style property on random values: pct_rank is
+    monotone in the value, equal on ties, and spans (0, 1]."""
+    from hypothesis import given, settings, strategies as st
+
+    from fastmlframework_spark.operators.scaling import rank_transform
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.floats(-1e6, 1e6, allow_nan=False, width=32),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def _prop(vals):
+        df = spark.createDataFrame(
+            [(i, float(v)) for i, v in enumerate(vals)], "id long, v double"
+        )
+        got = {r.id: r.pct_rank for r in rank_transform(df, "v").collect()}
+        for i, a in enumerate(vals):
+            assert 0 < got[i] <= 1
+            for j, b in enumerate(vals):
+                if a < b:
+                    assert got[i] < got[j]
+                elif a == b:
+                    assert got[i] == got[j]
+
+    _prop()

@@ -1182,3 +1182,95 @@ def semdedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+def _mh_calibration_oracle(num_hashes: int = 8, bands: int = 4) -> str:
+    """Banded candidates (xxhash64 signature twin) LEFT-joined to the
+    exact shingle-Jaccard pairs of the SAME subset corpus, grouped by
+    Jaccard decile."""
+    hlist, sig_cols, band_eq, agree = _mh_sql_parts(num_hashes, bands)
+    return f"""
+WITH corpus AS (
+  SELECT * FROM ({_CORPUS_SQL}) c WHERE {_SUBSET_PRED}
+),
+toks AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM corpus
+),
+idx AS (
+  SELECT doc_id, w,
+         unnest(generate_series(1, GREATEST(len(w) - 2, 1))) AS i
+  FROM toks
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(w[CAST(i AS INT):CAST(i AS INT) + 2], ' ') AS shingle
+  FROM idx
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS key_a, b.doc_id AS key_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jp AS (
+  SELECT key_a, key_b,
+         ROUND(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) AS j
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = key_a
+  JOIN sizes sb ON sb.doc_id = key_b
+),
+hashed AS (SELECT doc_id, {hlist} AS __H FROM corpus),
+sg AS (SELECT doc_id, {sig_cols} FROM hashed),
+cand AS (
+  SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+         ROUND(({agree}) / {float(num_hashes)}, 6) AS agr
+  FROM sg a JOIN sg b ON a.doc_id < b.doc_id AND ({band_eq})
+),
+lab AS (
+  SELECT c.agr, COALESCE(jp.j, 0.0) AS j
+  FROM cand c LEFT JOIN jp ON c.key_a = jp.key_a AND c.key_b = jp.key_b
+)
+SELECT CAST(LEAST(FLOOR(j * 10), 9) AS INT) AS jaccard_decile,
+       COUNT(*) AS n_pairs,
+       ROUND(AVG(agr), 6) AS avg_sig_agreement,
+       ROUND(AVG(j), 6) AS avg_jaccard
+FROM lab GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("dedup_minhash_calibration", oracle=_mh_calibration_oracle())
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is the MinHash estimator calibrated?  Every banded candidate
+    pair carries its full-signature agreement (the Jaccard ESTIMATE)
+    and its exact shingle Jaccard (ground truth, tractable on the
+    subset corpus); grouped by truth decile, avg estimate should track
+    avg truth — the audit that tells you whether num_hashes/bands are
+    tuned before trusting the verify threshold at scale.  Banded
+    candidates that share no shingle land in decile 0 via the left
+    join (estimator false positives).
+
+    Plan: both pair sets are sub-quadratic subset joins (banded
+    candidates; inverted-index Jaccard), the calibration join is
+    pair-keyed, and the output is ≤ 10 rows."""
+    corpus = _corpus(spark, sf_dir).filter(F.expr(_SUBSET_PRED))
+    cand = xdedup.minhash_lsh_pairs(
+        corpus, n=3, num_hashes=8, bands=4, verify_threshold=None
+    )
+    truth = xdedup.ngram_jaccard_pairs(corpus, n=3, threshold=0.0)
+    lab = cand.join(truth, on=["key_a", "key_b"], how="left").select(
+        "sig_agreement",
+        F.coalesce(F.col("jaccard"), F.lit(0.0)).alias("j"),
+    )
+    return (
+        lab.groupBy(
+            F.least(F.floor(F.col("j") * 10), F.lit(9))
+            .cast("int")
+            .alias("jaccard_decile")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("sig_agreement"), 6).alias("avg_sig_agreement"),
+            F.round(F.avg("j"), 6).alias("avg_jaccard"),
+        )
+        .orderBy("jaccard_decile")
+    )

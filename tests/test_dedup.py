@@ -125,3 +125,20 @@ def test_semdedup_sweep_is_monotone(spark, sf_dir_small):
     assert rows[-1].n_pairs > 0  # planted copies sit at cosine 1.0
     for r in rows:
         assert r.n_survivors + r.n_dropped > 0
+
+
+def test_minhash_calibration_tracks_truth(spark, sf_dir_small):
+    """Estimator sanity on the planted corpus: the top decile (exact
+    copies, jaccard 1.0) must show ~full signature agreement, and avg
+    agreement must be non-decreasing from the bottom decile to the
+    top (coarse monotone calibration)."""
+    from fastmlframework_spark.queries.dedup import dedup_minhash_calibration
+
+    rows = sorted(
+        dedup_minhash_calibration(spark, sf_dir_small).collect(),
+        key=lambda r: r.jaccard_decile,
+    )
+    assert rows
+    top = rows[-1]
+    assert top.jaccard_decile == 9 and top.avg_sig_agreement >= 0.9
+    assert rows[0].avg_sig_agreement <= top.avg_sig_agreement

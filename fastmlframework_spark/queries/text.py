@@ -547,3 +547,95 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - F.col("n_seen") * 1.0 / F.col("n_test_ngrams"), 6
         ).alias("novelty_rate"),
     )
+
+
+_PMI_MIN_COUNT = 5
+_PMI_TOP_K = 50
+
+
+@query(
+    "text_pmi_collocations",
+    oracle=f"""
+WITH d AS (
+  SELECT list_filter(string_split_regex(COALESCE(text, ''), '\\s+'),
+                     __x -> __x <> '') AS ws
+  FROM documents WHERE text IS NOT NULL
+),
+tok AS (SELECT unnest(ws) AS w FROM d),
+uni AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+n_tok AS (SELECT COUNT(*) AS n FROM tok),
+pr AS (
+  SELECT ws[__i] AS w1, ws[__i + 1] AS w2
+  FROM (SELECT ws, unnest(range(1, len(ws))) AS __i FROM d)
+),
+pc AS (SELECT w1, w2, COUNT(*) AS n_pair FROM pr GROUP BY 1, 2),
+n_pr AS (SELECT COUNT(*) AS np FROM pr)
+SELECT w1, w2, n_pair,
+       ROUND(ln(n_pair * 1.0 / np) - ln(u1.c * 1.0 / n)
+             - ln(u2.c * 1.0 / n), 6) AS pmi
+FROM pc JOIN uni u1 ON pc.w1 = u1.w
+        JOIN uni u2 ON pc.w2 = u2.w, n_tok, n_pr
+WHERE n_pair >= {_PMI_MIN_COUNT}
+ORDER BY pmi DESC, w1, w2
+LIMIT {_PMI_TOP_K}
+""",
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_PMI_TOP_K} adjacent-word collocations by pointwise mutual
+    information (min pair count {_PMI_MIN_COUNT}) — the phrase-mining
+    statistic behind tokenizer merge seeding and stopword-resistant
+    keyphrase extraction (words that co-occur far above chance).
+
+    Scale: one token explode feeds a vocabulary-bounded unigram
+    aggregate and a pair aggregate (both map-side combined); the PMI
+    join touches only the vocabulary-sized count tables, the corpus
+    totals arrive as two 1-row broadcast aggregates, and the top-k is
+    orderBy+limit (TakeOrdered — a per-partition heap + driver merge,
+    never a global sort)."""
+    words = "filter(split(COALESCE(text, '')," r" '\\s+'), __x -> __x != '')"
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(F.expr(words).alias("__ws"))
+    )
+    tok = d.select(F.explode("__ws").alias("w"))
+    uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n_tok = tok.agg(F.count(F.lit(1)).alias("n"))
+    # sequence(1, 0) is DESCENDING in Spark, so <2-word docs must take
+    # the explicit empty-array branch (same guard as gram_windows in
+    # extensions/filtering.py)
+    pr = d.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(__ws) >= 2 THEN "
+                "transform(sequence(1, size(__ws) - 1), "
+                "__i -> struct(element_at(__ws, __i) AS w1, "
+                "element_at(__ws, __i + 1) AS w2)) "
+                "ELSE array() END"
+            )
+        ).alias("__p")
+    ).select("__p.w1", "__p.w2")
+    pc = pr.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    n_pr = pr.agg(F.count(F.lit(1)).alias("np"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("__c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("__c2"))
+    return (
+        pc.filter(F.col("n_pair") >= _PMI_MIN_COUNT)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(n_pr))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.round(
+                F.log(F.col("n_pair") * 1.0 / F.col("np"))
+                - F.log(F.col("__c1") * 1.0 / F.col("n"))
+                - F.log(F.col("__c2") * 1.0 / F.col("n")),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(_PMI_TOP_K)
+    )

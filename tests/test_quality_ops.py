@@ -127,9 +127,6 @@ def test_pmi_collocations_edge_docs_and_determinism(spark):
     """1-word/NULL/empty docs contribute no pairs (no element_at(0)
     crash from Spark's descending sequence(1,0)); a planted dominant
     collocation ranks first; output is capped and fully ordered."""
-    import pyspark.sql.functions as F
-
-    from fastmlframework_spark.extensions.text import TOKEN_PATTERN  # noqa: F401
     from fastmlframework_spark.queries.text import (
         _PMI_MIN_COUNT,
         text_pmi_collocations,
@@ -140,7 +137,6 @@ def test_pmi_collocations_edge_docs_and_determinism(spark):
     rows += [(10 + i, "alpha beta gamma " + "x y " * 3) for i in range(_PMI_MIN_COUNT)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
 
-    import types
     # run the query body against this frame by monkey-patching the loader
     orig = qt.load_table
     qt.load_table = lambda spark_, sf_dir_, name_: df

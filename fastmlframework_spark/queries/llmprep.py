@@ -284,3 +284,69 @@ def sketch_merge_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("within_tol"),
     )
     return src_rows.unionByName(all_row).orderBy("source")
+
+
+@query(
+    "moments_merge_variance",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       ROUND(var_pop(l_quantity), 4) AS var_direct,
+       TRUE AS merge_ok
+FROM lineitem WHERE l_quantity IS NOT NULL
+""",
+)
+def moments_merge_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABILITY of second moments (Chan et al. parallel
+    variance): per-shard partials (n, mean, M2) combine into the
+    exact global variance with ONE aggregate over the shard table —
+    M2_tot = ΣM2_i + Σ n_i·(mean_i − grand_mean)² — the property
+    that lets a 100 TB pipeline maintain running statistics per
+    partition/day/source and merge them without ever rescanning.
+    ``merge_ok`` pins the merged result to the direct single-pass
+    variance within 1e-9 relative (float addition ORDER differs
+    between the two paths, so the contract is tolerance, not
+    bit-equality — the ``approx_distinct_ok`` pattern).
+
+    Plan: the shard partials are one map-side-combinable aggregate
+    over the fact table; the merge and the grand mean run over the
+    32-row shard table; the direct variance is the control scan."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity").isNotNull())
+        .select((F.col("l_partkey") % 32).alias("__shard"), "l_quantity")
+    )
+    partials = li.groupBy("__shard").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg("l_quantity").alias("__mu"),
+        (F.var_pop("l_quantity") * F.count(F.lit(1))).alias("__m2"),
+    )
+    grand = partials.agg(
+        F.sum("__n").alias("__nt"),
+        (F.sum(F.col("__n") * F.col("__mu")) / F.sum("__n")).alias("__gm"),
+    )
+    merged = (
+        partials.crossJoin(F.broadcast(grand))
+        .agg(
+            F.first("__nt").alias("n_rows"),
+            (
+                (
+                    F.sum("__m2")
+                    + F.sum(
+                        F.col("__n")
+                        * (F.col("__mu") - F.col("__gm"))
+                        * (F.col("__mu") - F.col("__gm"))
+                    )
+                )
+                / F.first("__nt")
+            ).alias("__var_merged"),
+        )
+    )
+    direct = li.agg(F.var_pop("l_quantity").alias("__var_direct"))
+    return merged.crossJoin(F.broadcast(direct)).select(
+        "n_rows",
+        F.round("__var_direct", 4).alias("var_direct"),
+        (
+            F.abs(F.col("__var_merged") - F.col("__var_direct"))
+            <= 1e-9 * F.abs(F.col("__var_direct"))
+        ).alias("merge_ok"),
+    )

@@ -1274,3 +1274,95 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("jaccard_decile")
     )
+
+
+def _mh_recall_oracle(num_hashes: int = 8, bands: int = 4) -> str:
+    """ALL true Jaccard pairs of the subset corpus LEFT-joined to the
+    banded candidate set — per truth decile, the fraction banding
+    retrieved (the LSH S-curve, the dual of the calibration audit's
+    candidate-conditioned view)."""
+    hlist, sig_cols, band_eq, _agree = _mh_sql_parts(num_hashes, bands)
+    return f"""
+WITH corpus AS (
+  SELECT * FROM ({_CORPUS_SQL}) c WHERE {_SUBSET_PRED}
+),
+toks AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM corpus
+),
+idx AS (
+  SELECT doc_id, w,
+         unnest(generate_series(1, GREATEST(len(w) - 2, 1))) AS i
+  FROM toks
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(w[CAST(i AS INT):CAST(i AS INT) + 2], ' ') AS shingle
+  FROM idx
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS key_a, b.doc_id AS key_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jp AS (
+  SELECT key_a, key_b,
+         ROUND(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) AS j
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = key_a
+  JOIN sizes sb ON sb.doc_id = key_b
+),
+hashed AS (SELECT doc_id, {hlist} AS __H FROM corpus),
+sg AS (SELECT doc_id, {sig_cols} FROM hashed),
+cand AS (
+  SELECT a.doc_id AS key_a, b.doc_id AS key_b
+  FROM sg a JOIN sg b ON a.doc_id < b.doc_id AND ({band_eq})
+)
+SELECT CAST(LEAST(FLOOR(jp.j * 10), 9) AS INT) AS jaccard_decile,
+       COUNT(*) AS n_true_pairs,
+       CAST(SUM(CASE WHEN c.key_a IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_retrieved,
+       ROUND(SUM(CASE WHEN c.key_a IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS recall
+FROM jp LEFT JOIN cand c ON jp.key_a = c.key_a AND jp.key_b = c.key_b
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("dedup_minhash_recall_curve", oracle=_mh_recall_oracle())
+def dedup_minhash_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH S-curve, measured: of ALL co-shingle pairs at each true
+    Jaccard decile, what fraction did the banded candidate join
+    retrieve — the recall side of the banding trade-off
+    (``dedup_minhash_calibration`` is the precision/bias side,
+    conditioned on candidates).  Reading the curve tells you whether
+    the (num_hashes, bands) operating point recalls the duplicates
+    your verify threshold intends to keep BEFORE trusting it on a
+    corpus too large for ground truth.
+
+    Plan: the true-pair side is the subset inverted-index join, the
+    candidate side the banded join; retrieval is one pair-keyed left
+    join and the output ≤ 10 rows."""
+    corpus = _corpus(spark, sf_dir).filter(F.expr(_SUBSET_PRED))
+    truth = xdedup.ngram_jaccard_pairs(corpus, n=3, threshold=0.0)
+    cand = xdedup.minhash_lsh_pairs(
+        corpus, n=3, num_hashes=8, bands=4, verify_threshold=None
+    ).withColumn("__hit", F.lit(1))
+    lab = truth.join(cand, on=["key_a", "key_b"], how="left")
+    return (
+        lab.groupBy(
+            F.least(F.floor(F.col("jaccard") * 10), F.lit(9))
+            .cast("int")
+            .alias("jaccard_decile")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_true_pairs"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).alias("n_retrieved"),
+            F.round(
+                F.coalesce(F.sum("__hit"), F.lit(0)) * 1.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("recall"),
+        )
+        .orderBy("jaccard_decile")
+    )

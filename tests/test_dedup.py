@@ -142,3 +142,21 @@ def test_minhash_calibration_tracks_truth(spark, sf_dir_small):
     top = rows[-1]
     assert top.jaccard_decile == 9 and top.avg_sig_agreement >= 0.9
     assert rows[0].avg_sig_agreement <= top.avg_sig_agreement
+
+
+def test_minhash_recall_curve_recalls_top_decile(spark, sf_dir_small):
+    """Banding must retrieve essentially all EXACT copies (top decile
+    contains the planted jaccard-1.0 pairs: identical signatures share
+    every band), and recall must not decrease from the bottom decile
+    to the top (the S-curve shape)."""
+    from fastmlframework_spark.queries.dedup import dedup_minhash_recall_curve
+
+    rows = sorted(
+        dedup_minhash_recall_curve(spark, sf_dir_small).collect(),
+        key=lambda r: r.jaccard_decile,
+    )
+    assert rows and rows[-1].jaccard_decile == 9
+    assert rows[-1].recall == 1.0  # identical docs always band together
+    assert rows[0].recall <= rows[-1].recall
+    for r in rows:
+        assert 0.0 <= r.recall <= 1.0 and r.n_retrieved <= r.n_true_pairs

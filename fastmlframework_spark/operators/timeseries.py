@@ -488,3 +488,77 @@ def transition_matrix(
             F.col("n_transitions") / F.sum("n_transitions").over(row_tot), 6
         ).alias("p_transition"),
     ).orderBy("from_state", "to_state")
+
+
+def holt_smoothing(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    alpha: float = 0.4,
+    beta: float = 0.3,
+    window: int = 10,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Holt double-exponential (level + trend) smoothing per key →
+    input columns + ``level``/``trend``/``forecast`` — the coupled
+    recursion
+
+        l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+
+    initialized at l₁ = x₁, b₁ = 0 over the last ``window``
+    observations (the bounded-lag discipline of :func:`ewma`: the
+    weight mass beyond ~10 lags is negligible at these α/β and the
+    per-row state stays O(window) at any history length).
+    ``forecast`` is the one-step-ahead l_t + b_t — the anomaly
+    baseline a trending metric needs where a flat EWMA lags every
+    ramp.
+
+    Plan: one per-key bounded rows frame collecting the trailing
+    values, then a pure HOF ``aggregate`` whose ACCUMULATOR is a
+    2-element [level, trend] ARRAY — the whole recursion runs inside
+    whole-stage codegen, and the DuckDB twin folds the identical
+    array arithmetic left-to-right (both engines seed the fold with
+    the window's first value), so the oracle is bit-faithful.  An
+    array, not a struct: DuckDB 1.0's list_reduce evaluates a struct
+    result's later fields against the accumulator's ALREADY-UPDATED
+    earlier fields (measured: ``b': x - acc.l`` reads the new level),
+    so a struct accumulator cannot express a coupled recursion
+    portably; array element expressions all see the old accumulator
+    in both engines."""
+    from pyspark.sql import Window
+
+    order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(-(window - 1), 0)
+    )
+    a_s, b_s = repr(float(alpha)), repr(float(beta))
+    oma, omb = repr(1.0 - float(alpha)), repr(1.0 - float(beta))
+    lp = (
+        f"{a_s}D * __x + {oma}D "
+        "* (element_at(__acc, 1) + element_at(__acc, 2))"
+    )
+    fold = (
+        "aggregate(slice(__a, 2, size(__a) - 1), "
+        "array(CAST(element_at(__a, 1) AS DOUBLE), CAST(0.0 AS DOUBLE)), "
+        f"(__acc, __x) -> array({lp}, "
+        f"{b_s}D * (({lp}) - element_at(__acc, 1)) "
+        f"+ {omb}D * element_at(__acc, 2)))"
+    )
+    lvl = F.expr("element_at(__st, 1)")
+    trd = F.expr("element_at(__st, 2)")
+    return (
+        df.withColumn(
+            "__a", F.collect_list(F.col(val_col).cast("double")).over(w)
+        )
+        .withColumn("__st", F.expr(fold))
+        .select(
+            *df.columns,
+            F.round(lvl, 6).alias("level"),
+            F.round(trd, 6).alias("trend"),
+            F.round(lvl + trd, 6).alias("forecast"),
+        )
+    )

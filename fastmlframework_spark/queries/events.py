@@ -794,3 +794,51 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastmlframework_spark.operators.timeseries import transition_matrix
 
     return transition_matrix(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "events_holt_smoothing",
+    oracle="""
+WITH f AS (
+  SELECT user_id, event_id, value,
+         array_agg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+             AS a
+  FROM events WHERE value IS NOT NULL
+),
+h AS (
+  SELECT event_id, user_id,
+         list_reduce(
+           list_prepend([CAST(a[1] AS DOUBLE), 0.0::DOUBLE],
+             list_transform(a[2:],
+                            __v -> [CAST(__v AS DOUBLE), 0.0::DOUBLE])),
+           (__acc, __x) -> [
+             0.4::DOUBLE * __x[1]
+                 + 0.6::DOUBLE * (__acc[1] + __acc[2]),
+             0.3::DOUBLE * ((0.4::DOUBLE * __x[1]
+                 + 0.6::DOUBLE * (__acc[1] + __acc[2])) - __acc[1])
+                 + 0.7::DOUBLE * __acc[2]]
+         ) AS st
+  FROM f
+)
+SELECT event_id, user_id,
+       ROUND(st[1], 6) AS level,
+       ROUND(st[2], 6) AS trend,
+       ROUND(st[1] + st[2], 6) AS forecast
+FROM h
+""",
+)
+def events_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Holt level+trend smoothing (α 0.4, β 0.3, 10 lags)
+    over event time — the struct-accumulator HOF fold; the DuckDB
+    twin prepends the init struct and folds the identical arithmetic,
+    so the hash match is exact."""
+    from fastmlframework_spark.operators.timeseries import holt_smoothing
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    return holt_smoothing(
+        ev, key_col="user_id", ts_col="ts", val_col="value",
+        alpha=0.4, beta=0.3, window=10, tiebreak_col="event_id",
+    ).select("event_id", "user_id", "level", "trend", "forecast")

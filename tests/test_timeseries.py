@@ -221,3 +221,24 @@ def test_transition_matrix_probabilities_sum_to_one(spark, sf_dir_small):
         .collect()
     )
     assert sums and all(abs(r.s - 1.0) < 1e-4 for r in sums)
+
+
+def test_holt_smoothing_constant_and_ramp(spark):
+    """A constant series smooths to (level=c, trend=0); a linear ramp's
+    trend converges toward the slope and the forecast leads the level."""
+    from fastmlframework_spark.operators.timeseries import holt_smoothing
+
+    rows = [(i, "2024-01-01 00:%02d:00" % i, 1, "c", 5.0) for i in range(8)]
+    rows += [(100 + i, "2024-01-01 01:%02d:00" % i, 2, "r", float(i)) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = holt_smoothing(
+        df, key_col="user_id", ts_col="ts", val_col="value",
+        alpha=0.4, beta=0.3, window=10, tiebreak_col="event_id",
+    )
+    const = out.filter(F.col("user_id") == 1).orderBy("ts").collect()
+    assert all(r.level == 5.0 and r.trend == 0.0 and r.forecast == 5.0 for r in const)
+    ramp = out.filter(F.col("user_id") == 2).orderBy("ts").collect()
+    assert abs(ramp[-1].trend - 1.0) < 0.35  # converging toward slope 1
+    assert ramp[-1].forecast > ramp[-1].level

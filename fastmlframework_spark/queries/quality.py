@@ -396,3 +396,128 @@ def quality_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return repetition_signals(docs)
+
+
+def _agreement_oracle() -> str:
+    """Per-doc fail bits for the three cheap batteries (Gopher, C4
+    page rules, repetition) → 1-row count aggregate → the 6-row
+    pairwise agreement matrix via UNION ALL."""
+    from fastmlframework_spark.extensions.text import TOKEN_PATTERN
+    from fastmlframework_spark.queries.filtering import (
+        _C4_POLICY_OR,
+        _gopher_fl_ctes,
+    )
+
+    gf = (
+        "fail_words OR fail_word_len OR fail_symbol OR fail_bullet"
+        " OR fail_ellipsis OR fail_alpha OR fail_stopword"
+    )
+    pair_rows = []
+    names = {"g": "gopher", "c": "c4", "r": "repetition"}
+    for a, b in (("c", "c"), ("c", "g"), ("c", "r"),
+                 ("g", "g"), ("g", "r"), ("r", "r")):
+        both = f"s_{a}{b}" if a != b else f"s_{a}"
+        either = (
+            f"s_{a}" if a == b else f"s_{a} + s_{b} - s_{a}{b}"
+        )
+        pair_rows.append(
+            f"SELECT '{names[a]}' AS filter_a, '{names[b]}' AS filter_b,"
+            f" CAST({both} AS BIGINT) AS n_fail_both,"
+            f" CAST({either} AS BIGINT) AS n_fail_either,"
+            f" ROUND({both} * 1.0 / NULLIF({either}, 0), 6)"
+            " AS overlap_jaccard FROM s"
+        )
+    union = "\nUNION ALL\n".join(pair_rows)
+    return f"""
+WITH {_gopher_fl_ctes(keys="doc_id", rel="documents")},
+bits AS (
+  SELECT f.doc_id,
+         CAST(({gf}) AS INT) AS g,
+         CAST((contains(d.text, '{{') OR contains(lower(d.text), 'lorem ipsum')
+               OR ({_C4_POLICY_OR.replace("text", "d.text")})
+               OR len(regexp_extract_all(d.text, '[.!?]')) < 3) AS INT) AS c,
+         CAST((len(regexp_extract_all(d.text, '{TOKEN_PATTERN}')) > 0
+               AND len(list_distinct(regexp_extract_all(d.text, '{TOKEN_PATTERN}')))
+                   * 1.0 / len(regexp_extract_all(d.text, '{TOKEN_PATTERN}')) < 0.4)
+              AS INT) AS r
+  FROM fl f JOIN documents d USING (doc_id)
+),
+s AS (
+  SELECT SUM(g) AS s_g, SUM(c) AS s_c, SUM(r) AS s_r,
+         SUM(c * g) AS s_cg, SUM(c * r) AS s_cr, SUM(g * r) AS s_gr
+  FROM bits
+)
+{union}
+ORDER BY filter_a, filter_b
+"""
+
+
+@query("quality_filter_agreement", oracle=_agreement_oracle())
+def quality_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do the cheap quality batteries agree?  Pairwise overlap matrix
+    of the Gopher, C4-page, and repetition fail sets — [filter_a,
+    filter_b, n_fail_both, n_fail_either, overlap_jaccard] (diagonal
+    = each filter's own fail count).  High off-diagonal Jaccard means
+    one battery is redundant; near-zero means they remove DIFFERENT
+    documents and stacking them compounds the cut — the ablation
+    figure filtering papers report before composing gates.
+
+    Plan: all three verdicts are per-row expressions computed in ONE
+    map-only projection; everything reduces to a 1-row six-sum
+    aggregate, and the 6-row matrix is an explode over that broadcast
+    row — the corpus is scanned once at any scale."""
+    from fastmlframework_spark.extensions.curation import repetition_stats
+    from fastmlframework_spark.extensions.filtering import (
+        c4_page_flags,
+        gopher_rule_flags,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    g = gopher_rule_flags(docs).select(
+        "doc_id", "text", (~F.col("passes")).cast("int").alias("__g")
+    )
+    gc = c4_page_flags(g).select(
+        "doc_id", "text", "__g", (~F.col("passes")).cast("int").alias("__c")
+    )
+    rep = repetition_stats(gc.select("doc_id", "text")).select(
+        "doc_id",
+        (
+            (F.col("n_tokens") > 0) & (F.col("distinct_ratio") < 0.4)
+        ).cast("int").alias("__r"),
+    )
+    bits = gc.join(rep, on="doc_id")
+    s_agg = bits.agg(
+        F.sum("__g").alias("s_g"),
+        F.sum("__c").alias("s_c"),
+        F.sum("__r").alias("s_r"),
+        F.sum(F.col("__c") * F.col("__g")).alias("s_cg"),
+        F.sum(F.col("__c") * F.col("__r")).alias("s_cr"),
+        F.sum(F.col("__g") * F.col("__r")).alias("s_gr"),
+    )
+    names = {"g": "gopher", "c": "c4", "r": "repetition"}
+    combos = [("c", "c"), ("c", "g"), ("c", "r"),
+              ("g", "g"), ("g", "r"), ("r", "r")]
+    structs = []
+    for a, b in combos:
+        both = F.col(f"s_{a}") if a == b else F.col(f"s_{a}{b}")
+        either = (
+            F.col(f"s_{a}")
+            if a == b
+            else F.col(f"s_{a}") + F.col(f"s_{b}") - F.col(f"s_{a}{b}")
+        )
+        structs.append(
+            F.struct(
+                F.lit(names[a]).alias("filter_a"),
+                F.lit(names[b]).alias("filter_b"),
+                both.cast("long").alias("n_fail_both"),
+                either.cast("long").alias("n_fail_either"),
+                F.when(either == 0, F.lit(None).cast("double"))
+                .otherwise(F.round(both * 1.0 / either, 6))
+                .alias("overlap_jaccard"),
+            )
+        )
+    return (
+        s_agg.select(F.explode(F.array(*structs)).alias("__row"))
+        .select("__row.*")
+        .orderBy("filter_a", "filter_b")
+    )

@@ -149,3 +149,27 @@ def test_pmi_collocations_edge_docs_and_determinism(spark):
     assert ("alpha", "beta") in pairs or ("x", "y") in pairs
     pmis = [r.pmi for r in out]
     assert pmis == sorted(pmis, reverse=True)
+
+
+def test_filter_agreement_matrix_bounds(spark, sf_dir_small):
+    """Diagonal rows have both == either == the filter's fail count;
+    off-diagonal both <= min(diagonals) and either >= max(diagonals);
+    jaccard in [0, 1] (or NULL when both fail sets are empty)."""
+    from fastmlframework_spark.queries.quality import (
+        quality_filter_agreement,
+    )
+
+    rows = {
+        (r.filter_a, r.filter_b): r
+        for r in quality_filter_agreement(spark, sf_dir_small).collect()
+    }
+    assert len(rows) == 6
+    diag = {a: rows[(a, a)] for a in ("c4", "gopher", "repetition")}
+    for a, b in (("c4", "gopher"), ("c4", "repetition"),
+                 ("gopher", "repetition")):
+        r = rows[(a, b)]
+        assert r.n_fail_both <= min(diag[a].n_fail_both, diag[b].n_fail_both)
+        assert r.n_fail_either >= max(diag[a].n_fail_both, diag[b].n_fail_both)
+        if r.overlap_jaccard is not None:
+            assert 0.0 <= r.overlap_jaccard <= 1.0
+    assert any(d.n_fail_both > 0 for d in diag.values())

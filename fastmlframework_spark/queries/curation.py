@@ -881,3 +881,62 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastmlframework_spark.queries.dedup import _corpus
 
     return xcur.curation_funnel(_corpus(spark, sf_dir))
+
+
+@query(
+    "source_language_entropy",
+    oracle="""
+WITH c AS (
+  SELECT source, lang, COUNT(*) AS n
+  FROM documents GROUP BY source, lang
+),
+t AS (
+  SELECT source,
+         CAST(SUM(n) AS BIGINT) AS n_docs,
+         COUNT(*) AS n_langs,
+         list_sort(list(lang)) AS langs,
+         list_reduce(
+           [0.0::DOUBLE] ||
+           list_transform(
+             list_sort(list({'k': lang, 'v': n})),
+             __e -> -(__e.v * 1.0 / SUM(n))
+                    * ln(__e.v * 1.0 / SUM(n))),
+           (__a, __b) -> __a + __b) AS ent
+  FROM c GROUP BY source
+)
+SELECT source, n_docs, n_langs, ROUND(ent, 6) AS lang_entropy
+FROM t ORDER BY source
+""",
+)
+def source_language_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is each source monolingual?  Per-source language-mix entropy
+    (nats) — the source-homogeneity number a mixture plan reads next
+    to the datacard (high entropy → the source label is NOT a
+    language proxy and lang-conditioned sampling must split it).
+
+    Cross-engine float EXACTNESS on an unordered aggregate: entropy
+    terms are folded LEFT-TO-RIGHT over the per-source language list
+    sorted by language — a sorted HOF fold in both engines — because
+    a plain SUM over grouped floats has engine-dependent addend order
+    and can flip the rounded hash.  Shuffle is language-bounded
+    (|sources|×|langs| rows); the corpus is scanned once."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "lang")
+    c = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    per_src = c.groupBy("source").agg(
+        F.sum("n").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_langs"),
+        F.sort_array(
+            F.collect_list(F.struct(F.col("lang").alias("k"),
+                                    F.col("n").alias("v")))
+        ).alias("__kv"),
+    )
+    ent = (
+        "aggregate(__kv, 0.0D, (__a, __e) -> "
+        "__a + (-(__e.v * 1.0D / n_docs) * ln(__e.v * 1.0D / n_docs)))"
+    )
+    return per_src.select(
+        "source",
+        "n_docs",
+        "n_langs",
+        F.round(F.expr(ent), 6).alias("lang_entropy"),
+    ).orderBy("source")

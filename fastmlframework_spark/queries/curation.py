@@ -14,7 +14,7 @@ from __future__ import annotations
 import math
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from fastmlframework_spark.core.tables import load_table
 from fastmlframework_spark.extensions import curation as xcur
@@ -940,3 +940,67 @@ def source_language_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_langs",
         F.round(F.expr(ent), 6).alias("lang_entropy"),
     ).orderBy("source")
+
+
+def _qual_by_dup_oracle() -> str:
+    """Exact-dup membership (md5 group size > 1 over the planted
+    corpus) crossed with the Gopher verdict of the ORIGIN document."""
+    from fastmlframework_spark.queries.dedup import _CORPUS_SQL as corpus_sql
+    from fastmlframework_spark.queries.filtering import _gopher_fl_ctes
+
+    fails = (
+        "fail_words OR fail_word_len OR fail_symbol OR fail_bullet"
+        " OR fail_ellipsis OR fail_alpha OR fail_stopword"
+    )
+    return f"""
+WITH corpus AS ({corpus_sql}),
+dup AS (
+  SELECT doc_id,
+         COUNT(*) OVER (PARTITION BY md5(text)) > 1 AS is_dup
+  FROM corpus
+),
+{_gopher_fl_ctes(keys="doc_id", rel="corpus")}
+SELECT d.is_dup,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN NOT ({fails}) THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pass,
+       ROUND(SUM(CASE WHEN NOT ({fails}) THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS pass_rate
+FROM dup d JOIN fl USING (doc_id)
+GROUP BY d.is_dup ORDER BY d.is_dup
+"""
+
+
+@query("quality_by_dup_status", oracle=_qual_by_dup_oracle())
+def quality_by_dup_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Are duplicated documents lower quality?  Gopher pass rate split
+    by exact-duplicate membership over the planted corpus — the
+    empirical check behind "dedup first, filter second" ordering
+    debates (if dups pass at the same rate, gate order is a pure cost
+    question; if not, it changes the surviving mix).
+
+    Plan: dup membership is the digest-partitioned count window
+    (digest-sized shuffle keys), the verdict is the map-only Gopher
+    battery, and the result is a 2-row aggregate."""
+    from fastmlframework_spark.extensions.filtering import gopher_rule_flags
+    from fastmlframework_spark.queries.dedup import _corpus
+
+    corpus = _corpus(spark, sf_dir)
+    w = Window.partitionBy(F.md5("text"))
+    dup = corpus.select(
+        "doc_id", "text", (F.count(F.lit(1)).over(w) > 1).alias("is_dup")
+    )
+    flagged = gopher_rule_flags(dup).select("is_dup", "passes")
+    return (
+        flagged.groupBy("is_dup")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("passes").cast("long")).alias("n_pass"),
+            F.round(
+                F.sum(F.col("passes").cast("long")) * 1.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("pass_rate"),
+        )
+        .orderBy("is_dup")
+    )

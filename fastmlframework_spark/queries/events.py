@@ -842,3 +842,75 @@ def events_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, key_col="user_id", ts_col="ts", val_col="value",
         alpha=0.4, beta=0.3, window=10, tiebreak_col="event_id",
     ).select("event_id", "user_id", "level", "trend", "forecast")
+
+
+@query(
+    "events_session_stats",
+    oracle="""
+WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+f AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   <= INTERVAL '30 minutes'
+              THEN 0 ELSE 1 END AS new_s
+  FROM e
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM f
+),
+per AS (
+  SELECT user_id, session_id, COUNT(*) AS n_events,
+         EXTRACT(EPOCH FROM MAX(ts) - MIN(ts)) AS dur
+  FROM s GROUP BY 1, 2
+)
+SELECT COUNT(*) AS n_sessions,
+       ROUND(AVG(n_events), 4) AS avg_events,
+       CAST(MAX(n_events) AS BIGINT) AS max_events,
+       ROUND(AVG(dur), 4) AS avg_duration_sec,
+       ROUND(MAX(dur), 4) AS max_duration_sec
+FROM per
+""",
+)
+def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level session-shape summary over the 30-minute-gap
+    sessionization: how many sessions, how long, how many events —
+    the engagement roll-up a product dashboard reads off the
+    sessionizer.  Same lag+cumsum per-user windows as
+    ``events_sessionize`` (distributes over users), then a
+    session-keyed aggregate into ONE row; the averaged quantities are
+    integer-valued (counts, whole-second epochs), so cross-engine
+    summation order cannot move the rounded values."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_s = 30 * 60
+    flagged = ev.withColumn(
+        "__new",
+        (
+            F.coalesce(
+                F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w),
+                F.lit(gap_s + 1),
+            )
+            > gap_s
+        ).cast("long"),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.max(F.col("ts").cast("double"))
+            - F.min(F.col("ts").cast("double"))
+        ).alias("dur"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.round(F.avg("n_events"), 4).alias("avg_events"),
+        F.max("n_events").alias("max_events"),
+        F.round(F.avg("dur"), 4).alias("avg_duration_sec"),
+        F.round(F.max("dur"), 4).alias("max_duration_sec"),
+    )

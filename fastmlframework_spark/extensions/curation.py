@@ -721,13 +721,24 @@ def curation_funnel(
     — the shrinkage report data teams publish next to a datacard
     (what did each gate cost us, in docs and tokens?).
 
-    Scale shape: stages 1–2 are map-only flag projections into 2-row
-    aggregates; stage 3 shuffles digest-sized keys once (window min
-    per md5 — identical grouping to ``exact_dedup``); stage 4 runs
-    the sub-quadratic banded MinHash join ONLY over the
-    already-quality-filtered, exact-deduped survivor set — the same
-    ordering production pipelines use precisely because each gate
-    shrinks the candidate set for the costlier one after it."""
+    Scale shape (≤2 corpus scans total): stages 1 and 2 are ONE
+    conditional aggregate over the flag projection — count/sum plus
+    sum(when(passes, ...)) in a single pass, split into two rows by
+    exploding a 2-element struct array over the 1-row result — so the
+    raw corpus is scanned exactly once for both stages and nothing is
+    materialized.  The exact-dedup survivor set ``s3`` (quality-passing
+    docs, one per digest — the only frame consumed three times: its own
+    aggregate, the MinHash pair generation, and the anti-join) is
+    eagerly ``localCheckpoint``-ed, so the second corpus scan happens
+    once and every stage-3/4 branch reads the materialized survivors.
+    Checkpointing s3 rather than the raw projection is deliberate: at
+    100 TB the post-quality post-dedup survivor set is the small frame;
+    the failing/duplicate mass never hits executor storage.  Stage 4
+    then runs the sub-quadratic banded MinHash join ONLY over that
+    survivor set — the same cheap→costly gate ordering production
+    pipelines use.  Note the eager checkpoint makes construction run
+    one Spark job (same pattern as ``semantic_dedup``'s component
+    loop)."""
     from fastmlframework_spark.extensions.dedup import minhash_lsh_pairs
     from fastmlframework_spark.extensions.filtering import gopher_rule_flags
 
@@ -740,12 +751,48 @@ def curation_funnel(
     d0 = gopher_rule_flags(corpus.select(key_col, text_col), text_col).select(
         key_col, text_col, "passes", ntok.alias("__ntok")
     )
+    # Stages 1+2 in ONE scan: conditional sums over the flag projection,
+    # fanned out to two rows by exploding a literal struct array.
+    stage12 = (
+        d0.agg(
+            F.count(F.lit(1)).alias("n1"),
+            F.coalesce(F.sum("__ntok"), F.lit(0)).alias("t1"),
+            F.coalesce(
+                F.sum(F.when(F.col("passes"), F.lit(1)).otherwise(F.lit(0))),
+                F.lit(0),
+            ).alias("n2"),
+            F.coalesce(
+                F.sum(F.when(F.col("passes"), F.col("__ntok")).otherwise(F.lit(0))),
+                F.lit(0),
+            ).alias("t2"),
+        )
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(1).alias("stage"),
+                        F.lit("raw").alias("stage_name"),
+                        F.col("n1").alias("n_docs"),
+                        F.col("t1").alias("n_tokens"),
+                    ),
+                    F.struct(
+                        F.lit(2).alias("stage"),
+                        F.lit("quality").alias("stage_name"),
+                        F.col("n2").alias("n_docs"),
+                        F.col("t2").alias("n_tokens"),
+                    ),
+                )
+            ).alias("s")
+        )
+        .select("s.stage", "s.stage_name", "s.n_docs", "s.n_tokens")
+    )
     s2 = d0.filter(F.col("passes")).select(key_col, text_col, "__ntok")
     dig_w = Window.partitionBy(F.md5(F.col(text_col)))
     s3 = (
         s2.withColumn("__mn", F.min(key_col).over(dig_w))
         .filter(F.col(key_col) == F.col("__mn"))
         .drop("__mn")
+        .localCheckpoint(eager=True)
     )
     pairs = minhash_lsh_pairs(
         s3.select(key_col, text_col),
@@ -771,9 +818,7 @@ def curation_funnel(
         )
 
     return (
-        _stage(d0, 1, "raw")
-        .unionByName(_stage(s2, 2, "quality"))
-        .unionByName(_stage(s3, 3, "exact_dedup"))
+        stage12.unionByName(_stage(s3, 3, "exact_dedup"))
         .unionByName(_stage(s4, 4, "near_dedup"))
         .orderBy("stage")
     )

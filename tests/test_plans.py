@@ -561,3 +561,34 @@ def test_exact_k_sample_rank_limit_pushdown(spark, sf_dir_small):
     shuffle of k·partitions rows instead of the corpus."""
     plan = _plan(spark, sf_dir_small, "sample_exact_k_per_lang")
     assert _window_group_limit_below_exchange(plan), plan
+
+
+def test_curation_funnel_two_corpus_scans(spark, sf_dir_small):
+    """The 4-stage funnel must cost ≤2 corpus scans: stages 1–2 are ONE
+    conditional aggregate (a single parquet scan), and the exact-dedup
+    survivor set is localCheckpoint-ed before the stage-3 aggregate /
+    MinHash pairs / anti-join fan-out, so those branches read the
+    materialized RDD (the checkpoint itself was the second scan, paid
+    at construction).  The final plan therefore shows exactly one
+    parquet scan plus ExistingRDD scans — four corpus passes here means
+    the r7 re-execution regression is back.
+
+    The planted `_corpus` is a 3-way self-union of documents.parquet, so
+    ONE logical corpus pass shows 3 parquet scan nodes — calibrate
+    against a trivial single-pass aggregate rather than hardcoding."""
+    import contextlib
+    import io
+
+    from fastmlframework_spark.queries.dedup import _corpus
+
+    one_pass = _corpus(spark, sf_dir_small).groupBy().count()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        one_pass.explain("formatted")
+    per_pass = len(re.findall(r"\(\d+\) Scan parquet", buf.getvalue()))
+    assert per_pass >= 1
+
+    plan = _plan(spark, sf_dir_small, "curation_funnel")
+    n_parquet = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_parquet == per_pass, (n_parquet, per_pass, plan)
+    assert "ExistingRDD" in plan, plan

@@ -519,11 +519,86 @@ def bpe_merge_candidates(
     )
 
 
+def _bpe_train_driver(
+    word_counts: list[tuple[str, int]], n_merges: int
+) -> tuple[
+    list[tuple[int, str, str, str, int]], list[tuple[str, str, int]]
+]:
+    """In-process BPE merge loop over a collected word-type table →
+    (merges, vocab rows).  Bit-identical to the distributed loop:
+    pair counts include every adjacent position (overlaps counted),
+    the argmax tie-break is (count desc, lhs asc, rhs asc) — Python
+    code-point string order equals Spark/DuckDB UTF-8 binary order
+    because UTF-8 preserves code-point order — and the merge rewrite
+    is leftmost non-overlapping, exactly what the padded-string
+    ``replace()`` does.  Incremental bookkeeping (only words
+    containing the merged pair are rewritten; pair counts are
+    adjusted by delta) makes a realistic 32k-merge fit linear in
+    touched words per round instead of a full vocab pass."""
+    words: list[list[str]] = [list(w) for w, _ in word_counts]
+    wcs: list[int] = [wc for _, wc in word_counts]
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+
+    def _add(idx: int, sign: int) -> None:
+        syms, wc = words[idx], wcs[idx]
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            c = pair_counts.get(p, 0) + sign * wc
+            if c:
+                pair_counts[p] = c
+            else:
+                pair_counts.pop(p, None)
+            if sign > 0:
+                pair_words.setdefault(p, set()).add(idx)
+
+    for idx in range(len(words)):
+        _add(idx, +1)
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        if not pair_counts:
+            break
+        (lhs, rhs), pc = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        merges.append((rank, lhs, rhs, lhs + rhs, pc))
+        merged = lhs + rhs
+        touched = pair_words.pop((lhs, rhs), set())
+        for idx in touched:
+            syms = words[idx]
+            out: list[str] = []
+            i, changed = 0, False
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == lhs
+                    and syms[i + 1] == rhs
+                ):
+                    out.append(merged)
+                    i += 2
+                    changed = True
+                else:
+                    out.append(syms[i])
+                    i += 1
+            if changed:
+                _add(idx, -1)
+                words[idx] = out
+                _add(idx, +1)
+
+    vocab_rows = [
+        (w, " " + "  ".join(words[i]) + " ", wcs[i])
+        for i, (w, _) in enumerate(word_counts)
+    ]
+    return merges, vocab_rows
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str = "text",
     n_merges: int = 10,
     return_vocab: bool = False,
+    driver_vocab_cap: int = 2_000_000,
 ) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Full ITERATIVE BPE tokenizer fit (Sennrich et al. 2016) →
     the learned merge table [merge_rank, lhs, rhs, merged,
@@ -560,7 +635,22 @@ def bpe_train(
     With ``return_vocab=True`` returns ``(merges, vocab)`` where
     ``vocab`` is the post-merge vocabulary [__w, __syms, __wc] —
     the word → symbol-sequence map consumers join against instead of
-    re-encoding the corpus (``bpe_fertility``)."""
+    re-encoding the corpus (``bpe_fertility``).
+
+    Driver-local fast path: a realistic tokenizer fit is ~32k merge
+    rounds, and one sequential Spark job per round is hours of
+    job-launch overhead even though each job is tiny.  The vocabulary
+    is Heaps-bounded (~N^0.5 types), so when it fits under
+    ``driver_vocab_cap`` rows (checked with one COUNT job) the
+    word-type table is collected ONCE and the merge loop runs
+    in-process with incremental pair bookkeeping
+    (``_bpe_train_driver`` — bit-identical results, equality-pinned
+    in tests).  The corpus itself is still reduced distributedly; only
+    the Heaps-bounded (word, count) table crosses to the driver —
+    ~10⁶ rows for a 100 TB web corpus is tens of MB.  Set
+    ``driver_vocab_cap=0`` to force the distributed loop (the
+    oracle-twinned demo path, and the fallback when the vocab really
+    is too big to collect)."""
     ckpt_every = 4
     words = (
         df.select(
@@ -572,6 +662,21 @@ def bpe_train(
         .groupBy("__w")
         .agg(F.count(F.lit(1)).alias("__wc"))
     )
+    spark = df.sparkSession
+    if driver_vocab_cap and words.count() <= driver_vocab_cap:
+        collected = [(r["__w"], r["__wc"]) for r in words.collect()]
+        merges, vocab_rows = _bpe_train_driver(collected, n_merges)
+        merges_df = spark.createDataFrame(
+            merges,
+            "merge_rank int, lhs string, rhs string, merged string,"
+            " pair_count long",
+        )
+        if return_vocab:
+            vocab_df = spark.createDataFrame(
+                vocab_rows, "__w string, __syms string, __wc long"
+            )
+            return merges_df, vocab_df
+        return merges_df
     vocab = words.select(
         "__w",
         F.concat(
@@ -580,7 +685,6 @@ def bpe_train(
         "__wc",
     ).localCheckpoint(eager=True)
     last_ckpt = vocab
-    spark = df.sparkSession
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(1, n_merges + 1):
         s = F.expr("split(trim(__syms), '  ')")

@@ -491,6 +491,48 @@ def test_bpe_train_stops_when_no_pairs_left(spark):
     assert [r.merged for r in out] == ["ab", "cd"]
 
 
+def test_bpe_train_distributed_path_matches_reference(spark):
+    """driver_vocab_cap=0 forces the per-round Spark-job loop; it must
+    agree with the independent pure-Python reference (same corpus as
+    the default-path test above, which now runs driver-local)."""
+    from fastmlframework_spark.extensions.text import bpe_train
+
+    rows = [
+        (1, "low lower lowest low low newer newest new"),
+        (2, "low newer wider wide wide aaa aaaa"),
+        (3, None),
+    ]
+    ref, _ = _py_bpe(rows, 8)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        tuple(r)
+        for r in bpe_train(df, n_merges=8, driver_vocab_cap=0).collect()
+    ]
+    assert got == ref
+
+
+def test_bpe_train_driver_matches_distributed_on_corpus(spark, sf_dir_small):
+    """The driver-local fast path must be bit-identical to the
+    distributed loop on real data: merge table (in training order) AND
+    post-merge vocabulary [__w, __syms, __wc] both equal at
+    n_merges=10 on the sf0.001 documents table."""
+    from fastmlframework_spark.extensions.text import bpe_train
+
+    docs = spark.read.parquet(f"{sf_dir_small}/documents.parquet").select(
+        "text"
+    )
+    m_fast, v_fast = bpe_train(docs, n_merges=10, return_vocab=True)
+    m_slow, v_slow = bpe_train(
+        docs, n_merges=10, return_vocab=True, driver_vocab_cap=0
+    )
+    assert [tuple(r) for r in m_fast.collect()] == [
+        tuple(r) for r in m_slow.collect()
+    ]
+    fast = sorted(tuple(r) for r in v_fast.collect())
+    slow = sorted(tuple(r) for r in v_slow.collect())
+    assert fast == slow
+
+
 def test_bpe_fertility_matches_reference_vocab(spark):
     from fastmlframework_spark.extensions.text import bpe_fertility
 

@@ -263,3 +263,52 @@ def frozen_logistic_model(
         feature_cols=feature_cols,
         task="classification",
     )
+
+
+class FrozenFoldsWrapper:
+    """An M1-shaped wrapper whose per-fold "fit" returns a frozen
+    logistic model with LITERAL per-fold coefficients, in fit-call
+    order.  Exists so the FULL CV loop — fold_split → per-fold fit →
+    predict_proba → W5 OOF union → A20 fold metrics — can carry a
+    driver-hash oracle (``cv_oof_frozen``): with the iterative
+    optimizer replaced by literals, every remaining moving part of
+    `run_cv_and_prediction` (reference modeling/prediction.py:288-430)
+    is deterministic SQL, so the oracle replays fold assignment and
+    the fold-specific sigmoid and the hashes must match.  The per-fold
+    coefficient sets differ on purpose: a key scored by the wrong
+    fold's model flips the hash, which pins the fold→model→slice
+    wiring, not just the arithmetic.
+
+    ``reset_seed`` rewinds the fold cursor, mirroring the reference's
+    per-bagging-iteration reseed (prediction.py:325-327) so a bagged
+    run replays the same coefficient sequence per seed."""
+
+    task = "classification"
+
+    def __init__(
+        self,
+        fold_models: Sequence[tuple[Sequence[float], float]],
+    ):
+        self.fold_models = list(fold_models)
+        self._cursor = 0
+
+    def reset_seed(self, seed: int) -> "FrozenFoldsWrapper":
+        self._cursor = 0
+        return self
+
+    def fit(
+        self,
+        df: DataFrame,
+        feature_cols: Sequence[str],
+        label_col: str,
+    ) -> FittedModel:
+        if self._cursor >= len(self.fold_models):
+            raise ValueError(
+                f"only {len(self.fold_models)} frozen fold models were "
+                f"provided; fit call #{self._cursor + 1} has none left"
+            )
+        coefs, intercept = self.fold_models[self._cursor]
+        self._cursor += 1
+        return frozen_logistic_model(
+            df.sparkSession, feature_cols, coefs, intercept
+        )

@@ -146,6 +146,97 @@ def cv_scoring_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-fold literal models for cv_oof_frozen — deliberately DIFFERENT
+# per fold so a key scored by the wrong fold's model flips the hash.
+_FROZEN_FOLDS = [
+    ([1e-5, 1e-4, 1e-2], -21.45),
+    ([2e-5, -1e-4, 1.1e-2], -23.0),
+    ([-1e-5, 2e-4, 0.9e-2], -17.8),
+]
+
+
+def _frozen_sigmoid_sql(coefs: list[float], intercept: float) -> str:
+    terms = " + ".join(
+        f"{c!r} * {feat}"
+        for c, feat in zip(coefs, ["o_totalprice", "c_acctbal", "order_year"])
+    )
+    return (
+        f"1.0 / (1.0 + EXP(-({terms} + CAST({intercept!r} AS DOUBLE))))"
+    )
+
+
+@query(
+    "cv_oof_frozen",
+    bench=True,
+    oracle=f"""
+WITH t AS (
+SELECT
+  o_orderkey AS key,
+  ROUND(o_totalprice, 2) AS o_totalprice,
+  ROUND(c_acctbal, 2) AS c_acctbal,
+  CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS target
+FROM orders JOIN customer ON o_custkey = c_custkey
+),
+f AS (
+  SELECT *, NTILE(3) OVER (PARTITION BY target
+                           ORDER BY {{hash}}) - 1 AS fold
+  FROM t
+),
+m AS (
+  SELECT key, target,
+    CASE fold
+      WHEN 0 THEN {{s0}}
+      WHEN 1 THEN {{s1}}
+      WHEN 2 THEN {{s2}}
+    END AS p
+  FROM f
+)
+SELECT key, ROUND(p, 6) AS target_oof, target FROM m
+""".format(
+        hash=(
+            "CAST(concat('0x', substring(md5(CAST(key AS VARCHAR) || '|' ||"
+            " '27'), 1, 15)) AS BIGINT)"
+        ),
+        s0=_frozen_sigmoid_sql(*_FROZEN_FOLDS[0]),
+        s1=_frozen_sigmoid_sql(*_FROZEN_FOLDS[1]),
+        s2=_frozen_sigmoid_sql(*_FROZEN_FOLDS[2]),
+    ),
+)
+def cv_oof_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-hash evidence for the FULL CV/OOF loop (VERDICT r7 #4):
+    run the REAL `CVPredictor.run` path — stratified-ntile fold
+    assignment, per-fold fit → predict_proba → W5 scatter-by-union,
+    A20 per-fold metric pass, 6-dp rounding contract — with the
+    iterative optimizer replaced by per-fold LITERAL coefficient sets
+    (`FrozenFoldsWrapper` over `frozen_logistic_model`).  The oracle
+    replays fold assignment (NTILE over the md5 key-hash order, the
+    same twin `fold_assignment_stratified` pins) and the fold-specific
+    sigmoid, so everything `run_cv_and_prediction` does except the
+    optimizer itself (reference modeling/prediction.py:288-430) is
+    hash-matched; only the genuinely nondeterministic fits remain
+    rows-only (`cv_oof_logreg`, `cv_feature_importance`)."""
+    from fastmlframework_spark.ml.wrappers import FrozenFoldsWrapper
+
+    predictor = CVPredictor(
+        FrozenFoldsWrapper(_FROZEN_FOLDS),
+        metric="roc_auc_score",
+        k=3,
+        seeds=(27,),
+        stratified=True,
+        predict_probability=True,
+        target_decimals=6,
+    )
+    res = predictor.run(
+        ml_train_table(spark, sf_dir),
+        None,
+        "key",
+        "target",
+        ["o_totalprice", "c_acctbal", "order_year"],
+    )
+    return res.oof
+
+
 @query(
     "cv_importance_invariants",
     bench=False,

@@ -1,32 +1,73 @@
-"""Streaming throughput micro-benches (VERDICT r5 #7).
+"""Streaming throughput micro-benches (VERDICT r5 #7, r7 #7).
 
 The streaming family has parity and soak tests but, until round 6, no
 perf number — a regression in the foreachBatch index-probe path (say,
-an accidental index shuffle) would not trip any gate.  These two
-benches run real Structured Streaming queries end-to-end (file
-source → micro-batches → foreachBatch / running aggregation → sink)
-over the driver testdata and are timed by ``bench.py`` alongside the
-batch queries, so the same 2×-vs-baseline gate covers them:
+an accidental index shuffle) would not trip any gate.  These benches
+run real Structured Streaming queries end-to-end (file source →
+micro-batches → foreachBatch / running aggregation → sink) over the
+driver testdata and are timed by ``bench.py`` alongside the batch
+queries, so the same 2×-vs-baseline gate covers them.
 
-* ``stream_exact_dedup`` — the ``documents`` table split into 4
-  micro-batch file groups plus a replay of the first group, drained
-  through ``streaming_exact_dedup`` (persisted parquet digest index,
-  broadcast batch probe, index append per trigger).
-* ``stream_seasonal_stats`` — the ``events`` table as a file stream
-  through the running hour-of-day seasonal aggregation (state bounded
-  by key×24, no watermark) into a memory sink.
-
-Each call builds its inputs under a fresh temp dir and removes it, so
-repeated bench passes measure the same cold work.
+Shared prep root (r7 #7): ``bench.py`` times each drain best-of-3, and
+until round 7 every pass re-wrote its input file groups (and the
+near-dedup seeded band index) from scratch — ~2-3 s of batch parquet
+writes counted against every streaming number.  Inputs are now built
+ONCE per (bench, sf_dir) under a single process-lifetime work root and
+reused across passes; only the run-scoped state (output dir,
+checkpoint, and the digest/band index the stream APPENDS to) is fresh
+per pass — the seeded band index is file-copied from a cached template
+instead of recomputed, so repeat passes do identical streaming work
+over identical inputs.  The min-of-3 therefore measures the DRAIN, not
+the test harness's input writes.
 """
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
 import tempfile
 
 import pyspark.sql.functions as F
+
+_WORK_ROOT: str | None = None
+_PREPPED: dict[tuple[str, str], dict] = {}
+
+
+def _work_root() -> str:
+    global _WORK_ROOT
+    if _WORK_ROOT is None or not os.path.isdir(_WORK_ROOT):
+        _WORK_ROOT = tempfile.mkdtemp(prefix="fastml_stream_bench_")
+        atexit.register(shutil.rmtree, _WORK_ROOT, ignore_errors=True)
+    return _WORK_ROOT
+
+
+def _prep(name: str, sf_dir: str, build) -> dict:
+    """Build-once cache: ``build(prep_dir) -> ctx`` runs only the first
+    time per (bench, sf_dir) and whenever its directory vanished."""
+    key = (name, sf_dir)
+    ctx = _PREPPED.get(key)
+    if ctx is not None and os.path.isdir(ctx["dir"]):
+        return ctx
+    prep_dir = os.path.join(_work_root(), f"{name}_{abs(hash(sf_dir))}")
+    shutil.rmtree(prep_dir, ignore_errors=True)
+    os.makedirs(prep_dir)
+    ctx = dict(build(prep_dir) or {})
+    ctx["dir"] = prep_dir
+    ctx["n_runs"] = 0
+    _PREPPED[key] = ctx
+    return ctx
+
+
+def _run_dir(ctx: dict) -> str:
+    """Fresh per-pass scratch (out/ckpt/index live here); the previous
+    pass's scratch is removed so repeated passes don't accumulate."""
+    ctx["n_runs"] += 1
+    prev = os.path.join(ctx["dir"], f"run{ctx['n_runs'] - 1}")
+    shutil.rmtree(prev, ignore_errors=True)
+    d = os.path.join(ctx["dir"], f"run{ctx['n_runs']}")
+    os.makedirs(d)
+    return d
 
 
 def bench_stream_exact_dedup(spark, sf_dir: str) -> int:
@@ -37,10 +78,10 @@ def bench_stream_exact_dedup(spark, sf_dir: str) -> int:
         streaming_exact_dedup,
     )
 
-    work = tempfile.mkdtemp(prefix="fastml_stream_bench_")
-    try:
-        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-        src = os.path.join(work, "incoming")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    def build(prep_dir: str) -> dict:
+        src = os.path.join(prep_dir, "incoming")
         n_batches = 4
         for i in range(n_batches):
             (
@@ -57,20 +98,22 @@ def bench_stream_exact_dedup(spark, sf_dir: str) -> int:
             .write.mode("overwrite")
             .parquet(os.path.join(src, "replay"))
         )
-        index_dir = os.path.join(work, "index")
-        build_digest_index(docs.limit(0), index_dir)
-        q = streaming_exact_dedup(
-            spark.readStream.schema(docs.schema)
-            .option("maxFilesPerTrigger", 2)
-            .parquet(src + "/*"),
-            index_dir,
-            os.path.join(work, "out"),
-            os.path.join(work, "ckpt"),
-        )
-        q.awaitTermination()
-        return spark.read.parquet(os.path.join(work, "out")).count()
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
+        return {"src": src}
+
+    ctx = _prep("exact_dedup", sf_dir, build)
+    rd = _run_dir(ctx)
+    index_dir = os.path.join(rd, "index")
+    build_digest_index(docs.limit(0), index_dir)
+    q = streaming_exact_dedup(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(ctx["src"] + "/*"),
+        index_dir,
+        os.path.join(rd, "out"),
+        os.path.join(rd, "ckpt"),
+    )
+    q.awaitTermination()
+    return spark.read.parquet(os.path.join(rd, "out")).count()
 
 
 def bench_stream_seasonal_stats(spark, sf_dir: str) -> int:
@@ -81,22 +124,21 @@ def bench_stream_seasonal_stats(spark, sf_dir: str) -> int:
         seasonal_stats,
     )
 
-    work = tempfile.mkdtemp(prefix="fastml_stream_bench_")
-    try:
-        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        src = os.path.join(work, "events_in")
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+    def build(prep_dir: str) -> dict:
+        src = os.path.join(prep_dir, "events_in")
         # 8 file groups → several micro-batches under availableNow
         ev.repartition(8).write.mode("overwrite").parquet(src)
-        stream = spark.readStream.schema(ev.schema).option(
-            "maxFilesPerTrigger", 2
-        ).parquet(src)
-        run_available_now(seasonal_stats(stream), "bench_seasonal")
-        return spark.table("bench_seasonal").count()
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
+        return {"src": src}
 
-
-
+    ctx = _prep("seasonal", sf_dir, build)
+    _run_dir(ctx)  # keeps pass accounting symmetric; memory sink needs no dirs
+    stream = spark.readStream.schema(ev.schema).option(
+        "maxFilesPerTrigger", 2
+    ).parquet(ctx["src"])
+    run_available_now(seasonal_stats(stream), "bench_seasonal")
+    return spark.table("bench_seasonal").count()
 
 
 def bench_stream_cusum(spark, sf_dir: str) -> int:
@@ -108,26 +150,28 @@ def bench_stream_cusum(spark, sf_dir: str) -> int:
     state path at the minimum suite cost."""
     from fastmlframework_spark.streaming.stateful import streaming_cusum
 
-    work = tempfile.mkdtemp(prefix="fastml_stream_bench_")
-    try:
-        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        src = os.path.join(work, "events_in")
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+    def build(prep_dir: str) -> dict:
+        src = os.path.join(prep_dir, "events_in")
         ev.repartition(4).write.mode("overwrite").parquet(src)
-        stream = spark.readStream.schema(ev.schema).option(
-            "maxFilesPerTrigger", 2
-        ).parquet(src)
-        q = (
-            streaming_cusum(stream)
-            .writeStream.format("noop")
-            .option("checkpointLocation", os.path.join(work, "ckpt"))
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        return 1
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
+        return {"src": src}
+
+    ctx = _prep("cusum", sf_dir, build)
+    rd = _run_dir(ctx)
+    stream = spark.readStream.schema(ev.schema).option(
+        "maxFilesPerTrigger", 2
+    ).parquet(ctx["src"])
+    q = (
+        streaming_cusum(stream)
+        .writeStream.format("noop")
+        .option("checkpointLocation", os.path.join(rd, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return 1
 
 
 def bench_stream_near_dedup(spark, sf_dir: str) -> int:
@@ -138,28 +182,29 @@ def bench_stream_near_dedup(spark, sf_dir: str) -> int:
     probe, the within-batch self-probe, and the novel-rows index
     append — the most expensive streaming path and the likeliest to
     regress (an accidental index-side shuffle lands here).  Returns
-    rows emitted."""
+    rows emitted.  The stream appends to its index, so each pass gets
+    a file-copy of the seeded-index template, not a recompute."""
     from fastmlframework_spark.extensions.dedup import minhash_band_index
     from fastmlframework_spark.streaming.dedup import streaming_near_dedup
 
-    work = tempfile.mkdtemp(prefix="fastml_stream_bench_")
-    try:
-        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    def build(prep_dir: str) -> dict:
         # quarter-corpus slices: the bench gates the PLAN (broadcast
         # probes, no index shuffle), so per-trigger fixed cost + a
         # representative probe size suffice — full halves just triple
         # the suite cost for the same regression signal
         seeded = docs.filter(F.col("doc_id") % 4 == 0)
-        index_dir = os.path.join(work, "bindex")
-        minhash_band_index(seeded).coalesce(4).write.mode("overwrite").parquet(
-            index_dir
-        )
+        tmpl = os.path.join(prep_dir, "bindex_template")
+        minhash_band_index(seeded).coalesce(4).write.mode(
+            "overwrite"
+        ).parquet(tmpl)
         # exactly TWO triggers (wall-clock is per-trigger fixed cost:
         # batch signature jobs + two parquet appends each): trigger 1
         # ingests novel docs, trigger 2 replays an indexed slice under
         # new ids → cross-batch corpus hits through the trigger-1
         # appends
-        src = os.path.join(work, "incoming")
+        src = os.path.join(prep_dir, "incoming")
         for i in range(2):
             (
                 docs.filter((F.col("doc_id") % 8) == 2 * i + 1)
@@ -174,20 +219,22 @@ def bench_stream_near_dedup(spark, sf_dir: str) -> int:
             .write.mode("overwrite")
             .parquet(os.path.join(src, "replay"))
         )
-        q = streaming_near_dedup(
-            spark.readStream.schema(docs.schema)
-            .option("maxFilesPerTrigger", 2)
-            .parquet(src + "/*"),
-            index_dir,
-            os.path.join(work, "out"),
-            os.path.join(work, "ckpt"),
-        )
-        q.awaitTermination()
-        return spark.read.parquet(os.path.join(work, "out")).count()
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
+        return {"src": src, "tmpl": tmpl}
 
-
+    ctx = _prep("near_dedup", sf_dir, build)
+    rd = _run_dir(ctx)
+    index_dir = os.path.join(rd, "bindex")
+    shutil.copytree(ctx["tmpl"], index_dir)
+    q = streaming_near_dedup(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(ctx["src"] + "/*"),
+        index_dir,
+        os.path.join(rd, "out"),
+        os.path.join(rd, "ckpt"),
+    )
+    q.awaitTermination()
+    return spark.read.parquet(os.path.join(rd, "out")).count()
 
 
 def bench_stream_quality_gate(spark, sf_dir: str) -> int:
@@ -199,23 +246,25 @@ def bench_stream_quality_gate(spark, sf_dir: str) -> int:
         streaming_quality_gate,
     )
 
-    work = tempfile.mkdtemp(prefix="fastml_stream_bench_")
-    try:
-        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-        src = os.path.join(work, "incoming")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    def build(prep_dir: str) -> dict:
+        src = os.path.join(prep_dir, "incoming")
         docs.repartition(4).write.mode("overwrite").parquet(src)
-        q = streaming_quality_gate(
-            spark.readStream.schema(docs.schema)
-            .option("maxFilesPerTrigger", 2)
-            .parquet(src),
-            os.path.join(work, "out"),
-            os.path.join(work, "stats"),
-            os.path.join(work, "ckpt"),
-        )
-        q.awaitTermination()
-        return spark.read.parquet(os.path.join(work, "out")).count()
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
+        return {"src": src}
+
+    ctx = _prep("quality_gate", sf_dir, build)
+    rd = _run_dir(ctx)
+    q = streaming_quality_gate(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(ctx["src"]),
+        os.path.join(rd, "out"),
+        os.path.join(rd, "stats"),
+        os.path.join(rd, "ckpt"),
+    )
+    q.awaitTermination()
+    return spark.read.parquet(os.path.join(rd, "out")).count()
 
 
 STREAMING_BENCHES = {

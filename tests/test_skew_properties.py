@@ -153,3 +153,24 @@ def test_asof_join_semantics(spark):
     assert out[(1, 20)] == "r15"   # latest preceding
     assert out[(1, 5)] is None     # nothing precedes
     assert out[(2, 10)] is None    # r99 is later; r10/r15 are key 1
+
+
+def test_aqe_skew_split_fires_on_zipfian_join(spark):
+    """The 100 TB skew contract, executed: on the Zipfian bench
+    workload (70% of fact rows on ONE key, multi-mapper shuffle), AQE
+    must actually split the hot partition — the FINAL adaptive plan
+    carries at least one ``skew=true`` SMJ.  If this stops firing
+    (mapper count collapses to 1, thresholds drift, AQE regression),
+    the bench's aqe_skew variant silently degrades to the straggler
+    plan.  sf0.01 is the smallest scale whose hot partition clears the
+    tuned 64KB threshold."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools"),
+    )
+    from bench_skew import final_plan_skew_markers
+
+    assert final_plan_skew_markers(spark, "/root/testdata/sf0.01") > 0

@@ -175,11 +175,35 @@ if __name__ == "__main__":
 
 def final_plan_skew_markers(spark, sf_dir: str) -> int:
     """Test hook: run the AQE variant once and return the number of
-    ``skew=true`` markers in the FINAL adaptive plan (pytest pins > 0)."""
-    _set_confs(spark, aqe=True)
-    fact, dim = _fact(spark, sf_dir), _dim(spark)
-    df = _plain(fact, dim)
-    df.collect()
-    return (
-        df._jdf.queryExecution().executedPlan().toString().count("skew=true")
-    )
+    ``skew=true`` markers in the FINAL adaptive plan (pytest pins > 0).
+    Saves and restores every session conf it touches — the pytest
+    session is shared, and a leaked autoBroadcastJoinThreshold=-1
+    would silently de-broadcast every later plan test."""
+    touched = list(_AQE_CONFS) + [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.enabled",
+    ]
+    saved = {}
+    for k in touched:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+    try:
+        _set_confs(spark, aqe=True)
+        fact, dim = _fact(spark, sf_dir), _dim(spark)
+        df = _plain(fact, dim)
+        df.collect()
+        return (
+            df._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .count("skew=true")
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -58,6 +58,9 @@ EXCLUDED_REASONS = {
     "timed once per round in BENCH_CV.json",
     "cv_oof_invariants": "re-runs the cv_oof_logreg fit to audit it — "
     "timed once per round in BENCH_CV.json",
+    "cv_oof_frozen_bagged": "oracle-hash evidence for the C4 seed-"
+    "bagging join+row-mean path; the single-seed cv_oof_frozen is the "
+    "benched latency representative of the same CV loop",
     "cv_importance_invariants": "re-runs the cv_feature_importance fit "
     "to audit it — timed once per round in BENCH_CV.json",
 }

@@ -237,6 +237,81 @@ def cv_oof_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.oof
 
 
+def _frozen_seed_case_sql(hash_expr: str) -> str:
+    """One seed's OOF probability: NTILE fold assignment over the given
+    key-hash order, then the fold-specific frozen sigmoid."""
+    cases = " ".join(
+        f"WHEN {i} THEN {_frozen_sigmoid_sql(*_FROZEN_FOLDS[i])}"
+        for i in range(3)
+    )
+    return (
+        f"CASE (NTILE(3) OVER (PARTITION BY target ORDER BY {hash_expr})"
+        f" - 1) {cases} END"
+    )
+
+
+def _key_hash_sql(seed: int) -> str:
+    return (
+        "CAST(concat('0x', substring(md5(CAST(key AS VARCHAR) || '|' ||"
+        f" '{seed}'), 1, 15)) AS BIGINT)"
+    )
+
+
+@query(
+    "cv_oof_frozen_bagged",
+    bench=False,
+    oracle=f"""
+WITH t AS (
+SELECT
+  o_orderkey AS key,
+  ROUND(o_totalprice, 2) AS o_totalprice,
+  ROUND(c_acctbal, 2) AS c_acctbal,
+  CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS target
+FROM orders JOIN customer ON o_custkey = c_custkey
+),
+m AS (
+  SELECT key, target,
+         {_frozen_seed_case_sql(_key_hash_sql(27))} AS p27,
+         {_frozen_seed_case_sql(_key_hash_sql(28))} AS p28
+  FROM t
+)
+SELECT key, ROUND((p27 + p28) / 2.0, 6) AS target_oof, target FROM m
+""",
+)
+def cv_oof_frozen_bagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-hash evidence for the C4 SEED-BAGGING path (the half of
+    the CV engine `cv_oof_frozen` doesn't reach): two seeds through
+    the REAL `CVPredictor.run` multi-seed branch — per-seed fold
+    assignment (seed changes the md5 hash order, so folds genuinely
+    differ), per-seed OOF tables joined 1:1 on the key (J1), A9
+    horizontal row-mean, 6-dp rounding.  `FrozenFoldsWrapper.reset_seed`
+    rewinds the coefficient cursor per seed, mirroring the reference's
+    per-bagging-iteration reseed (prediction.py:325-327), so the
+    oracle replays each seed's NTILE assignment + fold-specific
+    sigmoid and averages.  bench=False: the oracle hash is the point;
+    the single-seed loop is the benched latency path."""
+    from fastmlframework_spark.ml.wrappers import FrozenFoldsWrapper
+
+    predictor = CVPredictor(
+        FrozenFoldsWrapper(_FROZEN_FOLDS),
+        metric="roc_auc_score",
+        k=3,
+        seeds=(27, 28),
+        stratified=True,
+        predict_probability=True,
+        target_decimals=6,
+    )
+    res = predictor.run(
+        ml_train_table(spark, sf_dir),
+        None,
+        "key",
+        "target",
+        ["o_totalprice", "c_acctbal", "order_year"],
+    )
+    return res.oof.select("key", "target_oof", "target")
+
+
 @query(
     "cv_importance_invariants",
     bench=False,

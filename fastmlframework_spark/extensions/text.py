@@ -663,8 +663,14 @@ def bpe_train(
         .agg(F.count(F.lit(1)).alias("__wc"))
     )
     spark = df.sparkSession
+    if driver_vocab_cap:
+        # The corpus→vocab reduction is the expensive pass at 100 TB;
+        # persist the Heaps-bounded result so the cap check and the
+        # collect don't each re-scan the corpus.
+        words = words.persist()
     if driver_vocab_cap and words.count() <= driver_vocab_cap:
         collected = [(r["__w"], r["__wc"]) for r in words.collect()]
+        words.unpersist()
         merges, vocab_rows = _bpe_train_driver(collected, n_merges)
         merges_df = spark.createDataFrame(
             merges,
@@ -684,6 +690,7 @@ def bpe_train(
         ).alias("__syms"),
         "__wc",
     ).localCheckpoint(eager=True)
+    words.unpersist()  # no-op unless the over-cap check persisted it
     last_ckpt = vocab
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(1, n_merges + 1):

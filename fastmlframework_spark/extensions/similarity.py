@@ -921,3 +921,109 @@ def prototype_outliers(
         .filter(F.col("rank") <= k)
         .select(label_col, key_col, "cos_centroid", "rank")
     )
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    refine: int = 4,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_key_col: str = "query_id",
+) -> DataFrame:
+    """Scalar-quantization (SQ8) top-k → [query_id, vec_id, cosine,
+    rank] — the remaining production quantization rung between
+    brute-force (8 bytes/dim) and PQ (m bytes/VECTOR): each dimension
+    is linearly quantized to one byte over its corpus [min, max]
+    range (FAISS ``ScalarQuantizer QT_8bit`` shape), cutting index
+    memory 8× while keeping per-dimension structure PQ discards.
+    The approximate scan scores midpoint-dequantized codes
+    (``lo + (code + 0.5)·step``) against the query, the top
+    ``refine·k`` survivors re-rank with the exact dot product.
+
+    Everything is dataset-derived arithmetic — per-dim ranges are one
+    1-row aggregate (no driver-side fit at all, unlike PQ/IVF), so the
+    SQL oracle is fully self-contained.  Determinism contract (same
+    discipline as ``pq_topk``): codes are ``floor`` of IEEE divisions
+    of bit-identical normalized values, and the approximate score is a
+    0.0-seeded left-to-right fold — bit-equal to the oracle's unrolled
+    left-associated chain — so the shortlist SETS match across engines
+    and the exact re-rank hash-matches at 6 dp.
+
+    Plan shape: one corpus pass to normalize+encode (map-only against
+    a broadcast 1-row range row), one broadcast-queries scan of the
+    codes, rank-limit shortlist (WindowGroupLimit map-side top-k),
+    keyed join back for the ≤ refine·k exact re-ranks.  At 100 TB the
+    codes table is the 1-byte-per-dim artifact you keep in RAM; the
+    raw vectors are touched only for the shortlist."""
+    dim = vec_dim(corpus, vec_col)
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    c = (
+        normalize(corpus, vec_col, "cv")
+        .select(key_col, "cv")
+        .repartition(par)
+    )
+    rng = c.agg(
+        *[
+            e
+            for i in range(dim)
+            for e in (
+                F.min(F.col("cv")[i]).alias(f"__lo{i}"),
+                F.max(F.col("cv")[i]).alias(f"__hi{i}"),
+            )
+        ]
+    ).select(
+        F.array(*[F.col(f"__lo{i}") for i in range(dim)]).alias("__lo"),
+        F.array(
+            *[
+                (
+                    F.greatest(
+                        F.col(f"__hi{i}") - F.col(f"__lo{i}"), F.lit(1e-30)
+                    )
+                    / F.lit(255.0)
+                )
+                for i in range(dim)
+            ]
+        ).alias("__st"),
+    )
+    # NOTE Spark's arr[i] subscript is 0-based (DuckDB's is 1-based);
+    # transform's lambda index i is 0-based in both engines' twins.
+    enc = c.crossJoin(F.broadcast(rng)).withColumn(
+        "__codes",
+        F.expr(
+            "transform(cv, (x, i) -> least(255.0D, greatest(0.0D,"
+            " CAST(floor((x - __lo[i]) / __st[i]) AS DOUBLE))))"
+        ),
+    )
+    q = normalize(queries, vec_col, "qv").select(
+        F.col(key_col).alias(query_key_col), "qv"
+    )
+    deq = F.expr(
+        "transform(__codes, (c, i) -> __lo[i] + (c + 0.5D) * __st[i])"
+    )
+    adot = F.expr(dot_expr("__deq", "qv", dim))
+    cand_w = Window.partitionBy(query_key_col).orderBy(
+        F.desc("__adot"), F.asc(key_col)
+    )
+    shortlist = (
+        enc.withColumn("__deq", deq)
+        .join(F.broadcast(q), on=F.col(key_col) != F.col(query_key_col))
+        .withColumn("__adot", adot)
+        .withColumn("__crank", F.row_number().over(cand_w))
+        .filter(F.col("__crank") <= refine * k)
+        .select(query_key_col, key_col)
+    )
+    exact = (
+        shortlist.join(c, on=key_col)
+        .join(F.broadcast(q), on=query_key_col)
+        .withColumn("cosine", F.round(F.expr(dot_expr("cv", "qv", dim)), 6))
+    )
+    w = Window.partitionBy(query_key_col).orderBy(
+        F.desc("cosine"), F.asc(key_col)
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_key_col, key_col, "cosine", "rank")
+    )

@@ -343,3 +343,72 @@ def embedding_prototype_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding", "label"
     )
     return xsim.prototype_outliers(emb, k=5)
+
+
+def _sq8_oracle(dim: int = 64, k: int = 3, refine: int = 4) -> str:
+    """Fully self-contained SQL twin of ``sq8_topk`` — no driver fit
+    to replicate (per-dim ranges are aggregates of the data), so the
+    whole chain is plain SQL: normalize (float-squares twin), per-dim
+    min/max, floor-quantize, midpoint-dequantize, left-associated
+    approximate dot for the shortlist, exact re-rank at 6 dp.
+    DuckDB lists are 1-based where Spark subscripts are 0-based; the
+    generate_series indices here are 1-based to compensate."""
+    from fastmlframework_spark.queries import lsh_sql as L
+
+    nsq = L.norm_sq_float_sql("v")
+    los = ", ".join(f"MIN(cv[{i + 1}])" for i in range(dim))
+    his = ", ".join(
+        f"GREATEST(MAX(cv[{i + 1}]) - MIN(cv[{i + 1}]), 1e-30) / 255.0"
+        for i in range(dim)
+    )
+    deq_dot = "(" + " + ".join(
+        f"qv[{i + 1}] * (lo[{i + 1}] + (codes[{i + 1}] + 0.5) * st[{i + 1}])"
+        for i in range(dim)
+    ) + ")"
+    return f"""
+WITH c0 AS (SELECT vec_id, embedding AS v FROM embeddings),
+cn AS (
+  SELECT vec_id, list_transform(v, __x -> __x / sqrt({nsq})) AS cv FROM c0
+),
+rng AS (SELECT [{los}] AS lo, [{his}] AS st FROM cn),
+enc AS (
+  SELECT vec_id, cv,
+         list_transform(generate_series(1, {dim}), __i ->
+           LEAST(255.0, GREATEST(0.0,
+             CAST(FLOOR((cv[CAST(__i AS INT)] - lo[CAST(__i AS INT)])
+                        / st[CAST(__i AS INT)]) AS DOUBLE)))) AS codes
+  FROM cn, rng
+),
+q AS (SELECT vec_id AS query_id, cv AS qv FROM cn WHERE vec_id < 10),
+shortlist AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, e.vec_id AS vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY {deq_dot} DESC, e.vec_id) AS crank
+    FROM enc e, q, rng WHERE e.vec_id <> q.query_id
+  ) t WHERE crank <= {refine * k}
+)
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT query_id, s.vec_id AS vec_id,
+         ROUND({L.dot_sql("cv", "qv", dim)}, 6) AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY ROUND({L.dot_sql("cv", "qv", dim)}, 6)
+                                     DESC, s.vec_id) AS rank
+  FROM shortlist s JOIN cn ON s.vec_id = cn.vec_id
+                   JOIN q USING (query_id)
+) t WHERE rank <= {k}
+"""
+
+
+@query("ann_topk_sq8", oracle=_sq8_oracle())
+def ann_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization (SQ8) top-k: per-dimension byte codes over
+    corpus [min, max] ranges (8× index-memory cut, FAISS QT_8bit
+    shape), midpoint-dequantized approximate scan, exact re-rank of
+    the top refine·k.  Fully hash-matched oracle with NO inlined
+    literals — the quantizer is derived from the data by both engines
+    independently."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return xsim.sq8_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=3, refine=4
+    )

@@ -639,3 +639,30 @@ def test_prototype_outliers_rank_least_prototypical_first(spark):
     assert [r.rank for r in out] == [1, 2, 3, 4]
     cs = [r.cos_centroid for r in out]
     assert cs == sorted(cs)
+
+
+def test_sq8_topk_recall_and_planted_copy(spark, sf_dir_small):
+    """SQ8 quantizes each dimension to 256 levels, so on random
+    near-orthogonal embeddings the approximate ordering should be
+    close to exact — recall@3 well above the LSH single-probe band —
+    and an exact planted copy must come back as the top-1 neighbor
+    (identical vector → identical codes → shortlist membership by the
+    widest possible margin, then exact re-rank)."""
+    emb = load_table(spark, sf_dir_small, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = xsim.cosine_topk(emb, queries, k=3)
+    sq8 = xsim.sq8_topk(emb, queries, k=3, refine=4)
+    rec = xsim.recall_at_k(sq8, exact)
+    assert rec > 0.85, rec
+
+    planted = emb.unionByName(
+        queries.select(
+            (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+        )
+    )
+    top1 = xsim.sq8_topk(planted, queries, k=1, refine=4)
+    rows = {r["query_id"]: r["vec_id"] for r in top1.collect()}
+    assert all(rows[qid] == qid + 10000 for qid in rows), rows
+    assert len(rows) == 20

@@ -1027,3 +1027,101 @@ def sq8_topk(
         .filter(F.col("rank") <= k)
         .select(query_key_col, key_col, "cosine", "rank")
     )
+
+
+def hamming_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    refine: int = 8,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_key_col: str = "query_id",
+) -> DataFrame:
+    """Binary (1-bit sign) embedding top-k → [query_id, vec_id,
+    cosine, rank] — the bottom rung of the quantization ladder
+    (binary 1 bit/dim → SQ8 1 byte/dim → PQ m bytes/vector): each
+    dimension collapses to its sign bit, candidate ranking is Hamming
+    distance (bit_count of XOR — for unit vectors, popcount of sign
+    disagreement is a monotone proxy for angle, Charikar 2002 sign-LSH
+    collision bound), and the top ``refine·k`` survivors re-rank with
+    the exact dot product.  64 dims = 8 BYTES per vector: the whole
+    billion-vector index is ~8 GB of longs scanned with two popcount
+    instructions per candidate — the cheapest first-pass filter that
+    exists.
+
+    Bits pack into TWO 32-bit words per 64 dims (not one 64-bit long:
+    ``1 << 63`` flips the sign in Spark and raises overflow in
+    DuckDB's checked shift — two sub-2³¹ words sidestep both).  All
+    candidate arithmetic is INTEGER-exact, so the SQL twin needs no
+    float-stability discipline at all; ties break on the corpus key.
+
+    Plan shape mirrors ``sq8_topk``: one map-only corpus pass to pack
+    bits, broadcast-queries scan with XOR+popcount, rank-limit
+    shortlist (map-side WindowGroupLimit), keyed join back for the
+    ≤ refine·k exact re-ranks."""
+    dim = vec_dim(corpus, vec_col)
+    n_words = (dim + 31) // 32
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+
+    def pack(col: str) -> list:
+        cols = []
+        for w in range(n_words):
+            bits = [
+                f"IF({col}[{i}] >= 0.0D, CAST(1 AS BIGINT) << {i - 32 * w}, CAST(0 AS BIGINT))"
+                for i in range(32 * w, min(32 * (w + 1), dim))
+            ]
+            cols.append(F.expr("(" + " | ".join(bits) + ")").alias(f"__b{w}"))
+        return cols
+
+    c = (
+        normalize(corpus, vec_col, "cv")
+        .select(key_col, "cv")
+        .repartition(par)
+    )
+    cb = c.select(key_col, "cv", *pack("cv"))
+    q = normalize(queries, vec_col, "qv").select(
+        F.col(key_col).alias(query_key_col), "qv"
+    )
+    qb = q.select(
+        query_key_col,
+        "qv",
+        *[c_.alias(f"__q{w}") for w, c_ in enumerate(
+            [e for e in pack("qv")]
+        )],
+    )
+    ham = None
+    for w in range(n_words):
+        term = F.bit_count(
+            F.expr(f"__b{w} ^ __q{w}")
+        )
+        ham = term if ham is None else ham + term
+    cand_w = Window.partitionBy(query_key_col).orderBy(
+        F.asc("__ham"), F.asc(key_col)
+    )
+    shortlist = (
+        cb.drop("cv")
+        .join(
+            F.broadcast(qb.drop("qv")),
+            on=F.col(key_col) != F.col(query_key_col),
+        )
+        .withColumn("__ham", ham)
+        .withColumn("__crank", F.row_number().over(cand_w))
+        .filter(F.col("__crank") <= refine * k)
+        .select(query_key_col, key_col)
+    )
+    exact = (
+        shortlist.join(c, on=key_col)
+        .join(F.broadcast(q), on=query_key_col)
+        .withColumn(
+            "cosine", F.round(F.expr(dot_expr("cv", "qv", dim)), 6)
+        )
+    )
+    w_ = Window.partitionBy(query_key_col).orderBy(
+        F.desc("cosine"), F.asc(key_col)
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w_))
+        .filter(F.col("rank") <= k)
+        .select(query_key_col, key_col, "cosine", "rank")
+    )

@@ -412,3 +412,67 @@ def ann_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return xsim.sq8_topk(
         emb, emb.filter(F.col("vec_id") < 10), k=3, refine=4
     )
+
+
+def _hamming_oracle(dim: int = 64, k: int = 3, refine: int = 8) -> str:
+    """SQL twin of ``hamming_topk`` — the easiest oracle in the ANN
+    family: the candidate stage is INTEGER arithmetic (sign bits
+    packed into two sub-2³¹ words, XOR, bit_count), so shortlist
+    equality needs no float-stability discipline; only the exact
+    re-rank reuses the established dot/round contract."""
+    from fastmlframework_spark.queries import lsh_sql as L
+
+    nsq = L.norm_sq_float_sql("v")
+
+    def word(col: str, w: int) -> str:
+        bits = " | ".join(
+            f"(CASE WHEN {col}[{i + 1}] >= 0.0 THEN (CAST(1 AS BIGINT) << {i - 32 * w}) ELSE 0 END)"
+            for i in range(32 * w, min(32 * (w + 1), dim))
+        )
+        return f"({bits})"
+
+    n_words = (dim + 31) // 32
+    ham = " + ".join(
+        f"bit_count(xor(c.b{w}, q.q{w}))" for w in range(n_words)
+    )
+    cb_words = ", ".join(f"{word('cv', w)} AS b{w}" for w in range(n_words))
+    qb_words = ", ".join(f"{word('qv', w)} AS q{w}" for w in range(n_words))
+    return f"""
+WITH c0 AS (SELECT vec_id, embedding AS v FROM embeddings),
+cn AS (
+  SELECT vec_id, list_transform(v, __x -> __x / sqrt({nsq})) AS cv FROM c0
+),
+cb AS (SELECT vec_id, {cb_words} FROM cn),
+qn AS (SELECT vec_id AS query_id, cv AS qv FROM cn WHERE vec_id < 10),
+qb AS (SELECT query_id, {qb_words} FROM qn),
+shortlist AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, c.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {ham} ASC, c.vec_id) AS crank
+    FROM cb c, qb q WHERE c.vec_id <> q.query_id
+  ) t WHERE crank <= {refine * k}
+)
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT query_id, s.vec_id AS vec_id,
+         ROUND({L.dot_sql("cv", "qv", dim)}, 6) AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY ROUND({L.dot_sql("cv", "qv", dim)}, 6)
+                                     DESC, s.vec_id) AS rank
+  FROM shortlist s JOIN cn ON s.vec_id = cn.vec_id
+                   JOIN qn USING (query_id)
+) t WHERE rank <= {k}
+"""
+
+
+@query("ann_topk_hamming", oracle=_hamming_oracle())
+def ann_topk_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (sign-bit) Hamming top-k: 1 bit per dimension — 8 bytes
+    per 64-dim vector — XOR+popcount candidate scan, exact re-rank of
+    the top refine·k.  The bottom rung of the quantization ladder
+    (binary → SQ8 → PQ → IVF-PQ), with an integer-exact fully
+    self-contained oracle."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return xsim.hamming_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=3, refine=8
+    )

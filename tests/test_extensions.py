@@ -666,3 +666,28 @@ def test_sq8_topk_recall_and_planted_copy(spark, sf_dir_small):
     rows = {r["query_id"]: r["vec_id"] for r in top1.collect()}
     assert all(rows[qid] == qid + 10000 for qid in rows), rows
     assert len(rows) == 20
+
+
+def test_hamming_topk_recall_and_planted_copy(spark, sf_dir_small):
+    """1-bit signatures are coarse on random near-orthogonal vectors —
+    assert a moderate recall floor at refine=8 (well above chance) and
+    the hard contract: an exact planted copy has Hamming distance 0,
+    so it must survive the shortlist and re-rank to top-1."""
+    emb = load_table(spark, sf_dir_small, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = xsim.cosine_topk(emb, queries, k=3)
+    ham = xsim.hamming_topk(emb, queries, k=3, refine=8)
+    rec = xsim.recall_at_k(ham, exact)
+    assert rec > 0.3, rec
+
+    planted = emb.unionByName(
+        queries.select(
+            (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+        )
+    )
+    top1 = xsim.hamming_topk(planted, queries, k=1, refine=8)
+    rows = {r["query_id"]: r["vec_id"] for r in top1.collect()}
+    assert all(rows[qid] == qid + 10000 for qid in rows), rows
+    assert len(rows) == 20

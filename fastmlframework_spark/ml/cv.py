@@ -16,8 +16,10 @@ then seed-bagging average.  Key structural translations:
   1:1 equi-join, §1.4) → A9 row-mean.
 * A12 importance mean over folds → union of per-fold importance rows
   → groupBy(feature).mean.
-* A20/A21 per-fold metric + mean/std — metric on each fold's OOF
-  slice (distributed agg), mean/std driver-side over k floats.
+* A20/A21 per-fold metric + mean/std — ALL k fold metrics in one
+  grouped action over the unioned OOF table (fold carried as a
+  literal tag per fold frame, so no re-tag join; VERDICT r8 #2),
+  mean/std driver-side over k floats.
 
 Scale notes: the fold-annotated train table is cached once and reused
 k×(fits)+k(predicts) times; every per-fold frame is a filter on the
@@ -115,10 +117,14 @@ class CVPredictor:
         for fold in range(self.k):
             tr, va = fold_split(folded, "fold", fold)
             fitted = self.wrapper.fit(tr, feature_cols, target_col)
+            # Tag the fold as a LITERAL: the validation slice IS fold
+            # `fold` by construction, so the A20 pass below needs no
+            # re-tag join back onto the folded table (VERDICT r8 #2).
             oof = self._predict_frame(fitted, va).select(
                 F.col(key_col),
                 F.col("prediction").alias("target_oof"),
                 F.col(target_col).alias("target"),
+                F.lit(fold).alias("fold"),
             )
             oof_frames.append(oof)
             if test_df is not None:
@@ -130,20 +136,17 @@ class CVPredictor:
             for feat, imp in fitted.feature_importances():
                 imp_rows.append((feat, float(imp), fold))
 
-        oof_all = _union_all(oof_frames)
-        # A20 per-fold + overall; fold scores need the fold tag back.
-        oof_scored = oof_all.join(
-            folded.select(key_col, "fold"), on=key_col
-        ).cache()
+        # A20: every fold's metric in ONE action over the unioned OOF
+        # table (grouped AUC / grouped agg), not k filtered jobs —
+        # halves the CV loop's job count (VERDICT r8 #2).
+        oof_scored = _union_all(oof_frames).cache()
+        score_map = metrics_mod.score_by(
+            oof_scored, self.metric, "target", "target_oof", "fold"
+        )
         for fold in range(self.k):
-            scores.append(
-                metrics_mod.score(
-                    oof_scored.filter(F.col("fold") == fold),
-                    self.metric,
-                    "target",
-                    "target_oof",
-                )
-            )
+            if fold not in score_map:
+                raise ValueError(f"fold {fold} produced no OOF rows")
+            scores.append(score_map[fold])
 
         test_pred = None
         if test_df is not None:

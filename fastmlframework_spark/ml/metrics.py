@@ -136,6 +136,109 @@ def roc_auc_df(
     )
 
 
+def roc_auc_by_df(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    by: str,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Grouped rank-based AUC: one row ``[by, auc]`` per group, in ONE
+    Spark plan (VERDICT r8 #2 — the CV engine's A20 per-fold pass used
+    to run k separate ``roc_auc_df`` actions over fold filters; this
+    computes every fold's AUC in a single action).  Same Mann-Whitney
+    arithmetic as ``roc_auc_df`` with every stage keyed by the group:
+    per-(group, score) counts, per-group [min, max] bucketing, within-
+    (group, bucket) prefix windows, per-(group, bucket) offsets, final
+    groupBy(group) reduction.  Exact integer rank arithmetic, so the
+    grouped form returns the same AUC as filtering each group would."""
+    d = df.select(
+        F.col(by).alias("__g"),
+        F.col(score_col).alias("__s"),
+        F.col(label_col).cast("double").alias("__y"),
+    )
+    per_score = d.groupBy("__g", "__s").agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("__y").alias("__npos")
+    )
+    rng = d.groupBy("__g").agg(
+        F.min("__s").alias("__lo"), F.max("__s").alias("__hi")
+    )
+    bucketed = per_score.join(F.broadcast(rng), "__g").withColumn(
+        "__bkt",
+        F.least(
+            F.floor(
+                (F.col("__s") - F.col("__lo"))
+                / F.greatest(F.col("__hi") - F.col("__lo"), F.lit(1e-300))
+                * n_buckets
+            ),
+            F.lit(n_buckets - 1),
+        ),
+    )
+    w_local = (
+        Window.partitionBy("__g", "__bkt")
+        .orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = bucketed.withColumn(
+        "__ln_below", F.coalesce(F.sum("__n").over(w_local), F.lit(0))
+    )
+    w_off = (
+        Window.partitionBy("__g")
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        bucketed.groupBy("__g", "__bkt")
+        .agg(F.sum("__n").alias("__bn"))
+        .withColumn("__off", F.coalesce(F.sum("__bn").over(w_off), F.lit(0)))
+        .select("__g", "__bkt", "__off")
+    )
+    ranked = (
+        local.join(F.broadcast(offsets), ["__g", "__bkt"])
+        .withColumn("__below", F.col("__off") + F.col("__ln_below"))
+        .withColumn("__avg_rank", F.col("__below") + (F.col("__n") + 1) / 2.0)
+    )
+    return (
+        ranked.groupBy("__g")
+        .agg(
+            (
+                (
+                    F.sum(F.col("__npos") * F.col("__avg_rank"))
+                    - F.sum("__npos") * (F.sum("__npos") + 1) / 2.0
+                )
+                / F.nullif(
+                    F.sum("__npos") * F.sum(F.col("__n") - F.col("__npos")),
+                    F.lit(0.0),
+                )
+            ).alias("auc")
+        )
+        .select(F.col("__g").alias(by), "auc")
+    )
+
+
+def score_by(
+    df: DataFrame, metric: str, label_col: str, pred_col: str, by: str
+) -> dict:
+    """A20 grouped form: every group's metric in ONE action — the CV
+    engine scores all k folds with a single groupBy instead of k
+    filtered jobs (VERDICT r8 #2).  Returns {group_value: score}."""
+    if metric == "roc_auc_score":
+        rows = roc_auc_by_df(df, label_col, pred_col, by).collect()
+        out = {r[by]: r["auc"] for r in rows}
+        if any(v is None for v in out.values()):
+            raise ValueError("roc_auc_score needs both classes present")
+        return {k: float(v) for k, v in out.items()}
+    try:
+        expr = METRIC_EXPRS[metric](label_col, pred_col)
+    except KeyError:
+        raise ValueError(
+            f"unknown metric {metric!r}; one of "
+            f"{sorted([*METRIC_EXPRS, 'roc_auc_score'])}"
+        ) from None
+    rows = df.groupBy(by).agg(expr.alias("m")).collect()
+    return {r[by]: float(r["m"]) for r in rows}
+
+
 def score(df: DataFrame, metric: str, label_col: str, pred_col: str) -> float:
     """M9/A20: resolve a metric by its sklearn name and evaluate it."""
     if metric == "roc_auc_score":

@@ -923,47 +923,34 @@ def prototype_outliers(
     )
 
 
-def sq8_topk(
-    corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
-    refine: int = 4,
+def sq8_words(dim: int) -> int:
+    """Packed-index width: 7 byte-codes per BIGINT word.  An 8th code
+    would shift into bits 56-63, where a 255 reaches the sign bit in
+    Spark's ``<<`` and overflows DuckDB's checked shift — the same
+    sub-sign-bit dodge as ``hamming_topk``'s two 32-bit words."""
+    return (dim + 6) // 7
+
+
+def sq8_encode(
+    c: DataFrame,
+    dim: int,
     key_col: str = "vec_id",
-    vec_col: str = "embedding",
-    query_key_col: str = "query_id",
+    extra_cols: tuple = (),
 ) -> DataFrame:
-    """Scalar-quantization (SQ8) top-k → [query_id, vec_id, cosine,
-    rank] — the remaining production quantization rung between
-    brute-force (8 bytes/dim) and PQ (m bytes/VECTOR): each dimension
-    is linearly quantized to one byte over its corpus [min, max]
-    range (FAISS ``ScalarQuantizer QT_8bit`` shape), cutting index
-    memory 8× while keeping per-dimension structure PQ discards.
-    The approximate scan scores midpoint-dequantized codes
-    (``lo + (code + 0.5)·step``) against the query, the top
-    ``refine·k`` survivors re-rank with the exact dot product.
+    """The SQ8 index artifact (VERDICT r8 #3): per-dim [min, max]
+    ranges from ONE 1-row aggregate, then byte codes PACKED 7 per
+    BIGINT — ``[key, __lo, __st, __packed array<bigint>]`` with
+    ceil(dim/7) words (64 dims → 10 longs = 80 bytes/vector vs 512
+    raw — a 6.4× memory cut realized at the artifact level, not just
+    in the docstring; the full 8× would need the 8th byte, which hits
+    the sign bit / DuckDB's checked shift).  Input ``c`` must carry
+    the L2-normalized
+    vector as ``cv``.  Packing is lossless: codes are clamped floor()
+    integers in [0, 255], so BIGINT cast and back returns the
+    identical DOUBLE values and the oracle hash is unchanged.
 
-    Everything is dataset-derived arithmetic — per-dim ranges are one
-    1-row aggregate (no driver-side fit at all, unlike PQ/IVF), so the
-    SQL oracle is fully self-contained.  Determinism contract (same
-    discipline as ``pq_topk``): codes are ``floor`` of IEEE divisions
-    of bit-identical normalized values, and the approximate score is a
-    0.0-seeded left-to-right fold — bit-equal to the oracle's unrolled
-    left-associated chain — so the shortlist SETS match across engines
-    and the exact re-rank hash-matches at 6 dp.
-
-    Plan shape: one corpus pass to normalize+encode (map-only against
-    a broadcast 1-row range row), one broadcast-queries scan of the
-    codes, rank-limit shortlist (WindowGroupLimit map-side top-k),
-    keyed join back for the ≤ refine·k exact re-ranks.  At 100 TB the
-    codes table is the 1-byte-per-dim artifact you keep in RAM; the
-    raw vectors are touched only for the shortlist."""
-    dim = vec_dim(corpus, vec_col)
-    par = corpus.sparkSession.sparkContext.defaultParallelism
-    c = (
-        normalize(corpus, vec_col, "cv")
-        .select(key_col, "cv")
-        .repartition(par)
-    )
+    NOTE Spark's arr[i] subscript is 0-based (DuckDB's is 1-based);
+    the SQL twin's generate_series indices compensate."""
     rng = c.agg(
         *[
             e
@@ -987,21 +974,99 @@ def sq8_topk(
             ]
         ).alias("__st"),
     )
-    # NOTE Spark's arr[i] subscript is 0-based (DuckDB's is 1-based);
-    # transform's lambda index i is 0-based in both engines' twins.
-    enc = c.crossJoin(F.broadcast(rng)).withColumn(
-        "__codes",
-        F.expr(
-            "transform(cv, (x, i) -> least(255.0D, greatest(0.0D,"
-            " CAST(floor((x - __lo[i]) / __st[i]) AS DOUBLE))))"
-        ),
+
+    def _code(i: int) -> str:
+        return (
+            f"CAST(least(255.0D, greatest(0.0D,"
+            f" floor((cv[{i}] - __lo[{i}]) / __st[{i}]))) AS BIGINT)"
+        )
+
+    words = []
+    for w in range(sq8_words(dim)):
+        parts = [
+            f"({_code(i)} << {8 * (i - 7 * w)})"
+            for i in range(7 * w, min(7 * (w + 1), dim))
+        ]
+        words.append("(" + " | ".join(parts) + ")")
+    return (
+        c.crossJoin(F.broadcast(rng))
+        .withColumn("__packed", F.expr("array(" + ", ".join(words) + ")"))
+        .select(key_col, *extra_cols, "__lo", "__st", "__packed")
     )
+
+
+def sq8_dequantize_expr(dim: int) -> str:
+    """Unpack → midpoint-dequantize (``__lo[i] + (code + 0.5)·__st[i]``)
+    in one bounded nested transform over the packed words: the inner
+    sequence stops at the last real dimension of each word, so every
+    subscript stays in bounds under ANSI mode.  Returns the identical
+    DOUBLE array the unpacked form produced — bit-equal approximate
+    dots, same shortlist set, same oracle hash."""
+    return (
+        "flatten(transform(__packed, (wd, wi) -> "
+        f"transform(sequence(0, least(6, {dim - 1} - wi * 7)), j -> "
+        "__lo[wi * 7 + j]"
+        " + (CAST((wd >> (j * 8)) & 255 AS DOUBLE) + 0.5D)"
+        " * __st[wi * 7 + j])))"
+    )
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    refine: int = 4,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_key_col: str = "query_id",
+) -> DataFrame:
+    """Scalar-quantization (SQ8) top-k → [query_id, vec_id, cosine,
+    rank] — the remaining production quantization rung between
+    brute-force (8 bytes/dim) and PQ (m bytes/VECTOR): each dimension
+    is linearly quantized to one byte over its corpus [min, max]
+    range (FAISS ``ScalarQuantizer QT_8bit`` shape), cutting index
+    memory 6.4× (7 packed codes per long) while keeping per-dimension
+    structure PQ discards.
+    The approximate scan scores midpoint-dequantized codes
+    (``lo + (code + 0.5)·step``) against the query, the top
+    ``refine·k`` survivors re-rank with the exact dot product.
+
+    Everything is dataset-derived arithmetic — per-dim ranges are one
+    1-row aggregate (no driver-side fit at all, unlike PQ/IVF), so the
+    SQL oracle is fully self-contained.  Determinism contract (same
+    discipline as ``pq_topk``): codes are ``floor`` of IEEE divisions
+    of bit-identical normalized values, and the approximate score is a
+    0.0-seeded left-to-right fold — bit-equal to the oracle's unrolled
+    left-associated chain — so the shortlist SETS match across engines
+    and the exact re-rank hash-matches at 6 dp.
+
+    Plan shape: one corpus pass to normalize+encode (map-only against
+    a broadcast 1-row range row), one broadcast-queries scan of the
+    codes, rank-limit shortlist (WindowGroupLimit map-side top-k),
+    keyed join back for the ≤ refine·k exact re-ranks.
+
+    The stored index artifact is PACKED (VERDICT r8 #3): byte codes
+    go 7 per BIGINT (``array<bigint>`` of ceil(dim/7) words — an 8th
+    code would shift into bit 56+, where a 255 reaches the sign bit in
+    Spark and overflows DuckDB's checked ``<<``; same sub-sign-bit
+    dodge as ``hamming_topk``'s two 32-bit words).  64 dims = 10 longs
+    = 80 bytes/vector vs 512 raw — a 6.4× memory cut, real at the
+    artifact level.  The scoring expression unpacks with shift/mask
+    back to the identical DOUBLE code values, so the approximate dot
+    (and therefore the shortlist set and the oracle hash) is
+    bit-unchanged from the unpacked form."""
+    dim = vec_dim(corpus, vec_col)
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    c = (
+        normalize(corpus, vec_col, "cv")
+        .select(key_col, "cv")
+        .repartition(par)
+    )
+    enc = sq8_encode(c, dim, key_col)
     q = normalize(queries, vec_col, "qv").select(
         F.col(key_col).alias(query_key_col), "qv"
     )
-    deq = F.expr(
-        "transform(__codes, (c, i) -> __lo[i] + (c + 0.5D) * __st[i])"
-    )
+    deq = F.expr(sq8_dequantize_expr(dim))
     adot = F.expr(dot_expr("__deq", "qv", dim))
     cand_w = Window.partitionBy(query_key_col).orderBy(
         F.desc("__adot"), F.asc(key_col)
@@ -1009,6 +1074,110 @@ def sq8_topk(
     shortlist = (
         enc.withColumn("__deq", deq)
         .join(F.broadcast(q), on=F.col(key_col) != F.col(query_key_col))
+        .withColumn("__adot", adot)
+        .withColumn("__crank", F.row_number().over(cand_w))
+        .filter(F.col("__crank") <= refine * k)
+        .select(query_key_col, key_col)
+    )
+    exact = (
+        shortlist.join(c, on=key_col)
+        .join(F.broadcast(q), on=query_key_col)
+        .withColumn("cosine", F.round(F.expr(dot_expr("cv", "qv", dim)), 6))
+    )
+    w = Window.partitionBy(query_key_col).orderBy(
+        F.desc("cosine"), F.asc(key_col)
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_key_col, key_col, "cosine", "rank")
+    )
+
+
+def ivfsq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 8,
+    n_probe: int = 2,
+    refine: int = 4,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_key_col: str = "query_id",
+    seed: int = 7,
+    max_iter: int = 3,
+) -> DataFrame:
+    """IVF-SQ8 (VERDICT r8 #4): the flat ``sq8_topk`` scan scores every
+    corpus×query candidate — inherent to flat quantization; composing
+    with IVF cells makes the candidate count SUBLINEAR in the corpus:
+    coarse KMeans cells prune the scan to the ``n_probe`` nearest
+    cells per query, the packed SQ8 codes (7 byte-codes per BIGINT,
+    ``sq8_encode``) score only the probed cells' candidates, and the
+    top ``refine·k`` survivors re-rank with the exact dot product —
+    the FAISS ``IVF_SQ8`` production shape, one rung cheaper than
+    IVF-PQ in fit complexity (the scalar quantizer needs no codebook
+    fit at all, just the one global 1-row range aggregate).
+
+    Exactness contract (same discipline as ``ivf_topk``/``ivfpq_topk``):
+    with ``n_probe = n_clusters`` every cell is probed, the candidate
+    set degenerates to the whole corpus, and the result is IDENTICAL
+    to ``sq8_topk`` at the same (k, refine) — which is what lets the
+    registered query share the flat SQ8 hash-matched oracle.  The
+    pruned path (n_probe < n_clusters) is pinned by the planted-top1
+    invariant (a planted exact copy lands in the query's own nearest
+    cell, carries identical codes, and must re-rank to top-1 at
+    cosine 1.0) plus the recall-floor and candidate-reduction tests.
+
+    Plan shape: one corpus pass to normalize, one driver-side Lloyd
+    fit on a ≤64k hash-sample (zero MLlib jobs), one map-only pass to
+    assign cells + pack codes, broadcast of the (query × probed-cell)
+    table joined on the cell id — the corpus is never shuffled; only
+    probed cells' rows are unpacked and scored."""
+    dim = vec_dim(corpus, vec_col)
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    c = (
+        normalize(corpus, vec_col, "cv")
+        .select(key_col, "cv")
+        .repartition(par)
+    )
+    centers = lloyd_centers(
+        hash_sample_rows(c, key_col, "cv", seed=seed),
+        n_clusters,
+        seed=seed,
+        max_iter=max_iter,
+    )
+    assigned = with_cells(c, "cv", [("cell", centers, 0)])
+    enc = sq8_encode(assigned, dim, key_col, extra_cols=("cell",))
+
+    spark = corpus.sparkSession
+    centers_df = spark.createDataFrame(
+        [(i, c_) for i, c_ in enumerate(centers)], ["cell", "center"]
+    ).withColumn("center", F.col("center").cast("array<double>"))
+    q = normalize(queries, vec_col, "qv").select(
+        F.col(key_col).alias(query_key_col), "qv"
+    )
+    qcells = (
+        q.crossJoin(F.broadcast(centers_df))
+        .withColumn("dist", -F.expr(dot_expr("qv", "center", dim)))
+        .withColumn(
+            "probe_rank",
+            F.row_number().over(
+                Window.partitionBy(query_key_col).orderBy("dist", "cell")
+            ),
+        )
+        .filter(F.col("probe_rank") <= n_probe)
+        .select(query_key_col, "qv", "cell")
+    )
+
+    deq = F.expr(sq8_dequantize_expr(dim))
+    adot = F.expr(dot_expr("__deq", "qv", dim))
+    cand_w = Window.partitionBy(query_key_col).orderBy(
+        F.desc("__adot"), F.asc(key_col)
+    )
+    shortlist = (
+        enc.withColumn("__deq", deq)
+        .join(F.broadcast(qcells), on="cell")
+        .filter(F.col(key_col) != F.col(query_key_col))
         .withColumn("__adot", adot)
         .withColumn("__crank", F.row_number().over(cand_w))
         .filter(F.col("__crank") <= refine * k)

@@ -403,14 +403,71 @@ SELECT query_id, vec_id, cosine, rank FROM (
 @query("ann_topk_sq8", oracle=_sq8_oracle())
 def ann_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-quantization (SQ8) top-k: per-dimension byte codes over
-    corpus [min, max] ranges (8× index-memory cut, FAISS QT_8bit
-    shape), midpoint-dequantized approximate scan, exact re-rank of
-    the top refine·k.  Fully hash-matched oracle with NO inlined
-    literals — the quantizer is derived from the data by both engines
-    independently."""
+    corpus [min, max] ranges, PACKED 7 codes per BIGINT word in the
+    stored index (6.4× memory cut, FAISS QT_8bit shape), midpoint-
+    dequantized approximate scan, exact re-rank of the top refine·k.
+    Fully hash-matched oracle with NO inlined literals — the quantizer
+    is derived from the data by both engines independently."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return xsim.sq8_topk(
         emb, emb.filter(F.col("vec_id") < 10), k=3, refine=4
+    )
+
+
+@query("ann_topk_ivfsq8", oracle=_sq8_oracle())
+def ann_topk_ivfsq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ8 (VERDICT r8 #4): coarse KMeans cells prune the scan to
+    the probed cells, the PACKED SQ8 codes score only those cells'
+    candidates (sublinear candidate count — the production shape flat
+    SQ8 lacks), exact refine re-ranks.  Probing every cell (n_probe =
+    n_clusters) degenerates the candidate set to the whole corpus, so
+    the result is IDENTICAL to ``ann_topk_sq8`` at the same (k,
+    refine) and shares its fully data-derived hash-matched oracle —
+    the same degenerate-exactness contract ``ann_topk_ivf`` /
+    ``ann_topk_ivfpq`` use.  Partial-probe behavior is pinned by
+    ``ann_ivfsq8_planted_top1`` and the recall/candidate tests."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return xsim.ivfsq8_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=3,
+        n_clusters=4,
+        n_probe=4,
+        refine=4,
+    )
+
+
+@query(
+    "ann_ivfsq8_planted_top1",
+    bench=False,
+    oracle="""
+SELECT vec_id AS query_id, vec_id + 10000 AS vec_id,
+       CAST(1.0 AS DOUBLE) AS cosine, CAST(1 AS INTEGER) AS rank
+FROM embeddings WHERE vec_id < 10
+""",
+)
+def ann_ivfsq8_planted_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-probe recall invariant for IVF-SQ8 (n_probe 2 of 8): a
+    planted exact copy is assigned to the query's OWN nearest cell
+    (identical vector → identical argmin centroid), so it survives any
+    n_probe ≥ 1 cell cut, carries identical packed byte codes, tops
+    the approximate shortlist, and the exact refine MUST rank it first
+    at cosine 1.0 — the driver-checked contract for the pruned path
+    the shared full-probe oracle cannot see."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.unionByName(
+        queries.select((F.col("vec_id") + 10000).alias("vec_id"), "embedding")
+    )
+    return (
+        xsim.ivfsq8_topk(corpus, queries, k=1, n_clusters=8, n_probe=2)
+        .filter(F.col("rank") == 1)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round("cosine", 6).alias("cosine"),
+            "rank",
+        )
     )
 
 

@@ -707,6 +707,7 @@ def curation_funnel(
     num_hashes: int = 8,
     bands: int = 4,
     near_threshold: float = 0.5,
+    survivor_persistence: str = "local_checkpoint",
 ) -> DataFrame:
     """End-to-end curation survivor funnel → [stage, stage_name,
     n_docs, n_tokens]: the document/token mass remaining after each
@@ -738,7 +739,21 @@ def curation_funnel(
     survivor set — the same cheap→costly gate ordering production
     pipelines use.  Note the eager checkpoint makes construction run
     one Spark job (same pattern as ``semantic_dedup``'s component
-    loop)."""
+    loop).
+
+    Durability trade (ADVICE r8): ``localCheckpoint`` stores the
+    survivor blocks in EXECUTOR-LOCAL (non-reliable) storage and cuts
+    the lineage — on a real cluster, losing an executor after
+    construction makes later reads of the returned frame FAIL
+    outright (no lineage left to recompute from), and the result is
+    frozen against subsequent corpus changes.  That is the right
+    default for a one-shot report on a healthy cluster (no
+    checkpoint-dir config, no reliable-store round-trip).  For
+    long-lived consumers pass ``survivor_persistence="persist"``:
+    the survivor set is persisted + materialized but keeps its
+    lineage, so an executor loss transparently recomputes the lost
+    partitions (from the CURRENT source — the snapshot-freeze
+    property is traded away with the failure mode)."""
     from fastmlframework_spark.extensions.dedup import minhash_lsh_pairs
     from fastmlframework_spark.extensions.filtering import gopher_rule_flags
 
@@ -792,8 +807,17 @@ def curation_funnel(
         s2.withColumn("__mn", F.min(key_col).over(dig_w))
         .filter(F.col(key_col) == F.col("__mn"))
         .drop("__mn")
-        .localCheckpoint(eager=True)
     )
+    if survivor_persistence == "local_checkpoint":
+        s3 = s3.localCheckpoint(eager=True)
+    elif survivor_persistence == "persist":
+        s3 = s3.persist()
+        s3.count()  # materialize now; lineage kept for fault recovery
+    else:
+        raise ValueError(
+            "survivor_persistence must be 'local_checkpoint' or "
+            f"'persist', got {survivor_persistence!r}"
+        )
     pairs = minhash_lsh_pairs(
         s3.select(key_col, text_col),
         key_col=key_col,

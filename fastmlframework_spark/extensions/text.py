@@ -551,6 +551,19 @@ def _bpe_train_driver(
                 pair_counts.pop(p, None)
             if sign > 0:
                 pair_words.setdefault(p, set()).add(idx)
+            else:
+                # Drop the stale index eagerly (ADVICE r8): a rewrite
+                # that eliminates a pair from this word must not leave
+                # the word in that pair's index — grow-only sets would
+                # re-scan every historic holder on each later merge of
+                # the pair (time) and pin dead indices (memory) over a
+                # realistic 32k-merge fit.  _add(idx, +1) re-registers
+                # the pairs the NEW form actually contains.
+                s = pair_words.get(p)
+                if s is not None:
+                    s.discard(idx)
+                    if not s:
+                        pair_words.pop(p, None)
 
     for idx in range(len(words)):
         _add(idx, +1)

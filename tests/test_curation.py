@@ -366,3 +366,28 @@ def test_curation_funnel_monotone_and_stage_order(spark, sf_dir_small):
     assert rows[2].n_docs < rows[1].n_docs
     assert rows[3].n_docs < rows[2].n_docs
     assert rows[4].n_docs < rows[3].n_docs
+
+
+def test_curation_funnel_persist_mode_identical(spark, sf_dir_small):
+    """ADVICE r8: the cluster-durable survivor mode (persist +
+    materialize, lineage kept so executor loss recomputes) must
+    return the exact same funnel as the localCheckpoint default, and
+    an unknown mode must raise."""
+    import pytest
+
+    from fastmlframework_spark.extensions.curation import curation_funnel
+    from fastmlframework_spark.queries.dedup import _corpus
+
+    corpus = _corpus(spark, sf_dir_small)
+    default = sorted(map(tuple, curation_funnel(corpus).collect()))
+    durable = sorted(
+        map(
+            tuple,
+            curation_funnel(
+                corpus, survivor_persistence="persist"
+            ).collect(),
+        )
+    )
+    assert default == durable
+    with pytest.raises(ValueError, match="survivor_persistence"):
+        curation_funnel(corpus, survivor_persistence="bogus")

@@ -155,7 +155,7 @@ def test_asof_join_semantics(spark):
     assert out[(2, 10)] is None    # r99 is later; r10/r15 are key 1
 
 
-def test_aqe_skew_split_fires_on_zipfian_join(spark):
+def test_aqe_skew_split_fires_on_zipfian_join(spark, sf_dir):
     """The 100 TB skew contract, executed: on the Zipfian bench
     workload (70% of fact rows on ONE key, multi-mapper shuffle), AQE
     must actually split the hot partition — the FINAL adaptive plan
@@ -163,14 +163,19 @@ def test_aqe_skew_split_fires_on_zipfian_join(spark):
     (mapper count collapses to 1, thresholds drift, AQE regression),
     the bench's aqe_skew variant silently degrades to the straggler
     plan.  sf0.01 is the smallest scale whose hot partition clears the
-    tuned 64KB threshold."""
+    tuned 64KB threshold (ADVICE r8: path comes from the suite's
+    sf_dir fixture, skipped when that dataset is absent)."""
     import os
     import sys
 
+    import pytest as _pytest
+
+    if not os.path.isdir(sf_dir):
+        _pytest.skip(f"sf dataset absent: {sf_dir}")
     sys.path.insert(
         0,
         os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools"),
     )
     from bench_skew import final_plan_skew_markers
 
-    assert final_plan_skew_markers(spark, "/root/testdata/sf0.01") > 0
+    assert final_plan_skew_markers(spark, sf_dir) > 0

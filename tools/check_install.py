@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Verify `pip install -e .` works in-container and the installed
+package imports WITHOUT the repo on sys.path (VERDICT r8 #8).
+
+The container has no PyPI access and pyproject.toml deliberately has
+no [build-system] table, so the editable install rides the system
+setuptools/wheel (PYTHONPATH=/usr/lib/python3/dist-packages supplies
+bdist_wheel) with --no-build-isolation.  The import check runs from a
+scratch cwd with a child interpreter that does NOT insert the repo
+path itself — resolution must come from the installed .pth/finder
+machinery, which is exactly what a user's `pip install` relies on.
+
+    python tools/check_install.py          # install + verify + log
+
+Writes INSTALL_CHECK.log at the repo root (committed as evidence).
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LOG = os.path.join(REPO, "INSTALL_CHECK.log")
+
+IMPORT_CHECK = r"""
+import sys
+# Guard: the repo must NOT be reachable through cwd/sys.path[0]; the
+# import below has to resolve via the pip-installed finder machinery.
+sys.path = [p for p in sys.path if p not in ("", "{repo}")]
+import fastmlframework_spark
+from fastmlframework_spark.queries.registry import all_queries, all_oracles
+q, o = all_queries(), all_oracles()
+assert len(q) > 150 and set(o) <= set(q), (len(q), len(o))
+print("imported from:", fastmlframework_spark.__file__)
+print("registry:", len(q), "queries,", len(o), "oracles")
+"""
+
+
+def run() -> int:
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/usr/lib/python3/dist-packages"
+    steps: list[tuple[str, list[str], dict]] = [
+        (
+            "pip install -e . --no-deps --no-build-isolation",
+            [
+                sys.executable,
+                "-m",
+                "pip",
+                "install",
+                "-e",
+                ".",
+                "--no-deps",
+                "--no-build-isolation",
+            ],
+            {"cwd": REPO, "env": env},
+        ),
+        (
+            "import from installed copy (cwd=/tmp, repo stripped)",
+            [sys.executable, "-c", IMPORT_CHECK.format(repo=REPO)],
+            {"cwd": "/tmp"},
+        ),
+    ]
+    lines = []
+    code = 0
+    for title, cmd, kw in steps:
+        proc = subprocess.run(cmd, capture_output=True, text=True, **kw)
+        lines.append(f"$ {title}\n{proc.stdout}{proc.stderr}")
+        if proc.returncode != 0:
+            lines.append(f"FAILED (exit {proc.returncode})")
+            code = proc.returncode
+            break
+    else:
+        lines.append("OK: editable install imports without repo sys.path")
+    with open(LOG, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+    return code
+
+
+if __name__ == "__main__":
+    sys.exit(run())

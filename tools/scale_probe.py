@@ -44,7 +44,8 @@ DEFAULT_QUERIES = (
 
 
 def replicate(spark, src: str, out: str, factor: int,
-              mutate: bool = False) -> None:
+              mutate: bool = False, step_mult: int = 1,
+              level: int = 0) -> None:
     """N× the testdata with disjoint key spaces.
 
     ``mutate`` makes replica content DISTINCT so similarity structure
@@ -71,15 +72,31 @@ def replicate(spark, src: str, out: str, factor: int,
       near-resonances that re-aligned certain replica pairs).
     - events: user_id shifts with the replica so the user population
       scales with the data instead of stacking 10× events per user
+
+    ``step_mult``/``level`` support SECOND-level replication (sf1 →
+    sf10, VERDICT r8 #6): the sf1 replica already consumed the base
+    KEY_SHIFT strides and the level-0 mutation namespace, so a naive
+    re-run would collide keys (replica 1's +10M overlaps sf1's own
+    +10M block) and, worse, re-apply IDENTICAL mutations — sf1's
+    replica-3-of-original and sf10's replica-3-of-sf1-original would
+    carry the same ``r3`` tokens / the same embedding delta and become
+    exact cross-level duplicates, quadratically inflating dup groups.
+    ``step_mult=10`` widens every key stride past the sf1 key space;
+    ``level=1`` switches the document tokens to an ``s<i>`` namespace
+    and offsets the embedding hash seed, so cross-level variants stay
+    distinct and the planted dup structure stays proportional.
     """
     tables = (
         "lineitem", "orders", "documents", "embeddings", "events",
         "customer", "supplier", "part", "nation", "region",
     )
+    tok = "r" if level == 0 else "s" * level + "r"
+    hash_i_off = level * 16  # distinct embedding-delta seed per level
     for t in tables:
         df = load_table(spark, src, t)
         if t in KEY_SHIFT:
             key, step = KEY_SHIFT[t]
+            step *= step_mult
             copies = []
             for i in range(factor):
                 cp = df.withColumn(key, F.col(key) + F.lit(i * step))
@@ -88,11 +105,11 @@ def replicate(spark, src: str, out: str, factor: int,
                         cp = cp.withColumn(
                             "text",
                             F.concat(
-                                F.lit(f"ra{i} rb{i} rc{i} "),
+                                F.lit(f"{tok}a{i} {tok}b{i} {tok}c{i} "),
                                 F.regexp_replace(
                                     F.col("text"),
                                     r"(\S+ \S+) ",
-                                    f"$1 r{i} ",
+                                    f"$1 {tok}{i} ",
                                 ),
                             ),
                         )
@@ -100,18 +117,24 @@ def replicate(spark, src: str, out: str, factor: int,
                         # integer-hash shift, not sin(a*i+j): angular
                         # near-resonances make some replica pairs
                         # nearly collinear again at factor >= 62
+                        # L-suffixed literals: with the level offset the
+                        # product exceeds INT32 and ANSI mode raises
+                        # ARITHMETIC_OVERFLOW on the int path.
                         cp = cp.withColumn(
                             "embedding",
                             F.expr(
                                 "transform(embedding, (x, j) -> "
-                                f"CAST(x + 0.15 * (CAST(({i} * 73856093 "
-                                "+ j * 19349663) % 1000 AS DOUBLE) / 500.0 "
+                                f"CAST(x + 0.15 * (CAST(({i + hash_i_off}L"
+                                " * 73856093L "
+                                "+ j * 19349663L) % 1000L AS DOUBLE) / 500.0 "
                                 "- 1.0) AS FLOAT))"
                             ),
                         )
                     elif t == "events":
                         cp = cp.withColumn(
-                            "user_id", F.col("user_id") + F.lit(i * 1_000_000)
+                            "user_id",
+                            F.col("user_id")
+                            + F.lit(i * 1_000_000 * step_mult),
                         )
                 copies.append(cp)
             df = reduce(lambda a, b: a.unionByName(b), copies)
@@ -149,17 +172,29 @@ def probe_exponents(
     """
     import math
 
+    from fastmlframework_spark.streaming.bench import STREAMING_BENCHES
+
     qs = all_queries()
     sfs = [float(os.path.basename(d.rstrip("/")).replace("sf", "")) for d in sf_dirs]
     out: dict = {"sf_dirs": sf_dirs, "queries": {}}
     for name in queries:
-        fn = qs[name]
-        fn(spark, sf_dirs[0]).write.format("noop").mode("overwrite").save()  # warm-up
+        # Streaming drains (stream_*) are end-to-end callables, not
+        # lazy DataFrames — the drain itself is the timed action.
+        if name in qs:
+            fn = qs[name]
+
+            def run(d, fn=fn):
+                fn(spark, d).write.format("noop").mode("overwrite").save()
+        else:
+            sfn = STREAMING_BENCHES[name]
+
+            def run(d, sfn=sfn):
+                sfn(spark, d)
+        run(sf_dirs[0])  # warm-up
         times = []
         for d in sf_dirs:
             best = min(
-                _timed(lambda: fn(spark, d).write.format("noop").mode("overwrite").save())
-                for _ in range(repeats)
+                _timed(lambda: run(d)) for _ in range(repeats)
             )
             times.append(round(best, 4))
         xs = [math.log(s) for s in sfs]
@@ -217,6 +252,19 @@ def main() -> None:
         help="existing sf1.0 directory to include as the top decade "
         "of the --exponents fit",
     )
+    ap.add_argument(
+        "--make-sf10",
+        action="store_true",
+        help="generate a mutated 10x replica of --out/sf1.0 (an "
+        "sf10-scale set, second replication level: wider key strides, "
+        "distinct mutation namespace) at --out/sf10.0 (VERDICT r8 #6)",
+    )
+    ap.add_argument(
+        "--sf10-dir",
+        default=None,
+        help="existing sf10.0 directory to include as the fifth decade "
+        "of the --exponents fit",
+    )
     ap.add_argument("--json-out", default="tools/scale_probe_exponents.json")
     args = ap.parse_args()
 
@@ -229,6 +277,13 @@ def main() -> None:
         print(f"wrote {out}")
         return
 
+    if args.make_sf10:
+        src = os.path.join(args.out, "sf1.0")
+        out = os.path.join(args.out, "sf10.0")
+        replicate(spark, src, out, 10, mutate=True, step_mult=10, level=1)
+        print(f"wrote {out}")
+        return
+
     if args.exponents:
         import json
 
@@ -236,6 +291,8 @@ def main() -> None:
         sf_dirs = [os.path.join(base, f"sf{s}") for s in ("0.001", "0.01", "0.1")]
         if args.sf1_dir:
             sf_dirs.append(args.sf1_dir)
+        if args.sf10_dir:
+            sf_dirs.append(args.sf10_dir)
         # An explicit --queries narrows the probe to just those names
         # (re-probing after a targeted optimization); the default is
         # the full benched registry.

@@ -592,3 +592,34 @@ def test_curation_funnel_two_corpus_scans(spark, sf_dir_small):
     n_parquet = len(re.findall(r"\(\d+\) Scan parquet", plan))
     assert n_parquet == per_pass, (n_parquet, per_pass, plan)
     assert "ExistingRDD" in plan, plan
+
+
+def test_ivfsq8_broadcast_probe_and_packed_scan(spark, sf_dir_small):
+    """IVF-SQ8 scale contract (VERDICT r8 #4): the (query x probed
+    cell) table BROADCASTS onto the encoded corpus (joins on the cell
+    id — never a corpus shuffle), the SQ8 shortlist is a map-side
+    rank-limit (WindowGroupLimit), and the packed-words unpack
+    (flatten/transform) evaluates BELOW the candidate join, once per
+    corpus row rather than once per (corpus x query) candidate."""
+    plan = _plan(spark, sf_dir_small, "ann_topk_ivfsq8")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan, plan
+
+    from fastmlframework_spark.queries.similarity import ann_topk_ivfsq8
+
+    df = ann_topk_ivfsq8(spark, sf_dir_small)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    lines = opt.splitlines()
+    unpack_depth = join_depth = None
+    for ln in lines:
+        body = ln.lstrip(" :+-")
+        depth = len(ln) - len(body)
+        if unpack_depth is None and "flatten(transform(" in ln:
+            unpack_depth = depth
+        # the CANDIDATE join is the one keyed on the cell id
+        if join_depth is None and "Join Inner" in ln and "cell" in ln:
+            join_depth = depth
+    assert unpack_depth is not None and join_depth is not None, opt[:2000]
+    # deeper indentation == further from the root == below the join
+    assert unpack_depth > join_depth, (unpack_depth, join_depth)

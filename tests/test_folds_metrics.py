@@ -119,6 +119,53 @@ def test_unknown_metric_raises(spark):
     df = spark.createDataFrame([(1, 1.0)], ["label", "p"])
     with pytest.raises(ValueError, match="unknown metric"):
         metrics.score(df, "nope", "label", "p")
+    with pytest.raises(ValueError, match="unknown metric"):
+        metrics.score_by(df.withColumn("g", F.lit(0)), "nope", "label", "p", "g")
+
+
+def test_score_by_equals_per_group_filtered(spark):
+    """The grouped single-action form (VERDICT r8 #2: the CV engine's
+    A20 pass) must return exactly what k filtered `score` calls
+    return, for BOTH the rank-based AUC path and an expression metric
+    — including tie handling inside a group, seeded so every group
+    has both classes.  Exact integer rank arithmetic means the AUC
+    values agree to float ulps, not just approximately."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for g in range(4):
+        for i in range(200):
+            label = i % 2  # both classes guaranteed per group
+            # coarse grid forces cross-row ties within and across groups
+            score = round(rng.random(), 2)
+            rows.append((g, label, score))
+    df = spark.createDataFrame(rows, ["fold", "label", "score"])
+
+    for metric in ("roc_auc_score", "accuracy_score", "log_loss"):
+        col = "score"
+        if metric == "accuracy_score":
+            df = df.withColumn("pred", (F.col("score") > 0.5).cast("int"))
+            col = "pred"
+        grouped = metrics.score_by(df, metric, "label", col, "fold")
+        assert sorted(grouped) == [0, 1, 2, 3]
+        for g in range(4):
+            direct = metrics.score(
+                df.filter(F.col("fold") == g), metric, "label", col
+            )
+            assert math.isclose(
+                grouped[g], direct, rel_tol=1e-12
+            ), (metric, g, grouped[g], direct)
+
+
+def test_score_by_single_class_group_raises(spark):
+    """A group missing one class has undefined AUC — the grouped path
+    must raise the same ValueError the filtered path does, not emit a
+    silent NULL-derived score."""
+    rows = [(0, 1, 0.9), (0, 0, 0.1), (1, 1, 0.8), (1, 1, 0.7)]
+    df = spark.createDataFrame(rows, ["fold", "label", "score"])
+    with pytest.raises(ValueError, match="both classes"):
+        metrics.score_by(df, "roc_auc_score", "label", "score", "fold")
 
 
 def test_target_encoding_is_leak_free(spark, sf_dir_small):

@@ -248,7 +248,19 @@ def with_cells(
 
     tmp = df.withColumn("__codes", _codes(F.col(vec_col)))
     for i, (out_col, _, _) in enumerate(codebooks):
-        tmp = tmp.withColumn(out_col, F.col("__codes").getItem(i))
+        # coalesce(-1) marks the column NON-NULLABLE (the UDF never
+        # returns null for a real vector, so values are unchanged).
+        # Without it, every inner join on a cell/code column makes
+        # Catalyst infer IsNotNull(out_col) and push it below the
+        # repartition exchange — which re-evaluates the Arrow UDF a
+        # SECOND time for every corpus row just to test a
+        # never-null value (seen live in the r9 ivfsq8 plan: two
+        # ArrowEvalPython nodes, one under the exchange feeding only
+        # the inferred filter).  Non-nullable output → no inferred
+        # filter → one UDF pass.
+        tmp = tmp.withColumn(
+            out_col, F.coalesce(F.col("__codes").getItem(i), F.lit(-1))
+        )
     return tmp.drop("__codes")
 
 

@@ -623,3 +623,25 @@ def test_ivfsq8_broadcast_probe_and_packed_scan(spark, sf_dir_small):
     assert unpack_depth is not None and join_depth is not None, opt[:2000]
     # deeper indentation == further from the root == below the join
     assert unpack_depth > join_depth, (unpack_depth, join_depth)
+
+
+def test_ann_cell_paths_single_udf_pass(spark, sf_dir_small):
+    """r9 regression guard: an inner join on a with_cells output used
+    to make Catalyst infer IsNotNull(cell) and push it below the
+    repartition exchange, re-evaluating the Arrow cell-assignment UDF
+    for every corpus row a second time.  The coalesce(-1) fix marks
+    the column non-nullable; each benched IVF/PQ plan must carry
+    EXACTLY ONE distinct Arrow/Batch-eval Python node (the planted
+    bench=False variants may legitimately split one logical pass
+    across union branches)."""
+    for name in (
+        "ann_topk_ivf",
+        "ann_topk_pq",
+        "ann_topk_ivfpq",
+        "ann_topk_ivfsq8",
+    ):
+        plan = _plan(spark, sf_dir_small, name)
+        ids = set(
+            re.findall(r"\((\d+)\) (?:ArrowEvalPython|BatchEvalPython)", plan)
+        )
+        assert len(ids) == 1, (name, sorted(ids))

@@ -52,6 +52,8 @@ EXCLUDED_REASONS = {
     "path already benched as ann_topk_ivfpq",
     "ann_ivfsq8_planted_top1": "planted-recall invariant over the "
     "IVF-SQ8 path already benched as ann_topk_ivfsq8",
+    "ann_ivfhamming_planted_top1": "planted-recall invariant over the "
+    "IVF-Hamming path already benched as ann_topk_ivfhamming",
     "events_cusum_alarms": "per-key applyInPandas loop kept only as the "
     "oracle cross-check for events_cusum_scan (the benched form)",
     "cv_oof_invariants": "re-runs the cv_oof_logreg fit to audit it — "

@@ -1210,6 +1210,33 @@ def ivfsq8_topk(
     )
 
 
+def hamming_pack_cols(col: str, dim: int) -> list:
+    """Sign bits packed into sub-2³¹ words (``__b{w}`` BIGINT columns,
+    32 dims per word — ``1 << 63`` flips the sign in Spark and raises
+    overflow in DuckDB's checked shift; two 32-bit words per 64 dims
+    sidestep both).  Shared by the flat and IVF-composed Hamming
+    rungs so their bit layouts (and oracle twins) stay identical."""
+    n_words = (dim + 31) // 32
+    cols = []
+    for w in range(n_words):
+        bits = [
+            f"IF({col}[{i}] >= 0.0D, CAST(1 AS BIGINT) << {i - 32 * w}, CAST(0 AS BIGINT))"
+            for i in range(32 * w, min(32 * (w + 1), dim))
+        ]
+        cols.append(F.expr("(" + " | ".join(bits) + ")").alias(f"__b{w}"))
+    return cols
+
+
+def hamming_distance_expr(n_words: int):
+    """XOR + popcount over the packed ``__b{w}`` / ``__q{w}`` word
+    pairs — INTEGER-exact, so oracle twins need no float discipline."""
+    ham = None
+    for w in range(n_words):
+        term = F.bit_count(F.expr(f"__b{w} ^ __q{w}"))
+        ham = term if ham is None else ham + term
+    return ham
+
+
 def hamming_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1245,22 +1272,12 @@ def hamming_topk(
     n_words = (dim + 31) // 32
     par = corpus.sparkSession.sparkContext.defaultParallelism
 
-    def pack(col: str) -> list:
-        cols = []
-        for w in range(n_words):
-            bits = [
-                f"IF({col}[{i}] >= 0.0D, CAST(1 AS BIGINT) << {i - 32 * w}, CAST(0 AS BIGINT))"
-                for i in range(32 * w, min(32 * (w + 1), dim))
-            ]
-            cols.append(F.expr("(" + " | ".join(bits) + ")").alias(f"__b{w}"))
-        return cols
-
     c = (
         normalize(corpus, vec_col, "cv")
         .select(key_col, "cv")
         .repartition(par)
     )
-    cb = c.select(key_col, "cv", *pack("cv"))
+    cb = c.select(key_col, "cv", *hamming_pack_cols("cv", dim))
     q = normalize(queries, vec_col, "qv").select(
         F.col(key_col).alias(query_key_col), "qv"
     )
@@ -1268,15 +1285,10 @@ def hamming_topk(
         query_key_col,
         "qv",
         *[c_.alias(f"__q{w}") for w, c_ in enumerate(
-            [e for e in pack("qv")]
+            hamming_pack_cols("qv", dim)
         )],
     )
-    ham = None
-    for w in range(n_words):
-        term = F.bit_count(
-            F.expr(f"__b{w} ^ __q{w}")
-        )
-        ham = term if ham is None else ham + term
+    ham = hamming_distance_expr(n_words)
     cand_w = Window.partitionBy(query_key_col).orderBy(
         F.asc("__ham"), F.asc(key_col)
     )
@@ -1286,6 +1298,112 @@ def hamming_topk(
             F.broadcast(qb.drop("qv")),
             on=F.col(key_col) != F.col(query_key_col),
         )
+        .withColumn("__ham", ham)
+        .withColumn("__crank", F.row_number().over(cand_w))
+        .filter(F.col("__crank") <= refine * k)
+        .select(query_key_col, key_col)
+    )
+    exact = (
+        shortlist.join(c, on=key_col)
+        .join(F.broadcast(q), on=query_key_col)
+        .withColumn(
+            "cosine", F.round(F.expr(dot_expr("cv", "qv", dim)), 6)
+        )
+    )
+    w_ = Window.partitionBy(query_key_col).orderBy(
+        F.desc("cosine"), F.asc(key_col)
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w_))
+        .filter(F.col("rank") <= k)
+        .select(query_key_col, key_col, "cosine", "rank")
+    )
+
+
+def ivfhamming_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 8,
+    n_probe: int = 2,
+    refine: int = 8,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_key_col: str = "query_id",
+    seed: int = 7,
+    max_iter: int = 3,
+) -> DataFrame:
+    """IVF-Hamming — the binary-prefilter form of the composed rung
+    (VERDICT r8 #4 named either shape; both now exist): coarse KMeans
+    cells prune the scan to the ``n_probe`` nearest cells per query,
+    sign-bit words (``hamming_pack_cols`` — same layout as the flat
+    rung, 8 bytes per 64 dims) XOR+popcount-score only the probed
+    cells' candidates, and the ``refine·k`` survivors re-rank with
+    the exact dot product.  This is the cheapest composed first-pass
+    that exists: candidate cost is two popcounts per probed-cell row.
+
+    Exactness contract (same discipline as the other composed rungs):
+    with ``n_probe = n_clusters`` the candidate set degenerates to the
+    whole corpus and the result is IDENTICAL to ``hamming_topk`` at
+    the same (k, refine) — which lets the registered query share the
+    flat Hamming INTEGER-exact oracle.  The pruned path is pinned by
+    the planted-top1 invariant and the recall/candidate tests.
+
+    Plan shape mirrors ``ivfsq8_topk``: driver-side Lloyd fit on a
+    ≤64k hash-sample, one map-only pass to assign cells + pack bits,
+    broadcast (query × probed-cell) join keyed on the cell id — the
+    corpus is never shuffled."""
+    dim = vec_dim(corpus, vec_col)
+    n_words = (dim + 31) // 32
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    c = (
+        normalize(corpus, vec_col, "cv")
+        .select(key_col, "cv")
+        .repartition(par)
+    )
+    centers = lloyd_centers(
+        hash_sample_rows(c, key_col, "cv", seed=seed),
+        n_clusters,
+        seed=seed,
+        max_iter=max_iter,
+    )
+    assigned = with_cells(c, "cv", [("cell", centers, 0)])
+    cb = assigned.select(key_col, "cell", *hamming_pack_cols("cv", dim))
+
+    spark = corpus.sparkSession
+    centers_df = spark.createDataFrame(
+        [(i, c_) for i, c_ in enumerate(centers)], ["cell", "center"]
+    ).withColumn("center", F.col("center").cast("array<double>"))
+    q = normalize(queries, vec_col, "qv").select(
+        F.col(key_col).alias(query_key_col), "qv"
+    )
+    qb_words = q.select(
+        query_key_col,
+        *[c_.alias(f"__q{w}") for w, c_ in enumerate(
+            hamming_pack_cols("qv", dim)
+        )],
+    )
+    qcells = (
+        q.crossJoin(F.broadcast(centers_df))
+        .withColumn("dist", -F.expr(dot_expr("qv", "center", dim)))
+        .withColumn(
+            "probe_rank",
+            F.row_number().over(
+                Window.partitionBy(query_key_col).orderBy("dist", "cell")
+            ),
+        )
+        .filter(F.col("probe_rank") <= n_probe)
+        .select(query_key_col, "cell")
+        .join(F.broadcast(qb_words), on=query_key_col)
+    )
+
+    ham = hamming_distance_expr(n_words)
+    cand_w = Window.partitionBy(query_key_col).orderBy(
+        F.asc("__ham"), F.asc(key_col)
+    )
+    shortlist = (
+        cb.join(F.broadcast(qcells), on="cell")
+        .filter(F.col(key_col) != F.col(query_key_col))
         .withColumn("__ham", ham)
         .withColumn("__crank", F.row_number().over(cand_w))
         .filter(F.col("__crank") <= refine * k)

@@ -636,6 +636,46 @@ def test_ivfsq8_partial_probe_recall_and_candidate_cut(spark, sf_dir):
     assert worst_two < 0.8 * total, (worst_two, total)
 
 
+def test_ivfhamming_full_probe_equals_hamming(spark, sf_dir):
+    """With n_probe = n_clusters the probed cells cover the corpus, so
+    IVF-Hamming must equal hamming_topk row-for-row at the same
+    (k, refine) — the degenerate-exactness contract that lets
+    ann_topk_ivfhamming share the flat Hamming integer-exact oracle."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    flat = xsim.hamming_topk(emb, queries, k=3, refine=8)
+    ivf = xsim.ivfhamming_topk(
+        emb, queries, k=3, n_clusters=4, n_probe=4, refine=8
+    )
+    diff = flat.exceptAll(ivf).count() + ivf.exceptAll(flat).count()
+    assert diff == 0
+
+
+def test_ivfhamming_partial_probe_planted_and_recall(spark, sf_dir_small):
+    """Pruned path: 1-bit signatures are coarse, so the recall floor
+    mirrors the flat Hamming test's 0.3 band under a 2-of-8 cell cut
+    with a planted copy guaranteeing the hard contract — the copy has
+    Hamming distance 0 in the query's own nearest cell and must
+    re-rank to top-1 at cosine 1.0."""
+    emb = load_table(spark, sf_dir_small, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 20)
+    planted = emb.unionByName(
+        queries.select(
+            (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+        )
+    )
+    top1 = xsim.ivfhamming_topk(
+        planted, queries, k=1, n_clusters=8, n_probe=2
+    )
+    rows = {r["query_id"]: r["vec_id"] for r in top1.collect()}
+    assert all(rows[qid] == qid + 10000 for qid in rows), rows
+    assert len(rows) == 20
+
+
 def test_hard_negatives_labels_and_planted_order(spark):
     """Planted geometry: query q (label 0) sits nearest to n1
     (label 1), then n2 (label 2); s0 (label 0) is MOST similar of

@@ -639,6 +639,7 @@ def test_ann_cell_paths_single_udf_pass(spark, sf_dir_small):
         "ann_topk_pq",
         "ann_topk_ivfpq",
         "ann_topk_ivfsq8",
+        "ann_topk_ivfhamming",
     ):
         plan = _plan(spark, sf_dir_small, name)
         ids = set(

@@ -89,3 +89,48 @@ def test_feature_vs_target_rejects_bad_range(spark):
     df = spark.createDataFrame([(1.0, "a")], "x double, y string")
     with pytest.raises(ValueError, match="val_max"):
         prepare_feature_vs_target(df, "x", "y", val_min=5.0, val_max=5.0)
+
+
+def test_composed_ann_rungs_tiny_corpus(spark):
+    """Corpora smaller than n_clusters must not crash any composed
+    rung: lloyd_centers clamps k_eff = min(k, n), cell ids stay valid,
+    and with query == corpus each query's top-1 is its nearest OTHER
+    vector (self excluded).  Also pins the r9 coalesce(-1) cell path
+    on a frame Catalyst fully constant-folds."""
+    from fastmlframework_spark.extensions import similarity as xsim
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for fn, kw in (
+        (xsim.ivf_topk, {}),
+        (xsim.ivfsq8_topk, {"refine": 2}),
+        (xsim.ivfhamming_topk, {"refine": 2}),
+    ):
+        out = {
+            r["query_id"]: r["vec_id"]
+            for r in fn(
+                df, df, k=1, n_clusters=8, n_probe=8, **kw
+            ).collect()
+        }
+        assert out[0] == 1 and out[1] == 0, (fn.__name__, out)
+
+
+def test_sq8_encode_constant_dimension(spark):
+    """A constant dimension has zero range — the 1e-30 step floor must
+    keep codes finite and the dequantized value within the clamp, not
+    divide by zero or overflow the byte pack."""
+    from fastmlframework_spark.extensions import similarity as xsim
+
+    rows = [(i, [0.5, float(i)]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    c = xsim.normalize(df, "embedding", "cv").select("vec_id", "cv")
+    enc = xsim.sq8_encode(c, 2)
+    vals = enc.collect()
+    assert len(vals) == 4
+    for r in vals:
+        for w in r["__packed"]:
+            assert 0 <= w < (1 << 56)

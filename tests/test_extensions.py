@@ -843,3 +843,22 @@ def test_hamming_topk_recall_and_planted_copy(spark, sf_dir_small):
     rows = {r["query_id"]: r["vec_id"] for r in top1.collect()}
     assert all(rows[qid] == qid + 10000 for qid in rows), rows
     assert len(rows) == 20
+
+
+def test_ann_ladder_example_end_to_end(spark, sf_dir_small):
+    """The runnable ANN-ladder example: every rung drains against the
+    shared brute-force ground truth; the exact rung must score recall
+    1.0 and every approximate rung a valid recall in [0, 1]."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/examples")
+    from run_ann_ladder import run
+
+    res = run(spark, sf_dir_small, k=3, n_queries=10)
+    assert set(res) == {
+        "bruteforce", "lsh", "hamming", "sq8", "pq",
+        "ivf(2/8)", "ivf-hamming(2/8)", "ivf-sq8(2/8)", "ivf-pq(2/8)",
+    }
+    assert res["bruteforce"]["recall"] == 1.0
+    for name, r in res.items():
+        assert 0.0 <= r["recall"] <= 1.0 and r["sec"] > 0, (name, r)

@@ -18,11 +18,36 @@ Writes INSTALL_CHECK.log at the repo root (committed as evidence).
 from __future__ import annotations
 
 import os
+import re
 import subprocess
 import sys
+from urllib.parse import urlparse
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LOG = os.path.join(REPO, "INSTALL_CHECK.log")
+
+# pip echoes whatever index/mirror the environment points it at
+# ("Looking in indexes: ..."); that can be a private host and must never
+# land in a committed artifact.  Keep only URLs on a public allowlist and
+# redact everything else before the log is written.
+_PUBLIC_HOSTS = {
+    "pypi.org",
+    "files.pythonhosted.org",
+    "pip.pypa.io",
+    "github.com",
+}
+
+
+def redact(text: str) -> str:
+    out = []
+    for line in text.splitlines():
+        if re.match(r"\s*Looking in (indexes|links):", line):
+            continue  # drop the whole line: its only content is the mirror URL
+        def _sub(m: re.Match) -> str:
+            host = urlparse(m.group(0)).hostname or ""
+            return m.group(0) if host in _PUBLIC_HOSTS else "<redacted-url>"
+        out.append(re.sub(r"https?://[^\s'\"]+", _sub, line))
+    return "\n".join(out)
 
 IMPORT_CHECK = r"""
 import sys
@@ -66,7 +91,7 @@ def run() -> int:
     code = 0
     for title, cmd, kw in steps:
         proc = subprocess.run(cmd, capture_output=True, text=True, **kw)
-        lines.append(f"$ {title}\n{proc.stdout}{proc.stderr}")
+        lines.append(f"$ {title}\n{redact(proc.stdout + proc.stderr)}")
         if proc.returncode != 0:
             lines.append(f"FAILED (exit {proc.returncode})")
             code = proc.returncode

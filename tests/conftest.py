@@ -9,7 +9,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from fastmlframework_spark.core.session import get_spark
 
-SF_DIR = os.environ.get("FASTML_TEST_SF_DIR", "/root/testdata/sf0.01")
+SF_DIR = os.environ.get(
+    "FASTML_TEST_SF_DIR",
+    os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+)
 SF_DIR_SMALL = "/root/testdata/sf0.001"
 
 

@@ -48,13 +48,17 @@ def _fit_path(docs, counts: tuple[int, int], repeats: int = 2, **kw) -> dict:
             best = took if best is None else min(best, took)
         runs.append((learned, best))
     (m1, t1), (m2, t2) = runs
-    marginal = (t2 - t1) / max(m2 - m1, 1)
+    # Session jitter can leave t2 <= t1; a negative slope is physically
+    # meaningless (each merge adds work), so clamp to 0 and flag the fit
+    # as noise-dominated rather than projecting negative hours.
+    marginal = max((t2 - t1) / max(m2 - m1, 1), 0.0)
     fixed = max(t1 - marginal * m1, 0.0)
     return {
         "n_merges": [m1, m2],
         "sec": [round(t1, 4), round(t2, 4)],
         "fixed_sec": round(fixed, 4),
         "marginal_sec_per_merge": round(marginal, 5),
+        "noise_dominated": bool(t2 <= t1),
     }
 
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import statistics
 import subprocess
 import sys
 
@@ -63,7 +64,7 @@ def build_message() -> str:
             if e.get("ratio") is not None
         )
         if ratios:
-            med = ratios[len(ratios) // 2]
+            med = statistics.median(ratios)
             lines.append(
                 f"vs {cmp_['baseline']} baseline ({len(ratios)} comparable): "
                 f"median ratio {med:.3f}, max {ratios[-1]:.3f}, "

@@ -982,15 +982,49 @@ def ngram_jaccard_pairs_prefix(
         ex.join(dfreq, on="shingle")
         .withColumn("__pos", F.row_number().over(wpos))
         .filter(F.col("__pos") <= prefix_len)
-        .select(key_col, "shingle")
+        .select(key_col, "n_sh", "__pos", "shingle")
+    )
+    # Size and prefix-position ride the index rows so the two PPJoin
+    # prunes run INSIDE the candidate join, before the distinct and
+    # the array-intersect verify (r10; measured 38%+ candidate cut on
+    # the sf1 replica).  Both are exactness-preserving in reals:
+    #   length:     J ≤ min/max, so J ≥ t ⟹ min ≥ t·max;
+    #   positional: both docs list shingles in the SAME global order,
+    #     so common ≤ min(pa−1, pb−1) + 1 + min(na−pa, nb−pb), while
+    #     J ≥ t forces common ≥ t/(1+t)·(na+nb).
+    # The 1e-9 slack keeps double rounding from pruning an exactly-
+    # boundary pair (0.4·5 > 2 in doubles); extra admits only cost a
+    # verify, never correctness.
+    alpha = (threshold / (1.0 + threshold)) * (F.col("na") + F.col("nb"))
+    ubound = (
+        F.least(F.col("__pa") - 1, F.col("__pb") - 1)
+        + 1
+        + F.least(
+            F.col("na") - F.col("__pa"), F.col("nb") - F.col("__pb")
+        )
     )
     cand = (
-        prefix.select(F.col(key_col).alias("key_a"), "shingle")
+        prefix.select(
+            F.col(key_col).alias("key_a"),
+            F.col("n_sh").alias("na"),
+            F.col("__pos").alias("__pa"),
+            "shingle",
+        )
         .join(
-            prefix.select(F.col(key_col).alias("key_b"), "shingle"),
+            prefix.select(
+                F.col(key_col).alias("key_b"),
+                F.col("n_sh").alias("nb"),
+                F.col("__pos").alias("__pb"),
+                "shingle",
+            ),
             on="shingle",
         )
         .filter(F.col("key_a") < F.col("key_b"))
+        .filter(
+            F.least("na", "nb") + F.lit(1e-9)
+            >= threshold * F.greatest("na", "nb")
+        )
+        .filter(ubound + F.lit(1e-9) >= alpha)
         .select("key_a", "key_b")
         .distinct()
     )

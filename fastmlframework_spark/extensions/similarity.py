@@ -369,9 +369,21 @@ def ivf_topk(
     q = normalize(queries, vec_col, "qv").select(
         F.col(key_col).alias(query_key_col), "qv"
     )
+    # Probe ranking uses the SAME |c|² − 2·v·c squared-Euclidean score
+    # (and the same lowest-cell-id tie-break) as ``with_cells``' corpus
+    # assignment — ranking by raw dot(q, c) instead is wrong for
+    # non-unit-norm Lloyd centers and could skip the query's own
+    # assigned cell (ADVICE r9).  Both dots are 0.0-seeded
+    # left-to-right accumulations, so a planted copy of the query is
+    # GUARANTEED to sit in the probe-rank-1 cell: any n_probe ≥ 1
+    # keeps it.  Applies identically to all four IVF rungs below.
     qcells = (
         q.crossJoin(F.broadcast(centers_df))
-        .withColumn("dist", -F.expr(dot_expr("qv", "center", dim)))
+        .withColumn(
+            "dist",
+            F.expr(dot_expr("center", "center", dim))
+            - 2.0 * F.expr(dot_expr("qv", "center", dim)),
+        )
         .withColumn(
             "probe_rank",
             F.row_number().over(
@@ -391,6 +403,150 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_key_col, key_col, "cosine", "rank")
+    )
+
+
+def ivf_cell_stats(
+    corpus: DataFrame,
+    n_clusters: int = 8,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    max_iter: int = 3,
+) -> DataFrame:
+    """IVF cell-balance audit → [cell, n_vecs, share, imbalance]: the
+    occupancy histogram of the coarse quantizer's cells (every cell,
+    empty ones included) plus the global max/mean occupancy ratio
+    repeated per row (1.0 = perfectly balanced; k = everything in one
+    cell).
+
+    Why it exists (VERDICT r9 #6): at 100 TB a skewed centroid
+    assignment turns the probed-cell candidate scans of every IVF rung
+    into hot partitions — the imbalance ratio is exactly the skew
+    factor those scans inherit, so it belongs in the audit suite next
+    to the recall contracts.  Fit + assignment are the SAME code path
+    the rungs use (``lloyd_centers`` on the seeded hash-sample,
+    ``with_cells`` argmin projection), so the histogram audits the
+    production quantizer, not a re-fit.
+
+    Scale shape: one corpus scan into a k-row groupBy; the histogram
+    completion and the max/mean ratio are broadcast joins over ≤k-row
+    frames — no windows, no second scan, nothing driver-side beyond
+    the fitted centers."""
+    c = normalize(corpus, vec_col, "cv").select(key_col, "cv")
+    centers = lloyd_centers(
+        hash_sample_rows(c, key_col, "cv", seed=seed),
+        n_clusters,
+        seed=seed,
+        max_iter=max_iter,
+    )
+    assigned = with_cells(c, "cv", [("cell", centers, 0)])
+    counts = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vecs"))
+    spark = corpus.sparkSession
+    all_cells = spark.createDataFrame(
+        [(i,) for i in range(len(centers))], "cell int"
+    )
+    hist = all_cells.join(F.broadcast(counts), on="cell", how="left").select(
+        "cell", F.coalesce(F.col("n_vecs"), F.lit(0)).cast("long").alias("n_vecs")
+    )
+    totals = hist.agg(
+        F.sum("n_vecs").alias("__total"), F.max("n_vecs").alias("__max")
+    )
+    k_eff = float(len(centers))
+    return (
+        hist.crossJoin(F.broadcast(totals))
+        .select(
+            "cell",
+            "n_vecs",
+            F.round(F.col("n_vecs") / F.col("__total"), 6).alias("share"),
+            F.round(
+                F.col("__max") / (F.col("__total") / F.lit(k_eff)), 6
+            ).alias("imbalance"),
+        )
+        .orderBy("cell")
+    )
+
+
+def ivf_recall_curve(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_clusters: int = 8,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_key_col: str = "query_id",
+    seed: int = 7,
+    max_iter: int = 3,
+) -> DataFrame:
+    """Recall@k of IVF as a function of n_probe, in ONE pass →
+    [n_probe, recall]: for every exact top-k neighbor, find the probe
+    rank of its cell under the query's own cell ordering; recall at
+    n_probe is then the fraction of exact neighbors whose cell rank is
+    ≤ n_probe.  The dedup suite's ``dedup_minhash_recall_curve``
+    analogue for the ANN ladder — "how many probes buy 95% recall" is
+    the capacity-planning question for every IVF rung.
+
+    Costs ONE exact top-k + one assignment scan — NOT n_clusters
+    separate IVF runs: because probe ranking and assignment share the
+    same |c|² − 2·v·c score (ADVICE r9 fix), membership of a neighbor
+    in the probed set is monotone in n_probe, so the whole curve folds
+    out of one probe-rank join against an 8-row range frame."""
+    exact = cosine_topk(
+        corpus, queries, k=k, key_col=key_col, vec_col=vec_col,
+        query_key_col=query_key_col,
+    )
+    c = normalize(corpus, vec_col, "cv").select(key_col, "cv")
+    centers = lloyd_centers(
+        hash_sample_rows(c, key_col, "cv", seed=seed),
+        n_clusters,
+        seed=seed,
+        max_iter=max_iter,
+    )
+    assigned = with_cells(c, "cv", [("cell", centers, 0)])
+    dim = vec_dim(corpus, vec_col)
+    spark = corpus.sparkSession
+    centers_df = spark.createDataFrame(
+        [(i, c_) for i, c_ in enumerate(centers)], ["cell", "center"]
+    ).withColumn("center", F.col("center").cast("array<double>"))
+    q = normalize(queries, vec_col, "qv").select(
+        F.col(key_col).alias(query_key_col), "qv"
+    )
+    qranks = (
+        q.crossJoin(F.broadcast(centers_df))
+        .withColumn(
+            "dist",
+            F.expr(dot_expr("center", "center", dim))
+            - 2.0 * F.expr(dot_expr("qv", "center", dim)),
+        )
+        .withColumn(
+            "probe_rank",
+            F.row_number().over(
+                Window.partitionBy(query_key_col).orderBy("dist", "cell")
+            ),
+        )
+        .select(query_key_col, "cell", "probe_rank")
+    )
+    hit_ranks = (
+        exact.select(query_key_col, key_col)
+        .join(assigned.select(key_col, "cell"), on=key_col)
+        .join(F.broadcast(qranks), on=[query_key_col, "cell"])
+        .select("probe_rank")
+    )
+    probes = spark.range(1, n_clusters + 1).select(
+        F.col("id").cast("int").alias("n_probe")
+    )
+    return (
+        hit_ranks.crossJoin(F.broadcast(probes))
+        .groupBy("n_probe")
+        .agg(
+            F.round(
+                F.avg(
+                    (F.col("probe_rank") <= F.col("n_probe")).cast("double")
+                ),
+                6,
+            ).alias("recall")
+        )
+        .orderBy("n_probe")
     )
 
 
@@ -731,7 +887,11 @@ def ivfpq_topk(
     )
     qcells = (
         q.crossJoin(F.broadcast(centers_df))
-        .withColumn("dist", -F.expr(dot_expr("qv", "center", dim)))
+        .withColumn(
+            "dist",
+            F.expr(dot_expr("center", "center", dim))
+            - 2.0 * F.expr(dot_expr("qv", "center", dim)),
+        )
         .withColumn(
             "probe_rank",
             F.row_number().over(
@@ -1170,7 +1330,11 @@ def ivfsq8_topk(
     )
     qcells = (
         q.crossJoin(F.broadcast(centers_df))
-        .withColumn("dist", -F.expr(dot_expr("qv", "center", dim)))
+        .withColumn(
+            "dist",
+            F.expr(dot_expr("center", "center", dim))
+            - 2.0 * F.expr(dot_expr("qv", "center", dim)),
+        )
         .withColumn(
             "probe_rank",
             F.row_number().over(
@@ -1385,7 +1549,11 @@ def ivfhamming_topk(
     )
     qcells = (
         q.crossJoin(F.broadcast(centers_df))
-        .withColumn("dist", -F.expr(dot_expr("qv", "center", dim)))
+        .withColumn(
+            "dist",
+            F.expr(dot_expr("center", "center", dim))
+            - 2.0 * F.expr(dot_expr("qv", "center", dim)),
+        )
         .withColumn(
             "probe_rank",
             F.row_number().over(

@@ -39,7 +39,10 @@ def r2_expr(label_col: str, pred_col: str) -> Column:
     ss_tot = F.sum(F.pow(F.col(label_col), 2)) - F.pow(
         F.sum(label_col), 2
     ) / F.count(F.lit(1))
-    return 1.0 - ss_res / ss_tot
+    # try_divide: zero label variance yields NULL (caught by score/
+    # score_by with a descriptive ValueError) instead of an ANSI
+    # DIVIDE_BY_ZERO task failure mid-job.
+    return 1.0 - F.try_divide(ss_res, ss_tot)
 
 
 def log_loss_expr(label_col: str, proba_col: str, eps: float = 1e-15) -> Column:
@@ -236,6 +239,15 @@ def score_by(
             f"{sorted([*METRIC_EXPRS, 'roc_auc_score'])}"
         ) from None
     rows = df.groupBy(by).agg(expr.alias("m")).collect()
+    null_groups = sorted(str(r[by]) for r in rows if r["m"] is None)
+    if null_groups:
+        # e.g. r2_score on a constant-label group divides by zero
+        # variance; mirror the AUC branch's ValueError instead of
+        # letting float(None) surface as a TypeError.
+        raise ValueError(
+            f"{metric} is undefined for group(s) {null_groups} "
+            "(metric aggregated to NULL, e.g. zero variance or empty group)"
+        )
     return {r[by]: float(r["m"]) for r in rows}
 
 
@@ -253,4 +265,10 @@ def score(df: DataFrame, metric: str, label_col: str, pred_col: str) -> float:
             f"unknown metric {metric!r}; one of "
             f"{sorted([*METRIC_EXPRS, 'roc_auc_score'])}"
         ) from None
-    return float(df.agg(expr.alias("m")).first()["m"])
+    val = df.agg(expr.alias("m")).first()["m"]
+    if val is None:
+        raise ValueError(
+            f"{metric} is undefined on this frame (metric aggregated to "
+            "NULL, e.g. zero variance or empty input)"
+        )
+    return float(val)

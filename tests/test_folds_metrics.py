@@ -168,6 +168,23 @@ def test_score_by_single_class_group_raises(spark):
         metrics.score_by(df, "roc_auc_score", "label", "score", "fold")
 
 
+def test_score_by_null_metric_group_raises(spark):
+    """ADVICE r9: an expression metric that aggregates to NULL for a
+    group (r2 on a constant-label fold) must raise the same descriptive
+    ValueError the AUC path does, not TypeError from float(None)."""
+    rows = [
+        (0, 1.0, 0.9),
+        (0, 1.0, 0.1),  # fold 0: zero label variance -> r2 NULL
+        (1, 1.0, 0.8),
+        (1, 0.0, 0.2),
+    ]
+    df = spark.createDataFrame(rows, ["fold", "label", "pred"])
+    with pytest.raises(ValueError, match="undefined for group"):
+        metrics.score_by(df, "r2_score", "label", "pred", "fold")
+    with pytest.raises(ValueError, match="undefined on this frame"):
+        metrics.score(df.filter(F.col("fold") == 0), "r2_score", "label", "pred")
+
+
 def test_target_encoding_is_leak_free(spark, sf_dir_small):
     """OOF property: flipping every label inside fold f must leave
     fold-f rows' encodings unchanged (their encoding uses only the

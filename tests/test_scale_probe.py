@@ -54,6 +54,20 @@ def probe():
         return json.load(fh)
 
 
+def _decade(q: dict, lo: float, hi: float) -> float | None:
+    """Per-decade exponent from the committed (sf, sec) points —
+    ``exponent_top_decade`` always means the LAST decade, which since
+    the sf10 probe (r10) differs per entry (sf0.1→1 for 4-decade
+    entries, sf1→10 for 5-decade ones); gates pin decades by value."""
+    import math
+
+    sf, sec = q["sf"], q["sec"]
+    if lo in sf and hi in sf:
+        i, j = sf.index(lo), sf.index(hi)
+        return math.log10(sec[j] / sec[i])
+    return None
+
+
 @pytest.mark.parametrize("name", _BUCKETED)
 def test_bucketed_paths_are_subquadratic(probe, name):
     q = probe["queries"].get(name)
@@ -69,10 +83,10 @@ def test_top_decade_stays_linearish(probe, name):
     the path is linear-with-overhead, not hiding a quadratic tail."""
     q = probe["queries"].get(name)
     assert q is not None, f"{name} missing from probe artifact"
-    top = q.get("exponent_top_decade")
+    top = _decade(q, 0.1, 1.0)
     if top is None:
-        pytest.skip("probe artifact predates top-decade field")
-    assert top < 1.3, f"{name} top-decade exponent {top}"
+        pytest.skip("probe entry lacks the sf1 decade")
+    assert top < 1.3, f"{name} sf0.1->sf1 exponent {top}"
 
 
 def test_probe_covers_scales(probe):
@@ -92,14 +106,78 @@ def test_probe_covers_full_benched_registry(probe):
     assert not missing, f"benched queries missing from probe: {missing}"
 
 
-def test_all_top_decade_exponents_bounded(probe):
-    """No benched query may scale worse than b = 1.2 over the top
-    decade (sf0.1 → sf1): the whole registry, not just the historic
+def test_all_sf1_decade_exponents_bounded(probe):
+    """No benched query may scale worse than b = 1.2 over the
+    sf0.1 → sf1 decade: the whole registry, not just the historic
     dedup/ANN set, is certified linear-with-overhead."""
-    bad = {
-        name: q["exponent_top_decade"]
-        for name, q in probe["queries"].items()
-        if q.get("exponent_top_decade") is not None
-        and q["exponent_top_decade"] >= 1.2
+    bad = {}
+    for name, q in probe["queries"].items():
+        d = _decade(q, 0.1, 1.0)
+        if d is not None and d >= 1.2:
+            bad[name] = round(d, 4)
+    assert not bad, f"super-linear sf0.1->sf1 exponents: {bad}"
+
+
+# sf1 → sf10 pins for the fifth-decade probe set (VERDICT r9 #7).
+# Exact PAIR-LISTING similarity joins are provably candidate/answer-
+# quadratic on adversarial inputs, and the synthetic corpus is one:
+# ~31 word types (prefix shingles stay high-df, so prefix filtering
+# cannot bound candidates) and replication multiplies near-dup family
+# sizes.  Those queries carry an explicit looser bound + reason here —
+# the scalable path for such corpora is the probabilistic rung
+# (MinHash-LSH: sf10 b≈0.98) which the engine also ships.
+SF10_LOOSER_BOUNDS = {
+    "dedup_ngram_jaccard_prefix": (
+        2.2,
+        "exact set-similarity pair join; tiny-vocab corpus defeats "
+        "prefix filtering (candidates ~quadratic by construction)",
+    ),
+}
+
+
+def test_sf10_decade_exponents_bounded(probe):
+    """Every query in the fifth-decade probe set must stay below
+    b = 1.5 over sf1 → sf10, except the documented answer-bound
+    pair-listing cases above (each still pinned, just looser)."""
+    names = probe.get("sf10_probe", {}).get("queries", [])
+    assert names, "sf10 probe set missing"
+    bad = {}
+    for name in names:
+        q = probe["queries"].get(name)
+        assert q is not None, f"{name} missing from probe queries"
+        d = _decade(q, 1.0, 10.0)
+        assert d is not None, f"{name} lacks the sf10 decade"
+        bound = SF10_LOOSER_BOUNDS.get(name, (1.5,))[0]
+        if d >= bound:
+            bad[name] = (round(d, 4), bound)
+    assert not bad, f"sf1->sf10 exponents over their bounds: {bad}"
+
+
+def test_sf10_probe_covers_expensive_families(probe):
+    """VERDICT r9 #7: every family representative whose sf1 bench cost
+    exceeded ~2s carries a committed sf10 exponent — the named set
+    below is the floor, not the ceiling."""
+    required = {
+        "stream_seasonal_stats",
+        "stream_near_dedup",
+        "stream_quality_gate",
+        "stream_cusum",
+        "stream_exact_dedup",
+        "text_ccnet_buckets",
+        "quality_repetition_signals",
+        "semdedup_threshold_sweep",
+        "dedup_ngram_jaccard_prefix",
+        "dedup_minhash_lsh",
+        "dedup_cross_source_matrix",
+        "split_leakage_safe",
+        "dedup_embedding_lsh",
+        "events_holt_smoothing",
+        "semantic_dedup_planted",
+        "curation_funnel",
+        "cv_oof_frozen",
+        "dedup_duplicate_spans",
+        "text_bpe_train",
     }
-    assert not bad, f"super-linear top-decade exponents: {bad}"
+    have = set(probe.get("sf10_probe", {}).get("queries", []))
+    missing = sorted(required - have)
+    assert not missing, f"sf10 probe missing: {missing}"

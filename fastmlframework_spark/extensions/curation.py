@@ -652,6 +652,219 @@ def embedding_contamination(
     )
 
 
+#: Bloom filters pack 32 (not 64) bits per BIGINT word so every mask
+#: and bit test stays a POSITIVE value in both Spark and the DuckDB
+#: oracle — 1<<63 flips sign in two's complement and the engines
+#: disagree on what that stringifies to; 1<<31 in a 64-bit lane never
+#: can.  RAM cost of the half-empty words is irrelevant at any m.
+BLOOM_WORD_BITS = 32
+
+
+def _with_word_ngrams(
+    df: DataFrame, text_col: str, n: int, out: str = "__shs"
+) -> DataFrame:
+    """Attach the distinct word ``n``-gram array per row (space-joined
+    windows over a whitespace split, short texts yield their whole
+    token span) — the map-side shingle unit shared by the Bloom build
+    and probe.  String shingles, not ``dedup.shingle_sets`` digests:
+    the Bloom positions are ARITHMETIC on the shingle's own xxhash64,
+    so the oracle must hash the identical bytes, and the validated
+    cross-engine hash twin (``queries/xxh64_sql.py``) covers UTF-8
+    strings.
+
+    The split array is projected as its OWN column first: inlining
+    ``split`` into the window lambda re-evaluates it per window —
+    O(len²) per doc, the same Catalyst trap ``dedup.shingle_sets``
+    documents (measured 2.6s → 0.9s on the sf0.1 probe scan)."""
+    w = F.col("__w")
+    return (
+        df.withColumn("__w", F.split(F.col(text_col), r"\s+"))
+        .withColumn(
+            out,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))
+                    ),
+                    lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+                )
+            ),
+        )
+        .drop("__w")
+    )
+
+
+def _bloom_position(i: int | str, num_bits: int, h: str = "h") -> str:
+    """SQL for Bloom position i of 64-bit hash column ``h``:
+    Kirsch–Mitzenmacher double hashing — h1 = low 32 bits, h2 = high
+    32 bits forced odd (odd strides visit every residue of the
+    power-of-two table), pos_i = (h1 + i·h2) mod m.  All operands
+    non-negative and < 2^35, so plain ``%`` matches the oracle's
+    unsigned arithmetic exactly."""
+    return (
+        f"((({h} & 4294967295) + "
+        f"{i} * (shiftrightunsigned({h}, 32) | 1)) % {num_bits})"
+    )
+
+
+def ngram_bloom_filter(
+    evals: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+    num_bits: int | None = 8192,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """ONE-row Bloom filter over the eval corpus's distinct word
+    ``n``-grams → [bloom_words: array<long> (num_bits/32 packed
+    words), num_bits, num_hashes, ngram_n] — the filter carries its
+    own parameters so ``bloom_probe_stats`` cannot probe with
+    mismatched position arithmetic.
+
+    ``num_bits=None`` auto-sizes the table to the eval corpus:
+    m = n_distinct_shingles · num_hashes / ln 2 rounded up to a
+    64-word multiple (the k-optimal load, fpr ≈ 2^-k).  A FIXED m is
+    only safe when the eval corpus is known small — at
+    eval-shingle counts approaching m the filter saturates and the
+    screen flags everything; auto-sizing costs one count() over the
+    (small, broadcast-bound) eval side and keeps the index at ~2.3
+    bits per shingle per hash at any eval size.
+
+    This is the O(bits) alternative to ``eval_contamination``'s
+    broadcast inverted index: the index size is FIXED at ``num_bits``
+    regardless of how many eval shingles exist, and the probe side
+    (``bloom_probe_stats``) becomes a pure map — no shingle-equality
+    join at all.  At 100 TB that is the cheapest possible
+    decontamination pre-screen: broadcast a few KB once, scan the
+    corpus once, shuffle nothing; the exact per-eval containment join
+    then runs only over the tiny flagged subset.  False positives are
+    one-sided (a screen can only over-flag, never miss), bounded by
+    the standard (1 - e^{-kn/m})^k.
+
+    Positions are deterministic double hashing off ONE ``xxhash64``
+    per shingle (see ``_bloom_position``), so the DuckDB oracle twin
+    (``queries/curation.py``) rebuilds the identical bit array."""
+    if num_hashes < 1:
+        raise ValueError(f"num_hashes must be >= 1, got {num_hashes}")
+    sh = (
+        _with_word_ngrams(evals.select(text_col), text_col, n)
+        .select(F.explode("__shs").alias("__sh"))
+        .distinct()
+        .select(F.xxhash64("__sh").alias("h"))
+    )
+    if num_bits is None:
+        import math
+
+        n_sh = sh.count()
+        word_chunk = BLOOM_WORD_BITS * 2
+        num_bits = max(
+            word_chunk,
+            math.ceil(n_sh * num_hashes / math.log(2) / word_chunk)
+            * word_chunk,
+        )
+    if num_bits <= 0 or num_bits % BLOOM_WORD_BITS:
+        raise ValueError(f"num_bits must be a positive multiple of "
+                         f"{BLOOM_WORD_BITS}, got {num_bits}")
+    nwords = num_bits // BLOOM_WORD_BITS
+    pos = sh.select(
+        F.explode(
+            F.array(
+                *[F.expr(_bloom_position(i, num_bits)) for i in range(num_hashes)]
+            )
+        ).alias("__pos")
+    )
+    words = pos.select(
+        F.floor(F.col("__pos") / BLOOM_WORD_BITS).cast("int").alias("__word"),
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), "
+            f"CAST(__pos % {BLOOM_WORD_BITS} AS INT))"
+        ).alias("__mask"),
+    )
+    return (
+        words.groupBy("__word")
+        .agg(F.bit_or("__mask").alias("__m"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("__word", "__m"))
+            ).alias("__map")
+        )
+        .select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(nwords - 1)),
+                lambda i: F.coalesce(
+                    F.element_at("__map", i), F.lit(0).cast("long")
+                ),
+            ).alias("bloom_words"),
+            F.lit(num_bits).alias("num_bits"),
+            F.lit(num_hashes).alias("num_hashes"),
+            F.lit(n).alias("ngram_n"),
+        )
+    )
+
+
+def bloom_probe_stats(
+    train: DataFrame,
+    bloom: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Probe every training document against an ``ngram_bloom_filter``
+    → [key, n_shingles, n_hits, hit_ratio]: the fraction of the doc's
+    distinct word ``n``-grams that the filter claims appear ANYWHERE
+    in the eval corpus (union-level membership — the screen ahead of
+    the exact per-eval containment join, which then runs only on the
+    flagged docs).
+
+    ``n``/``num_bits``/``num_hashes`` come from the filter frame's
+    own metadata columns (one single-row first() — the build/probe
+    position arithmetic cannot drift apart).
+
+    Plan shape: ZERO shuffles.  The shingle array, the per-shingle
+    hash, and all k bit tests are per-row HOF expressions
+    (transform → filter → size), and the one-row filter frame arrives
+    via a broadcast cross join — the corpus is scanned once, map-only,
+    which is the whole point of the Bloom variant at 100 TB.  Each
+    position is computed ONCE (an inner transform over hash indices)
+    and consumed by both the word lookup and the bit shift via the
+    forall lambda binding — not re-derived per use."""
+    meta = bloom.select("ngram_n", "num_bits", "num_hashes").first()
+    n, num_bits, num_hashes = (
+        meta["ngram_n"], meta["num_bits"], meta["num_hashes"]
+    )
+    positions = (
+        f"transform(sequence(0, {num_hashes - 1}), "
+        f"i -> {_bloom_position('i', num_bits)})"
+    )
+    test = (
+        f"((element_at(__bloom_words, "
+        f"CAST(p DIV {BLOOM_WORD_BITS} AS INT) + 1) & "
+        f"shiftleft(CAST(1 AS BIGINT), CAST(p % {BLOOM_WORD_BITS} AS INT)))"
+        f" != 0)"
+    )
+    hits = F.expr(
+        f"size(filter(transform(__shs, s -> xxhash64(s)), "
+        f"h -> forall({positions}, p -> {test})))"
+    )
+    return (
+        _with_word_ngrams(
+            train.select(key_col, text_col), text_col, n
+        )
+        .select(F.col(key_col), F.col("__shs"))
+        .crossJoin(
+            F.broadcast(bloom.select(F.col("bloom_words").alias("__bloom_words")))
+        )
+        .select(
+            key_col,
+            F.size("__shs").alias("n_shingles"),
+            hits.alias("n_hits"),
+        )
+        .filter(F.col("n_shingles") > 0)
+        .withColumn(
+            "hit_ratio",
+            F.round(F.col("n_hits") / F.col("n_shingles"), 6),
+        )
+    )
+
+
 def quality_confidence(
     df: DataFrame,
     by: str = "source",

@@ -274,6 +274,102 @@ def containment_pairs(
     return _materialize_release(out, sets)
 
 
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    n: int = 3,
+    threshold: float = 0.5,
+    sort_prefix_chars: int = 24,
+) -> DataFrame:
+    """Sorted-neighborhood near-dup pairs → [key_a, key_b, jaccard]
+    (key_a < key_b): sort the corpus on a normalized text prefix,
+    compare each document ONLY against its ``window - 1`` successors
+    in the sort order, verify with exact shingle-set Jaccard
+    (Hernández & Stolfo's SNM, the classic blocking alternative to
+    LSH banding).
+
+    Complement, not replacement, of ``minhash_lsh_pairs``: SNM
+    catches prefix-sharing duplicates (truncations, boilerplate
+    headers, re-crawls) in O(N·w) candidate pairs with ONE sort and
+    no signature computation — but misses duplicates whose difference
+    falls inside the sort key.  Production pipelines run several
+    cheap keys; the key here is the first ``sort_prefix_chars`` chars
+    of whitespace-collapsed lowercase text.
+
+    Scale shape: the global order comes from ``curation.global_rank``
+    (range-partitioned distributed sort — no single-partition
+    window); neighbor candidates come from a BLOCK equi-join, not a
+    rank range-join: rows land in fixed blocks of ``window`` ranks,
+    side B is additionally emitted to the previous block, and pairs
+    join on equal block id with a rank-distance filter — every pair
+    with rank distance < window co-occurs in exactly one group
+    (a's own block), each group holds ≤ 3·window rows, so the join is
+    skew-free by construction.  Digest shingle-sets ride the block
+    shuffle as compact arrays; Jaccard is per-row array arithmetic —
+    no pair aggregation shuffle at all (contrast with the
+    inverted-index path, which explodes to shingle rows)."""
+    from fastmlframework_spark.extensions.curation import global_rank
+
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    sk = F.substring(
+        F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "),
+        1,
+        sort_prefix_chars,
+    )
+    ranked = global_rank(
+        df.select(key_col, text_col).withColumn("__sk", sk),
+        order_cols=["__sk", key_col],
+        keep_cols=[key_col],
+        rank_col="__rank",
+    )
+    sets = shingle_sets(df, key_col, text_col, n)
+    r = (
+        ranked.join(sets, on=key_col)
+        .withColumn(
+            "__blk", F.floor((F.col("__rank") - 1) / window).cast("long")
+        )
+        .cache()
+    )
+    a = r.select(
+        F.col(key_col).alias("__ka"),
+        F.col("__rank").alias("__ra"),
+        F.col("shingle_set").alias("__sa"),
+        F.col("n_sh").alias("__na"),
+        F.col("__blk").alias("__g"),
+    )
+    b = r.select(
+        F.col(key_col).alias("__kb"),
+        F.col("__rank").alias("__rb"),
+        F.col("shingle_set").alias("__sb"),
+        F.col("n_sh").alias("__nb"),
+        F.explode(
+            F.array(F.col("__blk"), F.col("__blk") - F.lit(1))
+        ).alias("__g"),
+    ).filter(F.col("__g") >= 0)
+    inter = F.size(F.array_intersect("__sa", "__sb"))
+    out = (
+        a.join(b, on="__g")
+        .filter(
+            (F.col("__rb") - F.col("__ra")).between(1, window - 1)
+        )
+        .withColumn("__c", inter)
+        .withColumn(
+            "__jacc",
+            F.col("__c") / (F.col("__na") + F.col("__nb") - F.col("__c")),
+        )
+        .filter(F.col("__jacc") >= threshold)
+        .select(
+            F.least("__ka", "__kb").alias("key_a"),
+            F.greatest("__ka", "__kb").alias("key_b"),
+            F.round("__jacc", 6).alias("jaccard"),
+        )
+    )
+    return _materialize_release(out, r)
+
+
 # Universal-hash constants: h_j(x) = a_j*x31 + b_j where x31 is the
 # base hash masked to 31 bits — products stay < 2^62, so the
 # arithmetic is ANSI-mode safe (Spark 4 throws on bigint overflow;

@@ -886,3 +886,78 @@ def heaps_law_fit(
             F.regr_intercept(F.log("__n_vocab"), F.log("__n_tok")), 6
         ).alias("heaps_ln_k"),
     )
+
+
+def cms_token_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 1024,
+    top_n: int = 20,
+) -> DataFrame:
+    """Count-min-sketch token-frequency estimates vs exact truth →
+    [token, true_count, cms_count] for the ``top_n`` most frequent
+    tokens (ties broken by token) — the Cormode–Muthukrishnan sketch
+    that answers "how often does X occur?" in ``depth × width``
+    counters of memory REGARDLESS of vocabulary size, with one-sided
+    error (cms_count ≥ true_count always; overestimate ≤ 2N/width
+    with prob ≥ 1 − 2^−depth).
+
+    At 100 TB the exact per-token groupBy shuffles the full
+    vocabulary; the sketch shuffles AT MOST ``depth·width`` counter
+    keys (map-side partial aggregation collapses each partition to
+    the counter grid before the exchange), and sketches from disjoint
+    shards merge by plain counter addition — this diagnostic computes
+    both so the estimate column is oracle-checkable against truth.
+
+    Determinism: counter buckets are ``xxhash64(token, r)`` masked to
+    the power-of-two ``width`` (low bits of the signed value equal
+    the unsigned residue), so the DuckDB twin
+    (``queries/text.py:_cms_oracle``) rebuilds the identical sketch
+    bit-for-bit — even the collision overestimates match."""
+    if width < 2 or width & (width - 1):
+        raise ValueError(f"width must be a power of two >= 2, got {width}")
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1, got {depth}")
+
+    def buckets(tok_col: str):
+        return F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("__r"),
+                        F.xxhash64(tok_col, F.lit(r))
+                        .bitwiseAND(F.lit(width - 1))
+                        .alias("__b"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("__rb")
+
+    toks = df.select(
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_PATTERN), F.lit(0))
+        ).alias("__t")
+    )
+    sketch = (
+        toks.select(buckets("__t"))
+        .groupBy(F.col("__rb.__r").alias("__r"), F.col("__rb.__b").alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    top = (
+        toks.groupBy("__t")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy(F.col("true_count").desc(), "__t")
+        .limit(top_n)
+    )
+    probe = top.select("__t", "true_count", buckets("__t")).select(
+        "__t", "true_count", F.col("__rb.__r").alias("__r"),
+        F.col("__rb.__b").alias("__b"),
+    )
+    return (
+        sketch.join(F.broadcast(probe), on=["__r", "__b"])
+        .groupBy("__t", "true_count")
+        .agg(F.min("__c").alias("cms_count"))
+        .select(F.col("__t").alias("token"), "true_count", "cms_count")
+    )

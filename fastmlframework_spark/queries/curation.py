@@ -88,6 +88,109 @@ def contamination_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bloom_oracle(
+    n: int = 5, num_bits: int = 8192, num_hashes: int = 5
+) -> str:
+    """SQL twin of ``ngram_bloom_filter`` + ``bloom_probe_stats``:
+    rebuilds the identical packed bit array (same xxhash64 via the
+    validated ``xxh64_sql`` twin, same Kirsch–Mitzenmacher double
+    hashing, same 32-bit word packing) and replays every bit test per
+    train shingle with list lambdas — bit-exact, so even the Bloom
+    FALSE POSITIVES match row-for-row."""
+    from fastmlframework_spark.queries import xxh64_sql as xx
+
+    wb = 32
+    nwords = num_bits // wb
+    # [h1, h2_odd] from one unsigned xxhash64: the HUGEINT state's low
+    # and (odd-forced) high 32-bit halves, matching Spark's
+    # (h & 0xFFFFFFFF) / (shiftrightunsigned(h, 32) | 1) on the signed
+    # two's-complement view of the same bits.
+    hpair = xx.let(
+        xx.xxh64_bytes(xx.utf8_bytes("s"), 42),
+        "__u",
+        "[CAST(__u % 4294967296 AS BIGINT), "
+        "CAST(__u // 4294967296 - (__u // 4294967296) % 2 + 1 AS BIGINT)]",
+    )
+
+    def pos(i: int) -> str:
+        return f"((h[1] + {i} * h[2]) % {num_bits})"
+
+    tests = " AND ".join(
+        f"((words[CAST({pos(i)} // {wb} AS INT) + 1] & "
+        f"(1::BIGINT << CAST({pos(i)} % {wb} AS INT))) <> 0)"
+        for i in range(num_hashes)
+    )
+    return f"""
+WITH ev AS (SELECT {_EXCERPT} AS text FROM documents WHERE doc_id % 37 = 0),
+ewk AS (SELECT string_split_regex(text, '\\s+') AS w FROM ev),
+eix AS (
+  SELECT w, unnest(generate_series(1, GREATEST(len(w) - {n - 1}, 1))) AS i
+  FROM ewk
+),
+esh AS (
+  SELECT DISTINCT
+         array_to_string(w[CAST(i AS INT):CAST(i AS INT) + {n - 1}], ' ') AS s
+  FROM eix
+),
+eh AS (SELECT {hpair} AS h FROM esh),
+ebits AS (
+  SELECT CAST((h[1] + t.i * h[2]) % {num_bits} AS BIGINT) AS pos
+  FROM eh, range({num_hashes}) t(i)
+),
+ew AS (
+  SELECT pos // {wb} AS word,
+         bit_or(1::BIGINT << CAST(pos % {wb} AS INT)) AS mask
+  FROM ebits GROUP BY 1
+),
+flist AS (
+  SELECT list(COALESCE(ew.mask, 0) ORDER BY gi.i) AS words
+  FROM range({nwords}) gi(i) LEFT JOIN ew ON ew.word = gi.i
+),
+twk AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents),
+tix AS (
+  SELECT doc_id, w,
+         unnest(generate_series(1, GREATEST(len(w) - {n - 1}, 1))) AS i
+  FROM twk
+),
+tsh AS (
+  SELECT doc_id,
+         list_distinct(list(
+           array_to_string(w[CAST(i AS INT):CAST(i AS INT) + {n - 1}], ' ')
+         )) AS shs
+  FROM tix GROUP BY doc_id
+),
+th AS (SELECT doc_id, list_transform(shs, s -> {hpair}) AS hs FROM tsh),
+scored AS (
+  SELECT doc_id, len(hs) AS n_shingles,
+         len(list_filter(hs, h -> {tests})) AS n_hits
+  FROM th CROSS JOIN flist
+)
+SELECT doc_id, CAST(n_shingles AS INT) AS n_shingles,
+       CAST(n_hits AS INT) AS n_hits,
+       ROUND(n_hits * 1.0 / n_shingles, 6) AS hit_ratio
+FROM scored WHERE n_shingles > 0 AND n_hits > 0
+"""
+
+
+@query("contamination_bloom_screen", oracle=_bloom_oracle())
+def contamination_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination pre-screen: training docs with ≥1
+    distinct 5-gram present (per the filter) in the union of the eval
+    excerpts — the O(bits)-index, zero-shuffle, map-only complement of
+    ``contamination_eval_overlap``'s exact containment join.  The
+    planted excerpts guarantee every source doc flags with a high
+    hit_ratio; the bit-exact oracle reproduces even the false
+    positives, so the hash match covers the screen's real behavior."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    evals = docs.filter(F.col("doc_id") % 37 == 0).select(
+        F.expr(_EXCERPT).alias("text")
+    )
+    bloom = xcur.ngram_bloom_filter(
+        evals, n=5, num_bits=8192, num_hashes=5
+    )
+    return xcur.bloom_probe_stats(docs, bloom).filter(F.col("n_hits") > 0)
+
+
 @query(
     "quality_repetition_filter",
     oracle=f"""

@@ -152,6 +152,60 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return xdedup.containment_pairs(corpus, n=3, threshold=0.9)
 
 
+@query(
+    "dedup_sorted_neighborhood",
+    oracle=f"""
+WITH corpus AS ({_CORPUS_SQL}),
+keyed AS (
+  SELECT doc_id, text,
+         substring(regexp_replace(lower(text), '\\s+', ' ', 'g'), 1, 24)
+             AS sk
+  FROM corpus
+),
+r AS (
+  SELECT doc_id, text,
+         ROW_NUMBER() OVER (ORDER BY sk, doc_id) AS rnk
+  FROM keyed
+),
+toks AS (SELECT doc_id, rnk, string_split_regex(text, '\\s+') AS w FROM r),
+idx AS (
+  SELECT doc_id, rnk, w,
+         unnest(generate_series(1, GREATEST(len(w) - 2, 1))) AS i
+  FROM toks
+),
+sh AS (
+  SELECT doc_id, rnk,
+         list_distinct(list(
+           array_to_string(w[CAST(i AS INT):CAST(i AS INT) + 2], ' ')
+         )) AS s
+  FROM idx GROUP BY doc_id, rnk
+),
+p AS (
+  SELECT a.doc_id AS ka, b.doc_id AS kb,
+         len(list_intersect(a.s, b.s)) AS c,
+         len(a.s) AS na, len(b.s) AS nb
+  FROM sh a JOIN sh b ON b.rnk - a.rnk BETWEEN 1 AND 7
+)
+SELECT LEAST(ka, kb) AS key_a, GREATEST(ka, kb) AS key_b,
+       ROUND(c * 1.0 / (na + nb - c), 6) AS jaccard
+FROM p WHERE c * 1.0 / (na + nb - c) >= 0.5
+""",
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-dup pairs (window 8 over a 24-char
+    normalized-prefix sort, 3-gram Jaccard ≥ 0.5): the one-sort
+    blocking alternative to LSH banding.  The planted corpus copies
+    share their prefix, so every exact copy (j=1.0) and 80%-truncation
+    lands inside the window.  The oracle replays the identical sort
+    (ties broken by doc_id), a brute rank range-join in place of the
+    engine's block equi-join — same candidate set by construction —
+    and string shingles in place of digests (equality classes are
+    identical, the family's standing collision budget)."""
+    return xdedup.sorted_neighborhood_pairs(
+        _corpus(spark, sf_dir), window=8, n=3, threshold=0.5
+    )
+
+
 # --- Literal SQL twins for the sketch paths (VERDICT r3 "next" #2) -----
 # The sketches are seed-deterministic JVM xxhash64 expressions, so their
 # outputs ARE reproducible in SQL once DuckDB can compute the same hash:

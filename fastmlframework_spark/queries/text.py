@@ -639,3 +639,55 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(_PMI_TOP_K)
     )
+
+
+def _cms_oracle(depth: int = 4, width: int = 1024, top_n: int = 20) -> str:
+    """SQL twin of ``extensions/text.py:cms_token_counts``: rebuilds
+    the identical count-min sketch (salted xxhash64 via the validated
+    ``xxh64_sql`` twin, power-of-two bucket mask) as ``depth``
+    UNION-ALL grouped scans, then replays the min-over-rows probe for
+    the same deterministic top-N token set — bit-exact including
+    collision overestimates."""
+    from fastmlframework_spark.queries import xxh64_sql as xx
+
+    base = xx.xxh64_bytes(xx.utf8_bytes("t"), 42)
+
+    def bucket(r: int) -> str:
+        return f"CAST({xx.hash_int(r, base)} % {width} AS BIGINT)"
+
+    counters = "\n  UNION ALL ".join(
+        f"SELECT {r} AS r, {bucket(r)} AS b, COUNT(*) AS c FROM tok GROUP BY 2"
+        for r in range(depth)
+    )
+    probes = "\n  UNION ALL ".join(
+        f"SELECT t, true_count, {r} AS r, {bucket(r)} AS b FROM top"
+        for r in range(depth)
+    )
+    return f"""
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(text, '{_RE["token"]}')) AS t
+  FROM documents
+),
+exact AS (SELECT t, COUNT(*) AS true_count FROM tok GROUP BY t),
+top AS (
+  SELECT t, true_count FROM exact
+  ORDER BY true_count DESC, t LIMIT {top_n}
+),
+sk AS ({counters}),
+pr AS ({probes})
+SELECT pr.t AS token, pr.true_count, MIN(sk.c) AS cms_count
+FROM pr JOIN sk ON sk.r = pr.r AND sk.b = pr.b
+GROUP BY 1, 2
+"""
+
+
+@query("text_cms_token_counts", oracle=_cms_oracle())
+def text_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimates (depth 4 × width 1024)
+    against exact counts for the 20 most frequent tokens — the
+    bounded-memory heavy-hitter sketch whose shuffle is capped at
+    depth·width counters regardless of vocabulary size.  The oracle
+    rebuilds the identical sketch, so even collision overestimates
+    hash-match."""
+    docs = load_table(spark, sf_dir, "documents")
+    return xtext.cms_token_counts(docs, depth=4, width=1024, top_n=20)

@@ -391,3 +391,90 @@ def test_curation_funnel_persist_mode_identical(spark, sf_dir_small):
     assert default == durable
     with pytest.raises(ValueError, match="survivor_persistence"):
         curation_funnel(corpus, survivor_persistence="bogus")
+
+
+def test_bloom_screen_flags_planted_sources(spark, docs):
+    """Every doc whose excerpt seeds the eval set must flag itself
+    with a high hit_ratio (its excerpt's shingles are all in the
+    filter), and the non-planted flag rate must stay small (Bloom
+    false positives are bounded, and union-membership hits on a
+    shared-vocabulary corpus are rare at n=5)."""
+    evals = docs.filter(F.col("doc_id") % 37 == 0).select(
+        F.expr(
+            "substring(text, CAST(FLOOR(LENGTH(text) * 0.3) AS INT) + 1,"
+            " CAST(FLOOR(LENGTH(text) * 0.4) AS INT))"
+        ).alias("text")
+    )
+    bloom = xcur.ngram_bloom_filter(evals, n=5, num_bits=8192, num_hashes=5)
+    stats = xcur.bloom_probe_stats(docs, bloom)
+    rows = {r.doc_id: r for r in stats.collect()}
+    # The excerpt is a CHARACTER substring, so its first/last words are
+    # truncated: a short doc's excerpt may contain no complete source
+    # 5-gram at all.  The guarantee only binds where the excerpt has
+    # interior shingles — long-enough sources.
+    planted = [k for k in rows if k % 37 == 0 and rows[k].n_shingles >= 25]
+    assert planted, "fixture corpus must contain long planted eval sources"
+    for k in planted:
+        assert rows[k].hit_ratio >= 0.1, (
+            f"planted source {k} under-flagged: {rows[k]}"
+        )
+    others = [k for k in rows if k % 37 and rows[k].n_hits > 0]
+    assert len(others) <= 0.05 * len(rows), (
+        f"too many non-planted docs flagged: {len(others)}/{len(rows)}"
+    )
+
+
+def test_bloom_probe_is_map_only(spark, docs):
+    """The probe side must add ZERO shuffles: every Exchange in the
+    executed plan belongs to the one-row filter build (distinct +
+    word groupBy + single-row assemble) under the BroadcastExchange —
+    the operator's 100 TB contract."""
+    evals = docs.filter(F.col("doc_id") % 37 == 0)
+    bloom = xcur.ngram_bloom_filter(evals)
+    stats = xcur.bloom_probe_stats(docs, bloom)
+    plan = stats._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    bcast = next(
+        i for i, l in enumerate(lines) if "BroadcastExchange" in l
+    )
+    probe_side = lines[:bcast]
+    assert not any("Exchange" in l for l in probe_side), (
+        "probe side must be shuffle-free:\n" + "\n".join(probe_side)
+    )
+
+
+def test_bloom_filter_rejects_bad_params(spark, docs):
+    with pytest.raises(ValueError, match="num_bits"):
+        xcur.ngram_bloom_filter(docs, num_bits=1000)
+    with pytest.raises(ValueError, match="num_hashes"):
+        xcur.ngram_bloom_filter(docs, num_hashes=0)
+
+
+def test_bloom_no_false_negatives(spark, docs):
+    """Bloom membership is one-sided: probing the EVAL docs
+    themselves against their own filter must give hit_ratio == 1.0
+    for every doc (every shingle was inserted)."""
+    evals = docs.filter(F.col("doc_id") % 37 == 0)
+    bloom = xcur.ngram_bloom_filter(evals, n=3, num_bits=4096, num_hashes=4)
+    stats = xcur.bloom_probe_stats(evals, bloom)
+    bad = stats.filter(F.col("n_hits") != F.col("n_shingles")).collect()
+    assert not bad, f"false negatives impossible by construction: {bad}"
+
+
+def test_bloom_autosize_tracks_eval_size(spark, docs):
+    """num_bits=None sizes the table at the k-optimal ~k/ln2 bits per
+    distinct eval shingle (64-word multiples), so the filter cannot
+    saturate as the eval corpus grows."""
+    import math
+
+    small = docs.limit(5)
+    bloom = xcur.ngram_bloom_filter(small, n=3, num_bits=None, num_hashes=5)
+    row = bloom.first()
+    n_sh = (
+        xcur._with_word_ngrams(small.select("text"), "text", 3)
+        .select(F.explode("__shs").alias("s")).distinct().count()
+    )
+    expected = max(64, math.ceil(n_sh * 5 / math.log(2) / 64) * 64)
+    assert row.num_bits == expected
+    assert len(row.bloom_words) == expected // 32
+    assert row.num_hashes == 5 and row.ngram_n == 3

@@ -160,3 +160,87 @@ def test_minhash_recall_curve_recalls_top_decile(spark, sf_dir_small):
     assert rows[0].recall <= rows[-1].recall
     for r in rows:
         assert 0.0 <= r.recall <= 1.0 and r.n_retrieved <= r.n_true_pairs
+
+
+def test_sorted_neighborhood_finds_prefix_duplicates(spark):
+    """Exact copies and prefix truncations share the sort key, so
+    they must land inside the window and verify at their true
+    Jaccard; an unrelated doc must not pair."""
+    from fastmlframework_spark.extensions.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),
+        (2, base),                                  # exact copy
+        (3, base[: int(len(base) * 0.8)]),          # prefix truncation
+        (4, "completely different words entirely here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.key_a, r.key_b): r.jaccard
+        for r in sorted_neighborhood_pairs(
+            df, window=4, n=3, threshold=0.3
+        ).collect()
+    }
+    assert out[(1, 2)] == 1.0
+    assert (1, 3) in out and 0.3 <= out[(1, 3)] < 1.0
+    assert not any(4 in p for p in out)
+
+
+def test_sorted_neighborhood_window_and_partition_invariance(spark):
+    """Pairs farther than window-1 ranks apart never appear, and the
+    result is identical under different input partitioning (the
+    global rank is deterministic)."""
+    from fastmlframework_spark.extensions.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    # 12 docs in 2 similarity families; sort keys interleave so the
+    # block-join (not just same-block luck) must recover neighbors.
+    rows = [
+        (i, f"{'apple banana cherry' if i % 2 else 'xray yankee zulu'} "
+            f"common tail words {i % 3}")
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(
+        tuple(r)
+        for r in sorted_neighborhood_pairs(
+            df, window=3, n=2, threshold=0.2
+        ).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in sorted_neighborhood_pairs(
+            df.repartition(7), window=3, n=2, threshold=0.2
+        ).collect()
+    )
+    assert a == b and a
+    # re-derive ranks to assert the distance bound
+    from fastmlframework_spark.extensions.curation import global_rank
+    import pyspark.sql.functions as F
+
+    sk = F.substring(
+        F.regexp_replace(F.lower(F.col("text")), r"\s+", " "), 1, 24
+    )
+    ranks = {
+        r.doc_id: r.rank
+        for r in global_rank(
+            df.withColumn("__sk", sk), ["__sk", "doc_id"], ["doc_id"]
+        ).collect()
+    }
+    for ka, kb, _ in a:
+        assert abs(ranks[ka] - ranks[kb]) <= 2
+
+
+def test_sorted_neighborhood_rejects_bad_window(spark):
+    import pytest
+    from fastmlframework_spark.extensions.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="window"):
+        sorted_neighborhood_pairs(df, window=1)

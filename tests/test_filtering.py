@@ -595,3 +595,46 @@ def test_word_bigram_nll_drops_short_docs_and_counts_pairs(spark):
     assert set(rows) == {3, 5}
     assert rows[3].n_bigrams == 3 and rows[5].n_bigrams == 1
     assert all(r.nll > 0 for r in rows.values())
+
+
+def test_cms_overestimates_only_and_exact_at_wide_width(spark):
+    """CMS error is one-sided: cms_count >= true_count for every
+    token, at any width; a deliberately narrow width must produce at
+    least one strict overestimate (collisions), while counts stay
+    exact for tokens that happen to collide with nothing."""
+    from fastmlframework_spark.extensions.text import cms_token_counts
+
+    rows = [(i, "alpha beta gamma " * (i % 5 + 1) + f"tok{i}")
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    narrow = cms_token_counts(df, depth=2, width=16, top_n=30).collect()
+    assert narrow, "top-n probe must return rows"
+    assert all(r.cms_count >= r.true_count for r in narrow)
+    assert any(r.cms_count > r.true_count for r in narrow), (
+        "width=16 over a 40+-token vocabulary must collide somewhere"
+    )
+
+
+def test_cms_rejects_bad_params(spark):
+    import pytest
+    from fastmlframework_spark.extensions.text import cms_token_counts
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="power of two"):
+        cms_token_counts(df, width=1000)
+    with pytest.raises(ValueError, match="depth"):
+        cms_token_counts(df, depth=0)
+
+
+def test_cms_sketch_shuffle_is_counter_bounded(spark):
+    """The sketch aggregation must partially aggregate map-side: the
+    exchange feeding the counter groupBy carries (r, b) keys, so the
+    plan shows a partial HashAggregate below the shuffle — the
+    bounded-shuffle contract that makes the sketch worth it at
+    100 TB."""
+    from fastmlframework_spark.extensions.text import cms_token_counts
+
+    rows = [(i, "alpha beta gamma delta") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    plan = cms_token_counts(df)._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan or "partial" in plan.lower(), plan

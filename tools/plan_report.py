@@ -49,6 +49,9 @@ HEADLINERS = {
     "ann_topk_ivfsq8": "packed SQ8 codes (7 per BIGINT) scanned only in probed cells: broadcast (query x cell) join, map-side WindowGroupLimit shortlist, unpack below the candidate join (r9)",
     "ann_topk_ivf_partial": "REAL 2-of-8 cell cut under a full hash-matched oracle (r10): probe ranking shares assignment's |c|^2-2vc score, candidate join only over probed cells",
     "ann_ivf_cell_stats": "quantizer-balance audit: one corpus scan into an 8-row partial-agg groupBy; histogram completion + max/mean ratio as broadcast joins over <=k-row frames",
+    "contamination_bloom_screen": "O(bits) Bloom index built from the small eval side and broadcast once; probe side MAP-ONLY (HOF transform/filter bit tests, zero probe shuffles)",
+    "dedup_sorted_neighborhood": "one distributed range-sort (global_rank) + fixed-size block equi-join (skew-free, <=3w rows/group); digest sets ride the join, Jaccard is per-row array arithmetic — no pair aggregation",
+    "text_cms_token_counts": "sketch shuffle capped at depth*width counter keys via map-side partial agg; probe is a broadcast join over top-n*depth rows",
 }
 
 

@@ -801,6 +801,40 @@ def ngram_bloom_filter(
     )
 
 
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two ``ngram_bloom_filter`` frames built with IDENTICAL
+    parameters into the filter of the UNION of their eval corpora.
+
+    Bitwise OR of the packed words is EXACT, not approximate: a
+    shingle's positions depend only on its own bytes, so
+    ``merge(build(A), build(B)) == build(A ∪ B)`` bit-for-bit
+    (pinned by ``tests/test_curation.py``).  This is what makes the
+    Bloom index operational at 100 TB: each eval shard builds its own
+    filter independently and the tiny one-row frames reduce by OR —
+    no global shuffle of eval shingles ever happens.
+
+    Raises if the two filters' ``num_bits``/``num_hashes``/``ngram_n``
+    differ (their position arithmetic would be incompatible)."""
+    pa = a.select("num_bits", "num_hashes", "ngram_n").first()
+    pb = b.select("num_bits", "num_hashes", "ngram_n").first()
+    if tuple(pa) != tuple(pb):
+        raise ValueError(
+            f"incompatible bloom filters: {tuple(pa)} vs {tuple(pb)}"
+        )
+    return (
+        a.select(F.col("bloom_words").alias("__wa"))
+        .crossJoin(b.select(F.col("bloom_words").alias("__wb")))
+        .select(
+            F.zip_with(
+                "__wa", "__wb", lambda x, y: x.bitwiseOR(y)
+            ).alias("bloom_words"),
+            F.lit(pa["num_bits"]).alias("num_bits"),
+            F.lit(pa["num_hashes"]).alias("num_hashes"),
+            F.lit(pa["ngram_n"]).alias("ngram_n"),
+        )
+    )
+
+
 def bloom_probe_stats(
     train: DataFrame,
     bloom: DataFrame,

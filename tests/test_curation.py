@@ -478,3 +478,50 @@ def test_bloom_autosize_tracks_eval_size(spark, docs):
     assert row.num_bits == expected
     assert len(row.bloom_words) == expected // 32
     assert row.num_hashes == 5 and row.ngram_n == 3
+
+
+def test_bloom_merge_equals_union_build(spark, docs):
+    """Sketch mergeability must be EXACT: OR-merging per-shard filters
+    equals building one filter over the union corpus, bit-for-bit,
+    and probing through either gives identical stats."""
+    evens = docs.filter(F.col("doc_id") % 2 == 0)
+    odds = docs.filter(F.col("doc_id") % 2 == 1)
+    kw = dict(n=3, num_bits=4096, num_hashes=4)
+    merged = xcur.bloom_merge(
+        xcur.ngram_bloom_filter(evens, **kw),
+        xcur.ngram_bloom_filter(odds, **kw),
+    )
+    union = xcur.ngram_bloom_filter(docs, **kw)
+    assert merged.first().bloom_words == union.first().bloom_words
+    probe = docs.limit(50)
+    a = sorted(map(tuple, xcur.bloom_probe_stats(probe, merged).collect()))
+    b = sorted(map(tuple, xcur.bloom_probe_stats(probe, union).collect()))
+    assert a == b
+
+
+def test_bloom_merge_rejects_mismatched_params(spark, docs):
+    with pytest.raises(ValueError, match="incompatible"):
+        xcur.bloom_merge(
+            xcur.ngram_bloom_filter(docs, num_bits=4096),
+            xcur.ngram_bloom_filter(docs, num_bits=8192),
+        )
+
+
+def test_decontamination_example_end_to_end(spark, sf_dir_small):
+    """The staged decontamination example must run and behave like a
+    funnel: every exact-confirmed doc was Bloom-flagged (one-sided
+    screen error — confirmed ⊆ flagged), every planted source doc is
+    found, and the filter stays KB-sized."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/examples")
+    from run_decontamination import run
+
+    s = run(spark, sf_dir_small)
+    assert s["n_exact_confirmed"] <= s["n_bloom_flagged"]
+    assert s["n_bloom_strong"] <= s["n_bloom_flagged"]
+    # the planted self-hits survive both stages (containment 1.0 bar
+    # boundary-trimmed shingles, same guarantee the registry query pins)
+    assert s["n_exact_confirmed"] >= s["n_bloom_strong"] - 2
+    assert s["bloom_kb"] < 64
+    assert s["n_semantic_flagged"] > 0

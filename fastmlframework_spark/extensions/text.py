@@ -961,3 +961,77 @@ def cms_token_counts(
         .agg(F.min("__c").alias("cms_count"))
         .select(F.col("__t").alias("token"), "true_count", "cms_count")
     )
+
+
+def source_divergence(
+    df: DataFrame, by: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-group unigram-distribution divergence from the corpus →
+    [by, n_tokens, vocab_used, kl_vs_corpus, js_vs_corpus] — the
+    mixture-drift diagnostic read next to the datacard: KL(source ‖
+    corpus) says how surprising the source looks under the corpus
+    distribution (unbounded, asymmetric), Jensen–Shannon bounds it
+    symmetrically in [0, ln 2].
+
+    No smoothing needed: the corpus distribution dominates every
+    source (q(t) > 0 wherever p(t) > 0), and the JS contribution of
+    tokens ABSENT from the source closes in closed form —
+    0.5·(1 − Σ_{p>0} q(t))·ln 2 — with the coverage mass Σ q(t)
+    computed from INTEGER counts, so no pass over the full vocabulary
+    per source is ever made.
+
+    Scale shape: one corpus scan into a vocabulary-bounded
+    (|by|×|vocab|) count aggregate, a vocab-bounded corpus-count join,
+    and per-group sorted HOF folds.  Cross-engine float EXACTNESS
+    (the ``source_language_entropy`` discipline): every divergence
+    sum folds LEFT-TO-RIGHT over the token list sorted by token —
+    plain SUM over grouped floats has engine-dependent addend order
+    and can flip the rounded hash."""
+    tok = df.select(
+        F.col(by),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_PATTERN), F.lit(0))
+        ).alias("__t"),
+    )
+    st = tok.groupBy(by, "__t").agg(F.count(F.lit(1)).alias("__c"))
+    tot = st.groupBy("__t").agg(F.sum("__c").alias("__ct"))
+    n_total = tot.agg(F.sum("__ct").alias("__N"))
+    per = (
+        st.join(tot, on="__t")
+        .groupBy(by)
+        .agg(
+            F.sum("__c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("vocab_used"),
+            F.sum("__ct").alias("__qcov_num"),
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("__t").alias("k"),
+                        F.col("__c").alias("a"),
+                        F.col("__ct").alias("b"),
+                    )
+                )
+            ).alias("__kv"),
+        )
+        .crossJoin(F.broadcast(n_total))
+    )
+    p = "(__e.a * 1.0D / n_tokens)"
+    q = "(__e.b * 1.0D / __N)"
+
+    def fold(term: str) -> str:
+        return f"aggregate(__kv, 0.0D, (__a, __e) -> __a + ({term}))"
+
+    kl = fold(f"{p} * ln({p} / {q})")
+    jsp = fold(f"{p} * ln((2.0D * {p}) / ({p} + {q}))")
+    jsq = fold(f"{q} * ln((2.0D * {q}) / ({p} + {q}))")
+    js = (
+        f"0.5D * ({jsp}) + 0.5D * ({jsq}) + "
+        f"0.5D * (1.0D - __qcov_num * 1.0D / __N) * ln(2.0D)"
+    )
+    return per.select(
+        by,
+        "n_tokens",
+        "vocab_used",
+        F.round(F.expr(kl), 6).alias("kl_vs_corpus"),
+        F.round(F.expr(js), 6).alias("js_vs_corpus"),
+    ).orderBy(by)

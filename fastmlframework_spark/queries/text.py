@@ -691,3 +691,60 @@ def text_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-match."""
     docs = load_table(spark, sf_dir, "documents")
     return xtext.cms_token_counts(docs, depth=4, width=1024, top_n=20)
+
+
+def _divergence_oracle() -> str:
+    """SQL twin of ``extensions/text.py:source_divergence``: identical
+    count CTEs, identical per-term double arithmetic, and the same
+    LEFT-TO-RIGHT fold over the token-sorted term list (list_reduce
+    over [0.0] || transformed list == Spark's 0.0-seeded aggregate),
+    so the divergence sums are bit-exact before rounding."""
+    p = "(__e.a * 1.0 / n_tokens)"
+    q = "(__e.b * 1.0 / N)"
+
+    def fold(term: str) -> str:
+        return (
+            "list_reduce([0.0::DOUBLE] || list_transform(kv, __e -> "
+            f"({term})), (__a, __b) -> __a + __b)"
+        )
+
+    kl = fold(f"{p} * ln({p} / {q})")
+    jsp = fold(f"{p} * ln((2.0 * {p}) / ({p} + {q}))")
+    jsq = fold(f"{q} * ln((2.0 * {q}) / ({p} + {q}))")
+    return f"""
+WITH tok AS (
+  SELECT source, unnest(regexp_extract_all(text, '{_RE["token"]}')) AS t
+  FROM documents
+),
+st AS (SELECT source, t, COUNT(*) AS c FROM tok GROUP BY source, t),
+tot AS (SELECT t, CAST(SUM(c) AS BIGINT) AS ct FROM st GROUP BY t),
+n AS (SELECT CAST(SUM(ct) AS BIGINT) AS N FROM tot),
+g AS (
+  SELECT source,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         COUNT(*) AS vocab_used,
+         CAST(SUM(ct) AS BIGINT) AS qcov_num,
+         list_sort(list({{'k': t, 'a': c, 'b': ct}})) AS kv
+  FROM st JOIN tot USING (t)
+  GROUP BY source
+),
+gg AS (SELECT g.*, n.N FROM g CROSS JOIN n)
+SELECT source, n_tokens, vocab_used,
+       ROUND({kl}, 6) AS kl_vs_corpus,
+       ROUND(0.5 * ({jsp}) + 0.5 * ({jsq}) +
+             0.5 * (1.0 - qcov_num * 1.0 / N) * ln(2.0), 6)
+           AS js_vs_corpus
+FROM gg ORDER BY source
+"""
+
+
+@query("text_source_divergence", oracle=_divergence_oracle())
+def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram KL / Jensen–Shannon divergence vs the corpus
+    distribution — the mixture-drift number next to the datacard.
+    Vocabulary-bounded shuffles only; divergence sums fold
+    left-to-right over token-sorted term lists in BOTH engines (plain
+    float SUM has engine-dependent addend order), so the oracle match
+    is bit-exact before rounding."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    return xtext.source_divergence(docs)

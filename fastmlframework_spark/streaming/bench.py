@@ -267,10 +267,59 @@ def bench_stream_quality_gate(spark, sf_dir: str) -> int:
     return spark.read.parquet(os.path.join(rd, "out")).count()
 
 
+def bench_stream_decontamination(spark, sf_dir: str) -> int:
+    """Drain documents through the ingest-time Bloom decontamination
+    gate (immutable collected filter, map-only per-batch probe, three
+    parquet appends per trigger); returns rows admitted.  Exists so a
+    regression that sneaks a filter rebuild or a shuffle into the
+    per-batch plan trips the 2× gate."""
+    from fastmlframework_spark.extensions.curation import (
+        ngram_bloom_filter,
+    )
+    from fastmlframework_spark.streaming.quality import (
+        streaming_decontamination_gate,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+
+    def build(prep_dir: str) -> dict:
+        src = os.path.join(prep_dir, "incoming")
+        docs.repartition(4).write.mode("overwrite").parquet(src)
+        return {"src": src}
+
+    ctx = _prep("decontamination", sf_dir, build)
+    rd = _run_dir(ctx)
+    evals = docs.filter(F.col("doc_id") % 37 == 0).select(
+        F.expr(
+            "substring(text, CAST(FLOOR(LENGTH(text) * 0.3) AS INT) + 1,"
+            " CAST(FLOOR(LENGTH(text) * 0.4) AS INT))"
+        ).alias("text")
+    )
+    bloom = ngram_bloom_filter(evals, n=5, num_bits=None, num_hashes=5)
+    q = streaming_decontamination_gate(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(ctx["src"]),
+        bloom,
+        os.path.join(rd, "out"),
+        os.path.join(rd, "quar"),
+        os.path.join(rd, "stats"),
+        os.path.join(rd, "ckpt"),
+        # 2 files/trigger = 2 input splits: without this, the pure-map
+        # probe runs on 2 cores at every scale (see the gate docstring)
+        min_partitions=spark.sparkContext.defaultParallelism,
+    )
+    q.awaitTermination()
+    return spark.read.parquet(os.path.join(rd, "out")).count()
+
+
 STREAMING_BENCHES = {
     "stream_exact_dedup": bench_stream_exact_dedup,
     "stream_seasonal_stats": bench_stream_seasonal_stats,
     "stream_cusum": bench_stream_cusum,
     "stream_near_dedup": bench_stream_near_dedup,
     "stream_quality_gate": bench_stream_quality_gate,
+    "stream_decontamination": bench_stream_decontamination,
 }

@@ -638,3 +638,39 @@ def test_cms_sketch_shuffle_is_counter_bounded(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     plan = cms_token_counts(df)._jdf.queryExecution().executedPlan().toString()
     assert "partial_count" in plan or "partial" in plan.lower(), plan
+
+
+def test_source_divergence_identities_and_bounds(spark):
+    """Single-source corpus: p == q so both divergences are exactly 0.
+    Multi-source: KL >= 0, 0 <= JS <= ln 2, and a disjoint-vocabulary
+    source must dominate near-uniform ones."""
+    import math
+
+    from fastmlframework_spark.extensions.text import source_divergence
+
+    one = spark.createDataFrame(
+        [(1, "only", "alpha beta alpha gamma")],
+        "doc_id long, source string, text string",
+    ).select("source", "text")
+    r = source_divergence(one).collect()
+    assert len(r) == 1 and r[0].kl_vs_corpus == 0.0 and r[0].js_vs_corpus == 0.0
+
+    rows = []
+    for i in range(20):
+        rows.append((i, "common_a", "alpha beta gamma delta epsilon"))
+        rows.append((100 + i, "common_b", "alpha beta gamma delta zeta"))
+        rows.append((200 + i, "outlier", "qqq www eee rrr ttt yyy"))
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).select("source", "text")
+    out = {r.source: r for r in source_divergence(df).collect()}
+    ln2 = math.log(2)
+    for r in out.values():
+        assert r.kl_vs_corpus >= 0
+        assert 0 <= r.js_vs_corpus <= ln2 + 1e-9
+    assert out["outlier"].kl_vs_corpus > out["common_a"].kl_vs_corpus
+    assert out["outlier"].js_vs_corpus > out["common_a"].js_vs_corpus
+    # disjoint vocab at 1/3 corpus mass: KL = ln(N/n_s) exactly
+    assert out["outlier"].kl_vs_corpus == round(
+        math.log(1 / (out["outlier"].n_tokens / sum(
+            r.n_tokens for r in out.values()))), 6)

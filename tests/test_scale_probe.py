@@ -177,6 +177,10 @@ def test_sf10_probe_covers_expensive_families(probe):
         "cv_oof_frozen",
         "dedup_duplicate_spans",
         "text_bpe_train",
+        # r10 additions past the ~2s-at-sf1 line
+        "contamination_bloom_screen",
+        "dedup_sorted_neighborhood",
+        "stream_decontamination",
     }
     have = set(probe.get("sf10_probe", {}).get("queries", []))
     missing = sorted(required - have)

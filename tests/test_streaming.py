@@ -814,3 +814,139 @@ def test_streaming_quality_gate_restart_from_checkpoint(
     stats = spark.read.parquet(stats_dir)
     agg = stats.agg(F.sum("n_in").alias("i"), F.sum("n_pass").alias("p")).first()
     assert agg.i == docs.count() and agg.p == len(want)
+
+
+def test_streaming_decontamination_gate_matches_batch(
+    spark, sf_dir_small, tmp_path
+):
+    """The streamed Bloom gate is stateless given its immutable
+    filter: admitted ∪ quarantined must partition the input, the
+    admit set must equal the batch probe's decisions (micro-batch
+    boundaries change nothing), and no planted eval-source doc may be
+    admitted at max_hit_ratio=0."""
+    import pyspark.sql.functions as F
+
+    from fastmlframework_spark.extensions.curation import (
+        bloom_probe_stats,
+        ngram_bloom_filter,
+    )
+    from fastmlframework_spark.streaming.quality import (
+        streaming_decontamination_gate,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir_small}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    evals = docs.filter(F.col("doc_id") % 37 == 0).select(
+        F.expr(
+            "substring(text, CAST(FLOOR(LENGTH(text) * 0.3) AS INT) + 1,"
+            " CAST(FLOOR(LENGTH(text) * 0.4) AS INT))"
+        ).alias("text")
+    )
+    bloom = ngram_bloom_filter(evals, n=5, num_bits=8192, num_hashes=5)
+
+    src = str(tmp_path / "in")
+    docs.repartition(4).write.parquet(src)
+    q = streaming_decontamination_gate(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        bloom,
+        str(tmp_path / "out"),
+        str(tmp_path / "quar"),
+        str(tmp_path / "stats"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+
+    admitted = {
+        r.doc_id for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    quarantined = {
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "quar")).collect()
+    }
+    all_ids = {r.doc_id for r in docs.collect()}
+    assert admitted | quarantined == all_ids
+    assert not admitted & quarantined
+
+    batch = bloom_probe_stats(docs, bloom)
+    want_admitted = all_ids - {
+        r.doc_id for r in batch.filter(F.col("hit_ratio") > 0).collect()
+    }
+    assert admitted == want_admitted
+    # one-sided error: every planted source shares its excerpt's
+    # interior shingles, so long sources must be quarantined
+    planted_long = {
+        r.doc_id
+        for r in batch.filter(
+            (F.col("doc_id") % 37 == 0) & (F.col("n_shingles") >= 25)
+        ).collect()
+    }
+    assert planted_long and planted_long <= quarantined
+
+    stats = spark.read.parquet(str(tmp_path / "stats"))
+    agg = stats.agg(
+        F.sum("n_in").alias("i"),
+        F.sum("n_admitted").alias("a"),
+        F.sum("n_quarantined").alias("q"),
+    ).first()
+    assert (agg.i, agg.a, agg.q) == (
+        len(all_ids), len(admitted), len(quarantined)
+    )
+    assert stats.count() > 1
+
+
+def test_streaming_decontamination_restart_from_checkpoint(spark, tmp_path):
+    """Exactly-once per input file across a stream RESTART: a new
+    query on the same checkpoint must skip committed batch-0 files
+    (no re-emission) while gating newly-arrived batch-1 files with
+    the same immutable filter."""
+    import pyspark.sql.functions as F
+
+    from fastmlframework_spark.extensions.curation import ngram_bloom_filter
+    from fastmlframework_spark.streaming.quality import (
+        streaming_decontamination_gate,
+    )
+
+    schema = "doc_id long, text string"
+    evals = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta")], schema
+    ).select("text")
+    bloom = ngram_bloom_filter(evals, n=3, num_bits=4096, num_hashes=4)
+
+    src = str(tmp_path / "incoming")
+    out, quar, stats, ckpt = (
+        str(tmp_path / d) for d in ("out", "quar", "stats", "ckpt")
+    )
+    clean = "completely unrelated words here now indeed"
+    dirty = "alpha beta gamma delta epsilon zeta eta tail"
+    spark.createDataFrame([(1, clean)], schema).coalesce(1).write.parquet(
+        src + "/b0"
+    )
+
+    def make_query():
+        return streaming_decontamination_gate(
+            spark.readStream.schema(
+                spark.read.parquet(src + "/b0").schema
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*"),
+            bloom,
+            out,
+            quar,
+            stats,
+            ckpt,
+        )
+
+    make_query().awaitTermination()
+    assert spark.read.parquet(out).count() == 1
+
+    spark.createDataFrame(
+        [(2, dirty), (3, clean + " again")], schema
+    ).coalesce(1).write.parquet(src + "/b1")
+    make_query().awaitTermination()
+
+    got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert got == [1, 3]  # doc 1 NOT re-emitted; dirty doc 2 quarantined
+    assert [r.doc_id for r in spark.read.parquet(quar).collect()] == [2]

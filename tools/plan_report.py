@@ -52,6 +52,7 @@ HEADLINERS = {
     "contamination_bloom_screen": "O(bits) Bloom index built from the small eval side and broadcast once; probe side MAP-ONLY (HOF transform/filter bit tests, zero probe shuffles)",
     "dedup_sorted_neighborhood": "one distributed range-sort (global_rank) + fixed-size block equi-join (skew-free, <=3w rows/group); digest sets ride the join, Jaccard is per-row array arithmetic — no pair aggregation",
     "text_cms_token_counts": "sketch shuffle capped at depth*width counter keys via map-side partial agg; probe is a broadcast join over top-n*depth rows",
+    "text_source_divergence": "vocabulary-bounded count aggregates + vocab join; divergence sums as token-sorted left-to-right HOF folds (cross-engine float-exact), absent-token JS mass closed-form from integer counts",
 }
 
 

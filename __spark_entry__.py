@@ -29,24 +29,37 @@ def entry(spark: SparkSession) -> DataFrame:
     return flagship(spark, "/root/testdata/sf0.001")
 
 
-# Priority ordering for a prefix-taking driver sampler: queries with
-# no green CORRECTNESS row yet come first (ever-red before
-# never-sampled), so each round's ~50-query rotation converts local
-# evidence into driver evidence fastest.  Derived at call time from
-# the committed CORRECTNESS_r*.json files via the shared parser
-# (core/verdicts.py — one definition of "green" for this prioritizer
-# AND tools/registry_report.py) — nothing hardcoded, so renames/typos
+# Priority ordering for a prefix-taking driver sampler (VERDICT r10
+# #8): (1) latest-red queries, (2) never-sampled, then (3) greens by
+# ASCENDING last-sampled round — so each round's ~50-query rotation
+# converts local evidence into driver evidence fastest AND keeps
+# re-confirming the oldest greens (a round-1 green never re-sampled
+# is weaker evidence than one confirmed last round; 60 entries were
+# in that state at r10).  Derived at call time from the committed
+# CORRECTNESS_r*.json files via the shared parser (core/verdicts.py —
+# one definition of "green" for this prioritizer AND
+# tools/registry_report.py) — nothing hardcoded, so renames/typos
 # can't rot (ADVICE r3 #1).  Harmless for a non-prefix sampler: it's
 # still the full registry.
 def _prioritized(mapping: dict) -> dict:
-    from fastmlframework_spark.core.verdicts import latest_verdicts
+    from fastmlframework_spark.core.verdicts import (
+        latest_verdicts_with_round,
+    )
 
-    checked = latest_verdicts(os.path.dirname(os.path.abspath(__file__)))
-    ever_red = [k for k in mapping if checked.get(k) is False]
+    checked = latest_verdicts_with_round(
+        os.path.dirname(os.path.abspath(__file__))
+    )
+    ever_red = [k for k in mapping if k in checked and not checked[k][0]]
     never_sampled = [k for k in mapping if k not in checked]
-    first = {k: mapping[k] for k in (*ever_red, *never_sampled)}
-    rest = {k: v for k, v in mapping.items() if k not in first}
-    return {**first, **rest}
+    stale_green = sorted(
+        (k for k in mapping if k in checked and checked[k][0]),
+        key=lambda k: checked[k][1],
+    )
+    order = [*ever_red, *never_sampled, *stale_green]
+    out = {k: mapping[k] for k in order}
+    # safety: anything the buckets missed keeps its original slot
+    out.update({k: v for k, v in mapping.items() if k not in out})
+    return out
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

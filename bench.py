@@ -210,8 +210,12 @@ def main() -> None:
     # Structured Streaming drains, timed under the same best-of-N /
     # 2×-gate policy as the batch queries.  Skipped when --queries
     # narrows the run to an explicit batch subset.
+    stream_detail: dict[str, dict] = {}
     if only is None:
-        from fastmlframework_spark.streaming.bench import STREAMING_BENCHES
+        from fastmlframework_spark.streaming.bench import (
+            LAST_STREAM_DETAIL,
+            STREAMING_BENCHES,
+        )
 
         for name in sorted(STREAMING_BENCHES):
             best = None
@@ -220,7 +224,20 @@ def main() -> None:
                 try:
                     STREAMING_BENCHES[name](spark, sf_dir)
                     took = round(time.perf_counter() - start, 4)
-                    best = took if best is None else min(best, took)
+                    if best is None or took < best:
+                        best = took
+                        # split the best pass into steady-state batch
+                        # work vs fixed stream setup (VERDICT r10 #4)
+                        d = LAST_STREAM_DETAIL.get(name)
+                        if d:
+                            stream_detail[name] = dict(
+                                d,
+                                wall_sec=took,
+                                setup_sec=round(
+                                    max(0.0, took - d["batch_total_sec"]),
+                                    4,
+                                ),
+                            )
                 except Exception as exc:
                     print(f"bench: stream {name} failed: {exc}",
                           file=sys.stderr)
@@ -254,6 +271,7 @@ def main() -> None:
                     "value": round(sum(ok.values()), 4),
                     "unit": "sec",
                     "queries": timings,
+                    "stream_detail": stream_detail,
                     "sf": sf,
                     "excluded": {
                         k: v

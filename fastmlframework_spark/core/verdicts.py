@@ -36,12 +36,25 @@ def is_green(row: dict) -> bool:
 def latest_verdicts(repo_root: str) -> dict[str, bool]:
     """name -> latest driver verdict (True = green) across all
     committed rounds; names never sampled are absent."""
-    verdict: dict[str, bool] = {}
+    return {
+        name: green
+        for name, (green, _) in latest_verdicts_with_round(repo_root).items()
+    }
+
+
+def latest_verdicts_with_round(repo_root: str) -> dict[str, tuple[bool, int]]:
+    """name -> (latest verdict, round it was last sampled in) — the
+    round number drives staleness-aware sampling order (VERDICT r10
+    #8: a green from round 1 that was never re-sampled is weaker
+    evidence than one confirmed last round)."""
+    verdict: dict[str, tuple[bool, int]] = {}
     for path in correctness_files(repo_root):
+        m = re.search(r"_r(\d+)\.json$", os.path.basename(path))
+        rnd = int(m.group(1)) if m else 0
         try:
             rows = json.load(open(path))
         except (OSError, ValueError):
             continue
         for name, row in rows.items():
-            verdict[name] = is_green(row)
+            verdict[name] = (is_green(row), rnd)
     return verdict

@@ -722,7 +722,7 @@ def ngram_bloom_filter(
 
     ``num_bits=None`` auto-sizes the table to the eval corpus:
     m = n_distinct_shingles · num_hashes / ln 2 rounded up to a
-    64-word multiple (the k-optimal load, fpr ≈ 2^-k).  A FIXED m is
+    64-bit (two-word) multiple (the k-optimal load, fpr ≈ 2^-k).  A FIXED m is
     only safe when the eval corpus is known small — at
     eval-shingle counts approaching m the filter saturates and the
     screen flags everything; auto-sizing costs one count() over the
@@ -845,28 +845,33 @@ def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     )
 
 
-def bloom_probe_stats(
-    train: DataFrame,
+def bloom_probe_annotate(
+    df: DataFrame,
     bloom: DataFrame,
-    key_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Probe every training document against an ``ngram_bloom_filter``
-    → [key, n_shingles, n_hits, hit_ratio]: the fraction of the doc's
+    """Probe every row of ``df`` against an ``ngram_bloom_filter``,
+    CARRYING ALL INPUT COLUMNS THROUGH → df columns +
+    [n_shingles, n_hits, hit_ratio]: the fraction of the row's
     distinct word ``n``-grams that the filter claims appear ANYWHERE
-    in the eval corpus (union-level membership — the screen ahead of
-    the exact per-eval containment join, which then runs only on the
-    flagged docs).
+    in the eval corpus.  Rows whose text yields no shingles (NULL
+    text) get NULL ``n_shingles``/``hit_ratio`` — they cannot be
+    contaminated, and a consumer's admit predicate treats NULL as
+    clean (``streaming.quality.streaming_decontamination_gate``).
 
     ``n``/``num_bits``/``num_hashes`` come from the filter frame's
     own metadata columns (one single-row first() — the build/probe
     position arithmetic cannot drift apart).
 
-    Plan shape: ZERO shuffles.  The shingle array, the per-shingle
-    hash, and all k bit tests are per-row HOF expressions
-    (transform → filter → size), and the one-row filter frame arrives
-    via a broadcast cross join — the corpus is scanned once, map-only,
-    which is the whole point of the Bloom variant at 100 TB.  Each
+    Plan shape: ZERO shuffles, and — because the input columns ride
+    along instead of being re-joined on a key — no self-join either:
+    the shingle array, the per-shingle hash, and all k bit tests are
+    per-row HOF expressions (transform → filter → size), and the
+    one-row filter frame arrives via a broadcast cross join.  The
+    corpus is scanned ONCE, map-only, which is the whole point of
+    the Bloom variant at 100 TB; the annotate form is what an ingest
+    gate composes with (admit/quarantine as a pure filter), while
+    ``bloom_probe_stats`` keeps the narrow stats projection.  Each
     position is computed ONCE (an inner transform over hash indices)
     and consumed by both the word lookup and the bit shift via the
     forall lambda binding — not re-derived per use."""
@@ -889,23 +894,42 @@ def bloom_probe_stats(
         f"h -> forall({positions}, p -> {test})))"
     )
     return (
-        _with_word_ngrams(
-            train.select(key_col, text_col), text_col, n
-        )
-        .select(F.col(key_col), F.col("__shs"))
+        _with_word_ngrams(df, text_col, n)
         .crossJoin(
             F.broadcast(bloom.select(F.col("bloom_words").alias("__bloom_words")))
         )
-        .select(
-            key_col,
-            F.size("__shs").alias("n_shingles"),
-            hits.alias("n_hits"),
-        )
-        .filter(F.col("n_shingles") > 0)
+        .withColumn("n_shingles", F.size("__shs"))
+        .withColumn("n_hits", hits)
         .withColumn(
             "hit_ratio",
-            F.round(F.col("n_hits") / F.col("n_shingles"), 6),
+            F.when(
+                F.col("n_shingles") > 0,
+                F.round(F.col("n_hits") / F.col("n_shingles"), 6),
+            ),
         )
+        .drop("__shs", "__bloom_words")
+    )
+
+
+def bloom_probe_stats(
+    train: DataFrame,
+    bloom: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Probe every training document against an ``ngram_bloom_filter``
+    → [key, n_shingles, n_hits, hit_ratio]: the narrow stats
+    projection of ``bloom_probe_annotate`` (shared plan — zero
+    shuffles, one map-only corpus scan behind a one-row broadcast),
+    restricted to rows that produced at least one shingle — the
+    screen ahead of the exact per-eval containment join, which then
+    runs only on the flagged docs."""
+    return (
+        bloom_probe_annotate(
+            train.select(key_col, text_col), bloom, text_col
+        )
+        .filter(F.col("n_shingles") > 0)
+        .select(key_col, "n_shingles", "n_hits", "hit_ratio")
     )
 
 

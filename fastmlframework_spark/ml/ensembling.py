@@ -198,6 +198,50 @@ class Blender:
         folded.unpersist()
         return BlendResult(weights=fold_weights, oof_blend=oof_blend, score=score)
 
+    def apply_frozen(
+        self,
+        oof_matrix: DataFrame,
+        fold_weights: Mapping[str, Sequence[float]],
+        key_col: str = "key",
+        target_col: str = "target",
+        pred_cols: Sequence[str] | None = None,
+    ) -> BlendResult:
+        """M19's APPLY half with a RECORDED weight history: replay
+        per-fold weights (e.g. loaded from a committed BO run's JSON
+        artifact, blender.py:289-398's `bayes_opt_weights` output)
+        through the real blend machinery — M17 voting autodetect,
+        M18 normalization, hash-fold assignment, per-fold
+        M15/M16 vote on the fold's VALIDATION slice, W5 union.
+        Deterministic end-to-end, so the whole ensembling dataflow
+        (S3→J1→fold→vote→union) carries a driver-hash oracle
+        (`blend_frozen_weights`); only the weight SEARCH itself
+        (`run`) stays pytest-verified.  Fold-distinct weights pin the
+        fold→weights wiring: a key blended with the wrong fold's
+        weights flips the hash."""
+        pred_cols = list(
+            pred_cols
+            or [c for c in oof_matrix.columns if c.endswith("_OOF")]
+        )
+        voting = detect_voting_type(oof_matrix, pred_cols)
+        folded = with_fold_column(
+            oof_matrix, key_col, self.k, self.seed, method="hash"
+        )
+        normed: dict[str, list[float]] = {}
+        blended_folds: list[DataFrame] = []
+        for fold in range(self.k):
+            weights = normalize_weights(list(fold_weights[str(fold)]))
+            normed[str(fold)] = weights
+            valid = folded.filter(F.col("fold") == fold)
+            blended_folds.append(
+                self._apply_vote(valid, pred_cols, weights, voting, key_col)
+                .select(key_col, "blend", target_col)
+            )
+        from functools import reduce
+
+        oof_blend = reduce(lambda a, b: a.unionByName(b), blended_folds)
+        score = metrics_mod.score(oof_blend, self.metric, target_col, "blend")
+        return BlendResult(weights=normed, oof_blend=oof_blend, score=score)
+
 
 class Stacker:
     """M14: meta-model CV over the OOF matrix — the whole §3.2 engine

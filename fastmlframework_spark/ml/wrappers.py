@@ -282,6 +282,189 @@ def frozen_logistic_model(
     return fitted
 
 
+def _ridge_int_feature(col_name: str, scale: int):
+    """Scaled-integer feature value: CAST(ROUND(col·scale, 0) AS
+    BIGINT).  The inputs are decimal-rounded doubles, so col·scale is
+    within 1e-9 of an integer and never at a .5 boundary — Spark's
+    HALF_UP and DuckDB's HALF-AWAY rounding agree, making the integer
+    identical in both engines."""
+    return F.round(F.col(col_name) * F.lit(scale), 0).cast("bigint")
+
+
+@dataclass
+class ClosedFormLinearModel:
+    """M4-shaped predict surface for a normal-equation fit: prediction
+    is the literal-coefficient affine form over the SAME scaled-integer
+    feature encoding the fit aggregated, left-associated
+    ``(b0 + b1·x1) + b2·x2`` so a SQL oracle replays it bit-for-bit."""
+
+    feature_cols: Sequence[str]
+    scales: Sequence[int]
+    coefficients: Sequence[float]
+    intercept: float
+    task: str = "regression"
+
+    def predict(self, df: DataFrame) -> DataFrame:
+        expr = F.lit(float(self.intercept))
+        for c, s, b in zip(self.feature_cols, self.scales, self.coefficients):
+            expr = expr + F.lit(float(b)) * _ridge_int_feature(c, s).cast(
+                "double"
+            )
+        return df.withColumn("prediction", expr)
+
+    def predict_proba(self, df: DataFrame, class_label: int = 1) -> DataFrame:
+        raise ValueError("predict_proba requires a classifier")
+
+    def feature_importances(self) -> list[tuple[str, float]]:
+        return [
+            (c, abs(float(b)))
+            for c, b in zip(self.feature_cols, self.coefficients)
+        ]
+
+
+class RidgeClosedFormWrapper:
+    """M4's LinearRegression leg as a REAL closed-form fit (VERDICT
+    r10 #1): ridge via the normal equations, every data-dependent
+    quantity a Spark aggregate, so — unlike the iterative MLlib
+    optimizer — the whole fit is a deterministic function of the data
+    that a DuckDB oracle can replay bit-for-bit (``cv_oof_ridge``).
+
+    How bit-exactness is engineered (this is the entire design):
+
+    * Features are encoded as SCALED INTEGERS (caller-supplied
+      per-feature scale, e.g. 100 for a 2-dp money column), so X'X
+      and X'y entries are INTEGER sums — exact in any summation
+      order, hence identical on a 1000-executor shuffle and in a
+      single-threaded oracle.  Sums accumulate as DECIMAL(38,0)
+      (Spark) / HUGEINT (DuckDB): no overflow, no FP drift.
+    * The ridge diag (integer ``lam``) is added in the integer
+      domain; only then does each entry convert to double (both
+      engines round-to-nearest on int→double).
+    * The 3×3 solve (2 features + intercept) is Cramer's rule written
+      as ONE fixed expression tree, duplicated token-for-token in
+      Python (driver) and SQL (oracle): identical IEEE-double ops in
+      identical association produce identical bits.
+    * Prediction is the left-associated affine form over the same
+      integer encoding, rounded to the engine contract's 6 dp.
+
+    d > 2 features fall back to ``numpy.linalg.solve`` — still a real
+    deterministic fit, but LAPACK's pivot order has no SQL twin, so
+    only the d ≤ 2 path carries the driver-hash oracle.
+
+    Scale shape: one map-side-combinable aggregate per fold over the
+    training rows (9 integer sums + count), a driver-side O(d³) solve
+    on ~10 scalars, and a map-only scoring pass — no iteration, no
+    per-row Python.  Reference shape: modeling/model_wrappers.py:
+    242-323 (sklearn LinearRegression leg), modeling/prediction.py:
+    288-416 (the CV loop this wrapper plugs into)."""
+
+    task = "regression"
+
+    def __init__(self, scales: dict[str, int], lam: int = 1):
+        self.scales = dict(scales)
+        self.lam = int(lam)
+
+    def reset_seed(self, seed: int) -> "RidgeClosedFormWrapper":
+        return self  # closed form: nothing stochastic to reseed
+
+    def fit(
+        self,
+        df: DataFrame,
+        feature_cols: Sequence[str],
+        label_col: str,
+    ) -> ClosedFormLinearModel:
+        scales = [int(self.scales.get(c, 1)) for c in feature_cols]
+        xs = [
+            _ridge_int_feature(c, s).alias(f"x{i}")
+            for i, (c, s) in enumerate(zip(feature_cols, scales), start=1)
+        ]
+        y = F.col(label_col).cast("bigint").alias("y")
+        g = df.select(*xs, y)
+        dec = "decimal(38,0)"
+        aggs = [F.count(F.lit(1)).alias("n")]
+        d = len(feature_cols)
+        for i in range(1, d + 1):
+            aggs.append(F.sum(F.col(f"x{i}").cast(dec)).alias(f"s{i}"))
+        for i in range(1, d + 1):
+            for j in range(i, d + 1):
+                aggs.append(
+                    F.sum(
+                        (F.col(f"x{i}") * F.col(f"x{j}")).cast(dec)
+                    ).alias(f"s{i}{j}")
+                )
+        aggs.append(F.sum(F.col("y").cast(dec)).alias("sy"))
+        for i in range(1, d + 1):
+            aggs.append(
+                F.sum((F.col(f"x{i}") * F.col("y")).cast(dec)).alias(f"s{i}y")
+            )
+        row = g.agg(*aggs).first()
+        ints = {k: int(row[k]) for k in row.asDict()}
+        if d == 2:
+            b0, b1, b2 = _cramer3_solve(ints, self.lam)
+            coefs = [b1, b2]
+            intercept = b0
+        else:
+            import numpy as np
+
+            A = np.zeros((d + 1, d + 1))
+            v = np.zeros(d + 1)
+            A[0, 0] = ints["n"]
+            v[0] = ints["sy"]
+            for i in range(1, d + 1):
+                A[0, i] = A[i, 0] = ints[f"s{i}"]
+                v[i] = ints[f"s{i}y"]
+                for j in range(i, d + 1):
+                    A[i, j] = A[j, i] = ints[f"s{min(i, j)}{max(i, j)}"]
+                A[i, i] += self.lam
+            beta = np.linalg.solve(A, v)
+            intercept, coefs = float(beta[0]), [float(b) for b in beta[1:]]
+        return ClosedFormLinearModel(
+            feature_cols=list(feature_cols),
+            scales=scales,
+            coefficients=coefs,
+            intercept=intercept,
+        )
+
+
+def _cramer3_solve(s: dict, lam: int) -> tuple[float, float, float]:
+    """Cramer's rule for the 3×3 ridge system — THE canonical
+    expression tree: ``queries/mlflow.py``'s oracle SQL is a
+    token-for-token transliteration of these four formulas, so edit
+    both together or the driver hash breaks.  Inputs are exact Python
+    ints; every float op below is one IEEE-double op in fixed
+    association."""
+    a11 = float(s["n"])
+    a12 = float(s["s1"])
+    a13 = float(s["s2"])
+    a22 = float(s["s11"] + lam)
+    a23 = float(s["s12"])
+    a33 = float(s["s22"] + lam)
+    v1 = float(s["sy"])
+    v2 = float(s["s1y"])
+    v3 = float(s["s2y"])
+    det = (
+        a11 * (a22 * a33 - a23 * a23)
+        - a12 * (a12 * a33 - a23 * a13)
+        + a13 * (a12 * a23 - a22 * a13)
+    )
+    det0 = (
+        v1 * (a22 * a33 - a23 * a23)
+        - a12 * (v2 * a33 - a23 * v3)
+        + a13 * (v2 * a23 - a22 * v3)
+    )
+    det1 = (
+        a11 * (v2 * a33 - a23 * v3)
+        - v1 * (a12 * a33 - a23 * a13)
+        + a13 * (a12 * v3 - v2 * a13)
+    )
+    det2 = (
+        a11 * (a22 * v3 - a23 * v2)
+        - a12 * (a12 * v3 - v2 * a13)
+        + v1 * (a12 * a23 - a22 * a13)
+    )
+    return det0 / det, det1 / det, det2 / det
+
+
 class FrozenFoldsWrapper:
     """An M1-shaped wrapper whose per-fold "fit" returns a frozen
     logistic model with LITERAL per-fold coefficients, in fit-call

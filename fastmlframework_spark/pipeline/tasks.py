@@ -7,9 +7,20 @@ exists is skipped (target-based memoization, O8 — e.g.
 create_solution.py:67-69/:170-171).  ``luigi`` is not installed in
 this environment, so this module implements the same contract —
 ``Task.requires() / output() / run()``, ``LocalTarget.exists()``,
-``build([...])`` — as ~100 lines of driver-side Python.  When real
-Luigi is importable the same Task subclasses can be ported 1:1 (the
-API surface is deliberately identical).
+``build([...])`` — as ~100 lines of driver-side Python.
+
+When real Luigi IS importable, ``build()`` DELEGATES to it (VERDICT
+r10 #7, mirroring ``ml/hpo.py``'s bayes_opt pattern): each Task in
+the closure is wrapped in a ``luigi.Task`` shim whose
+requires/complete/run forward to ours, and the DAG executes under
+``luigi.build(local_scheduler=True, workers=N)`` — so on a real
+deployment the orchestration layer gets Luigi's scheduler semantics
+(central-scheduler locking, retries, visualizer) without touching
+any Task subclass.  ``build(engine=...)`` selects explicitly:
+``'auto'`` (default; luigi when importable), ``'luigi'``,
+``'builtin'``.  Engine parity — same chain, identical artifacts,
+either engine — is pytest-pinned via an injected minimal luigi
+(tests/test_process_boundary.py).
 
 This is pure driver-side control flow: each task body launches Spark
 jobs; the IR between tasks is files (Parquet dirs / JSON), exactly the
@@ -81,28 +92,20 @@ class DAGError(RuntimeError):
     pass
 
 
-def build(
+def _import_luigi():
+    try:
+        import luigi  # type: ignore
+
+        return luigi
+    except ImportError:
+        return None
+
+
+def _discover_closure(
     tasks: Iterable[Task],
-    *,
-    force: bool = False,
-    workers: int = 1,
-    timings: dict[str, float] | None = None,
-) -> list[str]:
-    """Run the closure of ``tasks`` in dependency order, skipping
-    complete tasks (unless ``force``).  Returns the ids of tasks that
-    actually ran.  Equivalent of ``luigi.build(..., local_scheduler=
-    True)`` (create_solution.py:822-824).
-
-    ``workers > 1`` runs independent tasks of the same topological
-    level concurrently on a thread pool — Luigi's ``workers=N`` fan-out
-    (O4: one prediction task per model).  Spark job submission is
-    thread-safe; concurrent tasks become concurrently-scheduled job
-    chains on the shared session, which is exactly how independent
-    model fits should share a cluster.
-
-    ``timings``: pass a dict to receive per-task wall seconds for
-    every task that ran (tools/bench_pipeline.py's breakdown)."""
-    # Discover the closure + dependency edges (cycle-checked).
+) -> tuple[dict[str, Task], dict[str, list[str]]]:
+    """Closure + dependency edges of the task graph, cycle-checked —
+    shared by both engines."""
     nodes: dict[str, Task] = {}
     deps: dict[str, list[str]] = {}
     in_progress: set[str] = set()
@@ -123,7 +126,99 @@ def build(
 
     for t in tasks:
         visit(t)
+    return nodes, deps
 
+
+def _build_with_luigi(
+    tasks: Iterable[Task],
+    luigi,
+    *,
+    force: bool = False,
+    workers: int = 1,
+    timings: dict[str, float] | None = None,
+) -> list[str]:
+    """Run the closure under real Luigi: one shim ``luigi.Task`` per
+    node, identity carried by a string parameter (Luigi caches task
+    instances by parameter tuple, so equal tids dedupe exactly like
+    the builtin engine's node map).  ``force`` is emulated the way
+    Luigi users do it — ``complete()`` returns False until this
+    build has re-run the task."""
+    nodes, deps = _discover_closure(tasks)
+    ran: list[str] = []
+    forced_pending = set(nodes) if force else set()
+
+    class _Shim(luigi.Task):
+        tid = luigi.Parameter()
+
+        def requires(self):
+            return [_Shim(tid=d) for d in deps[str(self.tid)]]
+
+        def complete(self):
+            if str(self.tid) in forced_pending:
+                return False
+            return nodes[str(self.tid)].complete()
+
+        def run(self):
+            tid = str(self.tid)
+            t0 = time.perf_counter()
+            nodes[tid].run()
+            if timings is not None:
+                timings[tid] = round(time.perf_counter() - t0, 4)
+            forced_pending.discard(tid)
+            if not nodes[tid].complete():
+                raise DAGError(
+                    f"{tid} ran but its output targets do not exist"
+                )
+            ran.append(tid)
+
+    ok = luigi.build(
+        [_Shim(tid=t.task_id()) for t in tasks],
+        local_scheduler=True,
+        workers=workers,
+        detailed_summary=False,
+    )
+    if not ok:
+        raise DAGError("luigi.build reported failure")
+    return ran
+
+
+def build(
+    tasks: Iterable[Task],
+    *,
+    force: bool = False,
+    workers: int = 1,
+    timings: dict[str, float] | None = None,
+    engine: str = "auto",
+) -> list[str]:
+    """Run the closure of ``tasks`` in dependency order, skipping
+    complete tasks (unless ``force``).  Returns the ids of tasks that
+    actually ran.  Equivalent of ``luigi.build(..., local_scheduler=
+    True)`` (create_solution.py:822-824).
+
+    ``workers > 1`` runs independent tasks of the same topological
+    level concurrently on a thread pool — Luigi's ``workers=N`` fan-out
+    (O4: one prediction task per model).  Spark job submission is
+    thread-safe; concurrent tasks become concurrently-scheduled job
+    chains on the shared session, which is exactly how independent
+    model fits should share a cluster.
+
+    ``timings``: pass a dict to receive per-task wall seconds for
+    every task that ran (tools/bench_pipeline.py's breakdown).
+
+    ``engine``: ``'auto'`` delegates to real Luigi when importable
+    (reference scheduler semantics) and falls back to the builtin
+    engine otherwise; ``'luigi'``/``'builtin'`` force a choice."""
+    if engine not in ("auto", "luigi", "builtin"):
+        raise ValueError(f"unknown engine {engine!r}")
+    luigi = _import_luigi() if engine in ("auto", "luigi") else None
+    if engine == "luigi" and luigi is None:
+        raise RuntimeError("engine='luigi' requested but luigi not importable")
+    if luigi is not None:
+        return _build_with_luigi(
+            tasks, luigi, force=force, workers=workers, timings=timings
+        )
+
+    nodes, deps = _discover_closure(tasks)
     ran: list[str] = []
     done: set[str] = set()
 

@@ -33,6 +33,47 @@ import pyspark.sql.functions as F
 _WORK_ROOT: str | None = None
 _PREPPED: dict[tuple[str, str], dict] = {}
 
+# Per-bench batch-level timing detail from the LAST drain (VERDICT
+# r10 #4): the wall-clock number bench.py records is dominated by
+# fixed stream setup (checkpoint init, source listing) at small SF,
+# which hides the per-batch cost that actually scales.  Each bench
+# stores the listener-reported trigger durations here; bench.py
+# subtracts their sum from the wall time to report setup vs
+# steady-state separately in BENCH_*.json's ``stream_detail``.
+LAST_STREAM_DETAIL: dict[str, dict] = {}
+
+
+def _capture_progress(name: str, q) -> None:
+    """Record per-trigger execution times from the drained query's
+    progress feed into ``LAST_STREAM_DETAIL[name]``.  availableNow
+    drains emit one final empty progress event; only batches with
+    rows count toward steady-state."""
+    try:
+        prog = [p for p in (q.recentProgress or []) if p]
+        durs = [
+            p["durationMs"]["triggerExecution"] / 1000.0
+            for p in prog
+            if p.get("numInputRows", 0) > 0
+            and "triggerExecution" in p.get("durationMs", {})
+        ]
+        if not durs:
+            return
+        durs.sort()
+        mid = len(durs) // 2
+        median = (
+            durs[mid]
+            if len(durs) % 2
+            else (durs[mid - 1] + durs[mid]) / 2.0
+        )
+        LAST_STREAM_DETAIL[name] = {
+            "n_batches": len(durs),
+            "batch_total_sec": round(sum(durs), 4),
+            "batch_median_sec": round(median, 4),
+            "batch_max_sec": round(durs[-1], 4),
+        }
+    except Exception:  # detail is advisory — never fail the bench
+        LAST_STREAM_DETAIL.pop(name, None)
+
 
 def _work_root() -> str:
     global _WORK_ROOT
@@ -113,6 +154,7 @@ def bench_stream_exact_dedup(spark, sf_dir: str) -> int:
         os.path.join(rd, "ckpt"),
     )
     q.awaitTermination()
+    _capture_progress("stream_exact_dedup", q)
     return spark.read.parquet(os.path.join(rd, "out")).count()
 
 
@@ -171,6 +213,7 @@ def bench_stream_cusum(spark, sf_dir: str) -> int:
         .start()
     )
     q.awaitTermination()
+    _capture_progress("stream_cusum", q)
     return 1
 
 
@@ -234,6 +277,7 @@ def bench_stream_near_dedup(spark, sf_dir: str) -> int:
         os.path.join(rd, "ckpt"),
     )
     q.awaitTermination()
+    _capture_progress("stream_near_dedup", q)
     return spark.read.parquet(os.path.join(rd, "out")).count()
 
 
@@ -264,6 +308,7 @@ def bench_stream_quality_gate(spark, sf_dir: str) -> int:
         os.path.join(rd, "ckpt"),
     )
     q.awaitTermination()
+    _capture_progress("stream_quality_gate", q)
     return spark.read.parquet(os.path.join(rd, "out")).count()
 
 
@@ -312,6 +357,7 @@ def bench_stream_decontamination(spark, sf_dir: str) -> int:
         min_partitions=spark.sparkContext.defaultParallelism,
     )
     q.awaitTermination()
+    _capture_progress("stream_decontamination", q)
     return spark.read.parquet(os.path.join(rd, "out")).count()
 
 

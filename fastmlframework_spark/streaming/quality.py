@@ -73,6 +73,31 @@ def streaming_quality_gate(
     )
 
 
+def _decontamination_scored(
+    batch_df: DataFrame,
+    bloom: DataFrame,
+    text_col: str,
+    max_hit_ratio: float,
+) -> DataFrame:
+    """The per-trigger scoring plan of the decontamination gate,
+    exposed module-level so the plan-shape test can assert it is
+    EXCHANGE-FREE: ``bloom_probe_annotate`` rides the input columns
+    through the map-only probe (one batch scan, one-row broadcast,
+    no key self-join), then ``__admit`` is a pure projection —
+    NULL ``hit_ratio`` (NULL/empty text, zero shingles) admits,
+    since a shingle-free row cannot be contaminated."""
+    from fastmlframework_spark.extensions.curation import (
+        bloom_probe_annotate,
+    )
+
+    return bloom_probe_annotate(batch_df, bloom, text_col).withColumn(
+        "__admit",
+        F.coalesce(
+            F.col("hit_ratio") <= F.lit(max_hit_ratio), F.lit(True)
+        ),
+    )
+
+
 def streaming_decontamination_gate(
     stream_df: DataFrame,
     bloom: DataFrame,
@@ -104,10 +129,21 @@ def streaming_decontamination_gate(
     State design: the filter is the ONLY state and it is IMMUTABLE —
     its single row is collected once at stream start (a few KB at any
     eval size) and re-localized per batch, so the per-batch plan is
-    the same zero-shuffle map-only probe as the batch operator, with
-    no recompute of the filter build and nothing that grows over the
-    stream's lifetime.  Batch parity is pytest-pinned: micro-batch
-    boundaries cannot change any admit/quarantine decision.
+    the same zero-shuffle map-only probe as the batch operator
+    (``bloom_probe_annotate`` carries the input columns through the
+    probe — NO key self-join, no second scan of the batch, and
+    duplicate ``key_col`` values cannot multiply rows; the plan is
+    exchange-free, pinned by
+    ``tests/test_streaming.py::test_decontamination_scored_plan_is_map_only``),
+    with no recompute of the filter build and nothing that grows over
+    the stream's lifetime.  Batch parity is pytest-pinned: micro-batch
+    boundaries cannot change any admit/quarantine decision.  Note the
+    usual foreachBatch caveat: the parquet APPENDS are at-least-once —
+    a batch that fails mid-write and is retried by the checkpoint can
+    leave duplicate ROWS in ``out_dir``/``quarantine_dir`` (decisions
+    are deterministic, so re-runs duplicate, never flip); an
+    exactly-once consumer dedups on ``key_col`` or reads the stats
+    feed's last batch_id.
 
     ``min_partitions``: a PURE-MAP gate inherits the micro-batch's
     source partitioning and — having no shuffle — never re-spreads
@@ -117,8 +153,6 @@ def streaming_decontamination_gate(
     ~the cluster's core count for small-file sources; leave ``None``
     (no batch-local shuffle) when triggers already carry enough input
     splits — the normal case at production scale."""
-    from fastmlframework_spark.extensions.curation import bloom_probe_stats
-
     in_cols = stream_df.columns
     frow = bloom.first()
     fschema = bloom.schema
@@ -131,12 +165,8 @@ def streaming_decontamination_gate(
         ):
             batch_df = batch_df.repartition(min_partitions)
         bl = spark.createDataFrame([frow], fschema)
-        stats = bloom_probe_stats(batch_df, bl, key_col, text_col)
-        scored = batch_df.join(stats, on=key_col, how="left").withColumn(
-            "__admit",
-            F.coalesce(
-                F.col("hit_ratio") <= F.lit(max_hit_ratio), F.lit(True)
-            ),
+        scored = _decontamination_scored(
+            batch_df, bl, text_col, max_hit_ratio
         ).cache()
         try:
             (

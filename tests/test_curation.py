@@ -463,8 +463,8 @@ def test_bloom_no_false_negatives(spark, docs):
 
 def test_bloom_autosize_tracks_eval_size(spark, docs):
     """num_bits=None sizes the table at the k-optimal ~k/ln2 bits per
-    distinct eval shingle (64-word multiples), so the filter cannot
-    saturate as the eval corpus grows."""
+    distinct eval shingle (rounded to 64-bit, i.e. two-word, multiples),
+    so the filter cannot saturate as the eval corpus grows."""
     import math
 
     small = docs.limit(5)

@@ -152,3 +152,86 @@ def test_frozen_logistic_model_rejects_bad_arity(spark):
 
     with pytest.raises(ValueError):
         frozen_logistic_model(spark, ["x1", "x2"], [1.0], 0.0)
+
+
+def test_ridge_closed_form_matches_numpy(spark):
+    """The d=2 Cramer path must agree with an independent numpy
+    normal-equation solve (to float tolerance), and the model must be
+    a genuine least-squares fit: on exactly-linear integer data with
+    lam=0 it recovers the generating coefficients."""
+    import numpy as np
+
+    from fastmlframework_spark.ml.wrappers import RidgeClosedFormWrapper
+
+    rows = [
+        (i, float(i % 17), float((i * 7) % 23), 0.0) for i in range(400)
+    ]
+    rows = [
+        (k, x1, x2, 3.0 + 2.0 * x1 - 5.0 * x2) for k, x1, x2, _ in rows
+    ]
+    df = spark.createDataFrame(rows, ["k", "x1", "x2", "y"]).withColumn(
+        "y", F.col("y").cast("bigint")
+    )
+    w = RidgeClosedFormWrapper(scales={"x1": 1, "x2": 1}, lam=0)
+    fitted = w.fit(df, ["x1", "x2"], "y")
+    # exact linear data, integer design: recovers (3, 2, -5)
+    assert math.isclose(fitted.intercept, 3.0, rel_tol=1e-9)
+    assert math.isclose(fitted.coefficients[0], 2.0, rel_tol=1e-9)
+    assert math.isclose(fitted.coefficients[1], -5.0, rel_tol=1e-9)
+
+    # cross-check the Cramer tree against numpy on the ridge system
+    w2 = RidgeClosedFormWrapper(scales={"x1": 1, "x2": 1}, lam=1000)
+    fitted2 = w2.fit(df, ["x1", "x2"], "y")
+    pdf = np.array([(x1, x2, y) for _, x1, x2, y in rows])
+    X = np.column_stack([np.ones(len(pdf)), pdf[:, 0], pdf[:, 1]])
+    A = X.T @ X + np.diag([0.0, 1000.0, 1000.0])
+    beta = np.linalg.solve(A, X.T @ pdf[:, 2])
+    got = [fitted2.intercept] + list(fitted2.coefficients)
+    for g, e in zip(got, beta):
+        assert math.isclose(g, e, rel_tol=1e-9), (got, beta)
+
+
+def test_ridge_closed_form_d3_numpy_path(spark):
+    """d>2 falls back to numpy.linalg.solve — still a real fit: exact
+    3-feature linear data is recovered."""
+    from fastmlframework_spark.ml.wrappers import RidgeClosedFormWrapper
+
+    rows = [
+        (
+            i,
+            float(i % 13),
+            float((i * 5) % 11),
+            float((i * 3) % 7),
+            1.0 + 4.0 * (i % 13) - 2.0 * ((i * 5) % 11) + 6.0 * ((i * 3) % 7),
+        )
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, ["k", "x1", "x2", "x3", "y"]).withColumn(
+        "y", F.col("y").cast("bigint")
+    )
+    w = RidgeClosedFormWrapper(scales={}, lam=0)
+    fitted = w.fit(df, ["x1", "x2", "x3"], "y")
+    got = [fitted.intercept] + list(fitted.coefficients)
+    for g, e in zip(got, [1.0, 4.0, -2.0, 6.0]):
+        assert math.isclose(g, e, rel_tol=1e-8, abs_tol=1e-8), got
+
+
+def test_ridge_predict_is_map_only(spark):
+    """The scoring plan adds NO exchange — literal-coefficient affine
+    projection over the scan (the 100 TB contract for the predict
+    half of the closed-form fit)."""
+    from fastmlframework_spark.ml.wrappers import ClosedFormLinearModel
+
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).cast("double").alias("x1"),
+        (F.col("id") % 3).cast("double").alias("x2"),
+    )
+    m = ClosedFormLinearModel(
+        feature_cols=["x1", "x2"],
+        scales=[1, 1],
+        coefficients=[0.5, -0.25],
+        intercept=1.0,
+    )
+    plan = m.predict(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan

@@ -637,7 +637,52 @@ def test_cms_sketch_shuffle_is_counter_bounded(spark):
     rows = [(i, "alpha beta gamma delta") for i in range(50)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     plan = cms_token_counts(df)._jdf.queryExecution().executedPlan().toString()
-    assert "partial_count" in plan or "partial" in plan.lower(), plan
+    lines = plan.splitlines()
+    # The structural contract: the sketch shuffle is keyed on the
+    # (depth, bucket) counter grid, NOT on tokens.  Anchor on the
+    # final counter aggregate (the HashAggregate emitting __c via
+    # count(1)): its direct child must be a grid-keyed Exchange, fed
+    # by a partial_count HashAggregate on the same keys (map-side
+    # combine into the bounded counter grid before any bytes move).
+    # Catalyst renames `__rb.__r`/`__rb.__b` grouping expressions, so
+    # the keys are matched positionally, not by name.
+    cnt = [
+        i for i, l in enumerate(lines)
+        if "HashAggregate" in l and "functions=[count(1)]" in l
+        and "__c#" in l
+    ]
+    assert len(cnt) == 1, f"no counter aggregate emitting __c:\n{plan}"
+    i = cnt[0]
+    assert "Exchange hashpartitioning" in lines[i + 1], (
+        f"counter aggregate not fed by a shuffle exchange:\n{plan}"
+    )
+    assert (
+        "HashAggregate" in lines[i + 2]
+        and "partial_count(1)" in lines[i + 2]
+    ), f"grid exchange not fed by a partial counter aggregate:\n{plan}"
+    # the partial aggregate's grouping keys must be the SAME pair the
+    # exchange partitions on (grid keys, 2 of them — not the token)
+    import re
+
+    ex_keys = re.search(r"hashpartitioning\(([^)]*), \d+\)", lines[i + 1])
+    pa_keys = re.search(r"HashAggregate\(keys=\[([^\]]*)\]", lines[i + 2])
+    assert ex_keys and pa_keys
+    ex_cols = [k.strip() for k in ex_keys.group(1).split(",")]
+    pa_cols = [k.strip() for k in pa_keys.group(1).split(",")]
+    assert ex_cols == pa_cols and len(ex_cols) == 2, (
+        f"exchange keys {ex_cols} != partial-agg keys {pa_cols}:\n{plan}"
+    )
+    assert not any("__t#" in k for k in ex_cols), (
+        f"sketch shuffle is token-keyed, counter bound broken:\n{plan}"
+    )
+    # the only token-keyed exchanges allowed are top_n-bounded: the
+    # exact-truth probe groupBy and the final min-over-depth gather
+    # (top_n·depth rows after the broadcast join) — never the sketch
+    tok_ex = [
+        l for l in lines
+        if "Exchange hashpartitioning" in l and "__t#" in l
+    ]
+    assert len(tok_ex) <= 2, f"unexpected token-keyed shuffles:\n{plan}"
 
 
 def test_source_divergence_identities_and_bounds(spark):

@@ -175,3 +175,64 @@ def test_stacker_runs_meta_cv(oof_tables):
     res = stacker.run(m)
     assert res.oof.count() == 1000
     assert res.cv_results[0]["cv_mean_score"] > 0.9
+
+
+def test_blender_apply_frozen_replays_history(oof_tables):
+    """apply_frozen must reproduce exactly what a per-fold weighted
+    soft vote computes: every blend value is the fold's weighted
+    combination of that key's predictions (checked independently),
+    all keys are covered once, and swapping the fold weight history
+    changes the output (fold→weights wiring is live)."""
+    import pyspark.sql.functions as F
+
+    from fastmlframework_spark.ml.folds import with_fold_column
+
+    m = assemble_oof_matrix(oof_tables)
+    blender = Blender(metric="roc_auc_score", k=3, seed=27)
+    hist = {"0": [0.3, 0.7], "1": [0.5, 0.5], "2": [0.8, 0.2]}
+    res = blender.apply_frozen(m, hist)
+    got = {r["key"]: r["blend"] for r in res.oof_blend.collect()}
+    assert len(got) == m.count()
+
+    pred_cols = [c for c in m.columns if c.endswith("_OOF")]
+    folded = with_fold_column(m, "key", 3, 27, method="hash")
+    for r in folded.collect():
+        w = hist[str(r["fold"])]
+        want = r[pred_cols[0]] * (w[0] / sum(w)) + r[pred_cols[1]] * (
+            w[1] / sum(w)
+        )
+        assert abs(got[r["key"]] - want) < 1e-12
+
+    swapped = {"0": hist["2"], "1": hist["1"], "2": hist["0"]}
+    res2 = blender.apply_frozen(m, swapped)
+    got2 = {r["key"]: r["blend"] for r in res2.oof_blend.collect()}
+    assert got != got2
+    assert 0.0 < res.score <= 1.0
+
+
+def test_hpo_gp_ei_beats_random_search():
+    """VERDICT r10 #2 'done' criterion: on a fixed objective the GP-EI
+    fallback must beat a pure random search given the SAME total probe
+    budget, averaged over seeds — i.e. the surrogate actually guides
+    proposals (the old explore/exploit stand-in fails this margin)."""
+    import random as _random
+
+    from fastmlframework_spark.ml.hpo import maximize
+
+    def f(x, y):
+        return -((x - 0.31) ** 2) - ((y - 0.73) ** 2)
+
+    bounds = {"x": (0.0, 1.0), "y": (0.0, 1.0)}
+    gaps_bo, gaps_rand = [], []
+    for seed in range(6):
+        res = maximize(f, bounds, init_points=5, n_iter=15, seed=seed)
+        assert len(res.history) == 20
+        gaps_bo.append(-res.best_score)
+        rng = _random.Random(seed)
+        best = max(
+            f(rng.uniform(0, 1), rng.uniform(0, 1)) for _ in range(20)
+        )
+        gaps_rand.append(-best)
+    mean_bo = sum(gaps_bo) / len(gaps_bo)
+    mean_rand = sum(gaps_rand) / len(gaps_rand)
+    assert mean_bo < mean_rand / 2, (mean_bo, mean_rand)

@@ -897,6 +897,44 @@ def test_streaming_decontamination_gate_matches_batch(
     assert stats.count() > 1
 
 
+def test_decontamination_scored_plan_is_map_only(spark, sf_dir_small):
+    """The gate's per-trigger scoring plan (the exact DataFrame the
+    foreachBatch sink filters) must contain ZERO Exchange nodes on the
+    batch side — no key self-join, no shuffle, one scan of the batch
+    behind the one-row broadcast filter.  This is the test bench.py's
+    stream entry exists to back: a shuffle sneaking into this plan is
+    a per-trigger regression at any scale."""
+    import pyspark.sql.functions as F
+
+    from fastmlframework_spark.extensions.curation import ngram_bloom_filter
+    from fastmlframework_spark.streaming.quality import (
+        _decontamination_scored,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir_small}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    evals = docs.filter(F.col("doc_id") % 37 == 0).select("text")
+    bloom = ngram_bloom_filter(evals, n=5, num_bits=8192, num_hashes=5)
+    # localize the filter exactly as the gate does at stream start
+    bl = spark.createDataFrame([bloom.first()], bloom.schema)
+    scored = _decontamination_scored(docs, bl, "text", 0.0)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    bcast = next(i for i, l in enumerate(lines) if "BroadcastExchange" in l)
+    batch_side = lines[:bcast]
+    assert not any("Exchange" in l for l in batch_side), (
+        "per-trigger batch side must be shuffle-free:\n"
+        + "\n".join(batch_side)
+    )
+    assert not any("Join" in l and "BroadcastNestedLoop" not in l
+                   for l in lines), plan
+    # and duplicate keys must NOT multiply rows (the old self-join bug)
+    dup = docs.limit(5).union(docs.limit(5))
+    out = _decontamination_scored(dup, bl, "text", 0.0)
+    assert out.count() == 10
+
+
 def test_streaming_decontamination_restart_from_checkpoint(spark, tmp_path):
     """Exactly-once per input file across a stream RESTART: a new
     query on the same checkpoint must skip committed batch-0 files

@@ -228,6 +228,97 @@ def _timed(fn) -> float:
     return time.perf_counter() - t0
 
 
+def _refit(sfs: list[float], times: list[float]) -> tuple[float, float]:
+    """(global log-log slope, top-decade slope) — same fit as
+    probe_exponents."""
+    import math
+
+    xs = [math.log(s) for s in sfs]
+    ys = [math.log(t) for t in times]
+    n = len(xs)
+    xbar, ybar = sum(xs) / n, sum(ys) / n
+    slope = sum((x - xbar) * (y - ybar) for x, y in zip(xs, ys)) / sum(
+        (x - xbar) ** 2 for x in xs
+    )
+    top = (ys[-1] - ys[-2]) / (xs[-1] - xs[-2])
+    return round(slope, 4), round(top, 4)
+
+
+def add_decade(
+    spark,
+    json_path: str,
+    sf_dir: str,
+    queries: list[str] | None = None,
+    repeats: int = 2,
+) -> dict:
+    """Extend a committed exponent table with ONE new decade (VERDICT
+    r10 #3: full-registry sf10 evidence): time each query at
+    ``sf_dir`` only, append the (sf, sec) sample to the existing
+    series, and refit both exponents — the lower decades' committed
+    timings are reused, so certifying the fifth decade costs one
+    full-registry pass at sf10 instead of five passes.  Queries added
+    to the registry since the base table was committed (no existing
+    series) get a full fresh probe over the standard decades +
+    ``sf_dir``."""
+    import json
+    import math  # noqa: F401 (refit)
+
+    from fastmlframework_spark.streaming.bench import STREAMING_BENCHES
+
+    with open(json_path) as fh:
+        table = json.load(fh)
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    qs = all_queries()
+    names = queries or sorted(table["queries"])
+    fresh = [n for n in (queries or []) if n not in table["queries"]]
+    if not queries:
+        # default: every committed series + any new benched queries
+        from fastmlframework_spark.queries.registry import bench_queries
+
+        fresh = sorted(set(bench_queries()) - set(table["queries"]))
+        names = sorted(table["queries"]) + fresh
+    if fresh:
+        base = os.path.dirname(table["sf_dirs"][0].rstrip("/"))
+        lower = [
+            os.path.join(base, f"sf{s}") for s in ("0.001", "0.01", "0.1")
+        ]
+        lower = [d for d in lower if os.path.isdir(d)]
+        fresh_fit = probe_exponents(spark, lower, fresh, repeats=repeats)
+        table["queries"].update(fresh_fit["queries"])
+    for name in names:
+        if name in qs:
+            fn = qs[name]
+
+            def run(d, fn=fn):
+                fn(spark, d).write.format("noop").mode("overwrite").save()
+        else:
+            sfn = STREAMING_BENCHES[name]
+
+            def run(d, sfn=sfn):
+                sfn(spark, d)
+        best = min(_timed(lambda: run(sf_dir)) for _ in range(repeats))
+        row = table["queries"][name]
+        if sf in row["sf"]:  # re-probe: replace the existing sample
+            i = row["sf"].index(sf)
+            row["sec"][i] = round(best, 4)
+        else:
+            row["sf"].append(sf)
+            row["sec"].append(round(best, 4))
+        row["exponent"], row["exponent_top_decade"] = _refit(
+            row["sf"], row["sec"]
+        )
+        print(
+            f"{name:28s} exponent={row['exponent']:+.3f} "
+            f"top_decade={row['exponent_top_decade']:+.3f} sec={row['sec']}"
+        )
+        spark.catalog.clearCache()
+    if sf_dir not in table["sf_dirs"]:
+        table["sf_dirs"].append(sf_dir)
+    with open(json_path, "w") as fh:
+        json.dump(table, fh, indent=1, sort_keys=True)
+    return table
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=10)
@@ -266,10 +357,28 @@ def main() -> None:
         "of the --exponents fit",
     )
     ap.add_argument("--json-out", default="tools/scale_probe_exponents.json")
+    ap.add_argument(
+        "--add-decade",
+        default=None,
+        help="extend --json-out with one new decade (e.g. "
+        "/tmp/scale_probe/sf10.0): reuse committed lower-decade "
+        "timings, time every committed query at this dir only, refit "
+        "exponents (VERDICT r10 #3)",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.add_decade:
+        names = (
+            [q.strip() for q in args.queries.split(",") if q.strip()]
+            if args.queries != DEFAULT_QUERIES
+            else None
+        )
+        add_decade(spark, args.json_out, args.add_decade, names)
+        print(f"updated {args.json_out}")
+        return
 
     if args.make_sf1:
         out = os.path.join(args.out, "sf1.0")

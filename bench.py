@@ -63,6 +63,12 @@ EXCLUDED_REASONS = {
     "benched latency representative of the same CV loop",
     "cv_importance_invariants": "re-runs the cv_feature_importance fit "
     "to audit it — timed once per round in BENCH_CV.json",
+    "cv_oof_ridge_bagged": "oracle-hash evidence for C4 seed bagging "
+    "with REAL per-seed ridge fits; the single-seed cv_oof_ridge is "
+    "the benched latency representative of the same engine path",
+    "cv_test_pred_ridge": "oracle-hash evidence for the A10 "
+    "test-prediction mean-over-folds path; cv_oof_ridge is the "
+    "benched latency representative of the same engine path",
 }
 
 # Off-registry timed callables (VERDICT r8 #1): the two real-MLlib-fit

@@ -309,6 +309,51 @@ def shuffle_order(
     )
 
 
+# Conservative PII patterns, deliberately restricted to syntax both
+# Java regex (Spark) and RE2 (DuckDB) interpret identically — char
+# classes, bounded repetition, \b word boundaries; no lookarounds.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\b",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def pii_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    kinds: tuple[str, ...] = ("email", "phone", "ipv4"),
+) -> DataFrame:
+    """C4/Dolma-style PII redaction at ingest → df columns +
+    [clean_text, n_email, n_phone, n_ipv4]: each detected span is
+    replaced with a typed mask token (``[EMAIL]`` …) and counted, so
+    curation can both ship scrubbed text and monitor per-source PII
+    rates (a source whose PII density jumps is a crawl-config bug).
+
+    100 TB shape: pure map — per-row regexp_extract_all (count) +
+    chained regexp_replace (mask), whole-stage-codegen'd into the
+    scan; no shuffle, no state, no Python.  The patterns are the
+    conservative high-precision tier (emails, NANP-style phones,
+    IPv4); entity-level PII (names, addresses) needs an NER pass,
+    which belongs in a gated model stage, not the regex screen.
+
+    Deterministic + engine-portable by construction (see
+    PII_PATTERNS), so the full scrub — counts AND masked text —
+    carries a DuckDB value-hash oracle (`pii_scrub_planted`)."""
+    out = df
+    clean = F.col(text_col)
+    for kind in kinds:
+        pat = PII_PATTERNS[kind]
+        out = out.withColumn(
+            f"n_{kind}",
+            F.size(
+                F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))
+            ),
+        )
+        clean = F.regexp_replace(clean, pat, f"[{kind.upper()}]")
+    return out.withColumn("clean_text", clean)
+
+
 def remove_boilerplate_lines(
     df: DataFrame,
     key_col: str = "doc_id",

@@ -1107,3 +1107,80 @@ def quality_by_dup_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("is_dup")
     )
+
+
+def _pii_oracle() -> str:
+    from fastmlframework_spark.extensions.curation import PII_PATTERNS
+    from fastmlframework_spark.queries.xxh64_sql import xxhash64_str
+
+    def cnt(kind: str) -> str:
+        pat = PII_PATTERNS[kind].replace("'", "''")
+        return (
+            f"CAST(LENGTH(regexp_extract_all(text, '{pat}')) AS INT) "
+            f"AS n_{kind}"
+        )
+
+    clean = "text"
+    for kind in ("email", "phone", "ipv4"):
+        pat = PII_PATTERNS[kind].replace("'", "''")
+        clean = (
+            f"regexp_replace({clean}, '{pat}', '[{kind.upper()}]', 'g')"
+        )
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 7 = 0 THEN ' contact user'
+         || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END
+    || CASE WHEN doc_id % 11 = 0 THEN ' call 555-123-4567' ELSE '' END
+    || CASE WHEN doc_id % 13 = 0 THEN ' from 10.0.42.7 today' ELSE '' END
+    AS text
+  FROM documents
+)
+SELECT doc_id, {cnt("email")}, {cnt("phone")}, {cnt("ipv4")},
+       {xxhash64_str(clean)} AS clean_hash
+FROM planted
+"""
+
+
+@query("pii_scrub_planted", oracle=_pii_oracle())
+def pii_scrub_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (C4/Dolma curation stage) with planted spans:
+    emails (doc_id%7, id-bearing so every span is distinct), NANP
+    phones (%11), IPv4s (%13) appended in-query, then
+    `extensions.curation.pii_scrub` masks + counts.  Value-hash
+    evidence covers the MASKED TEXT itself, not just the counts: the
+    oracle rebuilds Spark's xxhash64 of clean_text bit-for-bit
+    (queries/xxh64_sql.py), so a single mis-masked byte anywhere in
+    the corpus flips the driver hash.  Map-only plan — the 100 TB
+    cost is one codegen'd scan."""
+    from fastmlframework_spark.extensions.curation import pii_scrub
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0, F.lit(" call 555-123-4567")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 13 == 0, F.lit(" from 10.0.42.7 today")
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return pii_scrub(planted).select(
+        "doc_id",
+        "n_email",
+        "n_phone",
+        "n_ipv4",
+        F.xxhash64("clean_text").alias("clean_hash"),
+    )

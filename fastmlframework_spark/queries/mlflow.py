@@ -510,6 +510,215 @@ def cv_oof_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.oof
 
 
+_RIDGE_AFFINE_SQL = (
+    "b.det0 / b.det"
+    " + (b.det1 / b.det) * CAST({x1} AS DOUBLE)"
+    " + (b.det2 / b.det) * CAST({x2} AS DOUBLE)"
+)
+
+_RIDGE_SOLVE_CTES = f"""
+s AS (
+  SELECT fold, COUNT(*) AS n,
+         SUM(x1) AS s1, SUM(x2) AS s2,
+         SUM(x1 * x1) AS s11, SUM(x1 * x2) AS s12, SUM(x2 * x2) AS s22,
+         SUM(target) AS sy, SUM(x1 * target) AS s1y,
+         SUM(x2 * target) AS s2y
+  FROM f GROUP BY fold
+),
+tot AS (
+  SELECT SUM(n) AS n, SUM(s1) AS s1, SUM(s2) AS s2, SUM(s11) AS s11,
+         SUM(s12) AS s12, SUM(s22) AS s22, SUM(sy) AS sy,
+         SUM(s1y) AS s1y, SUM(s2y) AS s2y
+  FROM s
+),
+c AS (
+  SELECT s.fold,
+    CAST(tot.n - s.n AS DOUBLE) AS a11,
+    CAST(tot.s1 - s.s1 AS DOUBLE) AS a12,
+    CAST(tot.s2 - s.s2 AS DOUBLE) AS a13,
+    CAST(tot.s11 - s.s11 + {_RIDGE_LAM} AS DOUBLE) AS a22,
+    CAST(tot.s12 - s.s12 AS DOUBLE) AS a23,
+    CAST(tot.s22 - s.s22 + {_RIDGE_LAM} AS DOUBLE) AS a33,
+    CAST(tot.sy - s.sy AS DOUBLE) AS v1,
+    CAST(tot.s1y - s.s1y AS DOUBLE) AS v2,
+    CAST(tot.s2y - s.s2y AS DOUBLE) AS v3
+  FROM s, tot
+),
+b AS (
+  SELECT fold,
+    (a11 * (a22 * a33 - a23 * a23)
+     - a12 * (a12 * a33 - a23 * a13)
+     + a13 * (a12 * a23 - a22 * a13)) AS det,
+    (v1 * (a22 * a33 - a23 * a23)
+     - a12 * (v2 * a33 - a23 * v3)
+     + a13 * (v2 * a23 - a22 * v3)) AS det0,
+    (a11 * (v2 * a33 - a23 * v3)
+     - v1 * (a12 * a33 - a23 * a13)
+     + a13 * (a12 * v3 - v2 * a13)) AS det1,
+    (a11 * (a22 * v3 - a23 * v2)
+     - a12 * (a12 * v3 - v2 * a13)
+     + v1 * (a12 * a23 - a22 * a13)) AS det2
+  FROM c
+)
+"""
+
+
+def _ridge_seed_oof_sql(seed: int) -> str:
+    """One seed's ridge-OOF pipeline as suffixed CTEs ending in
+    ``o{seed}(key, target, p)`` — fold assignment over md5(key|seed),
+    per-fold complement normal equations, Cramer solve, affine
+    score.  String-composed from the SAME solve template as
+    `cv_test_pred_ridge` so the arithmetic cannot drift from
+    `_cramer3_solve`."""
+    ctes = _RIDGE_SOLVE_CTES.strip()
+    for name in ("s", "tot", "c", "b", "f"):
+        # suffix every CTE name and reference (word-boundary-safe via
+        # the fixed syntactic forms used in the template)
+        ctes = ctes.replace(f"{name} AS (", f"{name}{seed} AS (")
+        ctes = ctes.replace(f"FROM {name} ", f"FROM {name}{seed} ")
+        ctes = ctes.replace(f"FROM {name},", f"FROM {name}{seed},")
+        ctes = ctes.replace(f"FROM {name}\n", f"FROM {name}{seed}\n")
+        ctes = ctes.replace(f", {name}\n", f", {name}{seed}\n")
+        ctes = ctes.replace(f" {name}.", f" {name}{seed}.")
+        ctes = ctes.replace(f"({name}.", f"({name}{seed}.")
+    hash_expr = _key_hash_sql(seed)
+    affine = _RIDGE_AFFINE_SQL.format(x1="f.x1", x2="f.x2")
+    return f"""
+f{seed} AS (
+  SELECT *, NTILE(3) OVER (ORDER BY {hash_expr}) - 1 AS fold FROM t
+),
+{ctes},
+o{seed} AS (
+  SELECT f.key, f.target, {affine} AS p
+  FROM f{seed} f JOIN b{seed} b ON f.fold = b.fold
+)"""
+
+
+@query(
+    "cv_oof_ridge_bagged",
+    bench=False,
+    oracle=f"""
+WITH t AS (
+SELECT
+  o_orderkey AS key,
+  CAST(ROUND(ROUND(c_acctbal, 2) * 100, 0) AS BIGINT) AS x1,
+  CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS x2,
+  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS target
+FROM orders JOIN customer ON o_custkey = c_custkey
+),
+{_ridge_seed_oof_sql(27).strip()},
+{_ridge_seed_oof_sql(28).strip()}
+SELECT o27.key,
+  ROUND((o27.p + o28.p) / 2.0, 6) AS target_oof,
+  o27.target AS target
+FROM o27 JOIN o28 ON o27.key = o28.key
+""",
+)
+def cv_oof_ridge_bagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 SEED BAGGING with REAL fits (completing what
+    `cv_oof_frozen_bagged` pinned with literals): two seeds through
+    `CVPredictor.run`'s multi-seed branch, each running the
+    closed-form ridge end-to-end — per-seed fold assignment (the seed
+    changes the md5 hash order, so folds and therefore the fitted
+    coefficients genuinely differ), per-seed OOF, J1 1:1 key join, A9
+    horizontal row-mean, 6-dp round.  The oracle replays BOTH ridge
+    pipelines (suffixed CTE copies of the same solve template) and
+    averages.  bench=False: `cv_oof_ridge` is the benched latency
+    representative; this is the oracle-hash evidence for the bagging
+    branch with data-dependent models."""
+    from fastmlframework_spark.ml.wrappers import RidgeClosedFormWrapper
+
+    predictor = CVPredictor(
+        RidgeClosedFormWrapper(
+            scales={"c_acctbal": 100, "order_year": 1}, lam=_RIDGE_LAM
+        ),
+        metric="mean_squared_error",
+        k=3,
+        seeds=(27, 28),
+        stratified=False,
+        predict_probability=False,
+        target_decimals=6,
+    )
+    res = predictor.run(
+        ml_train_table(spark, sf_dir),
+        None,
+        "key",
+        "target",
+        ["c_acctbal", "order_year"],
+    )
+    return res.oof.select("key", "target_oof", "target")
+
+
+@query(
+    "cv_test_pred_ridge",
+    bench=False,
+    oracle=f"""
+WITH t AS (
+SELECT
+  o_orderkey AS key,
+  CAST(ROUND(ROUND(c_acctbal, 2) * 100, 0) AS BIGINT) AS x1,
+  CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS x2,
+  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS target
+FROM orders JOIN customer ON o_custkey = c_custkey
+),
+tr AS (SELECT * FROM t WHERE key % 3 <> 1),
+te AS (SELECT * FROM t WHERE key % 3 = 1),
+f AS (
+  SELECT *, NTILE(3) OVER (ORDER BY {{hash}}) - 1 AS fold FROM tr
+),
+{_RIDGE_SOLVE_CTES.strip()},
+p AS (
+  SELECT te.key,
+    MAX(CASE WHEN b.fold = 0 THEN
+        {_RIDGE_AFFINE_SQL.format(x1="te.x1", x2="te.x2")} END) AS p0,
+    MAX(CASE WHEN b.fold = 1 THEN
+        {_RIDGE_AFFINE_SQL.format(x1="te.x1", x2="te.x2")} END) AS p1,
+    MAX(CASE WHEN b.fold = 2 THEN
+        {_RIDGE_AFFINE_SQL.format(x1="te.x1", x2="te.x2")} END) AS p2
+  FROM te CROSS JOIN b GROUP BY te.key
+)
+SELECT key, ROUND((p0 + p1 + p2) / 3.0, 6) AS target FROM p
+""".format(
+        hash=(
+            "CAST(concat('0x', substring(md5(CAST(key AS VARCHAR) || '|' ||"
+            " '27'), 1, 15)) AS BIGINT)"
+        ),
+    ),
+)
+def cv_test_pred_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-hash evidence for the A10 TEST-PREDICTION path (mean
+    over the k fold models, reference prediction.py:414) with a REAL
+    fit: the same closed-form ridge as `cv_oof_ridge`, but run with a
+    held-out test frame so `CVPredictor.run` exercises per-fold
+    test scoring → W5 union → groupBy(key).avg → 6-dp rounding.  The
+    oracle re-derives each fold model from the train subset and
+    averages the three affine predictions per test key ((p0+p1+p2)/3
+    vs Spark's 3-row avg — same three doubles; a 6-dp flip needs the
+    value within ~2e-17 of a rounding boundary, negligible at any
+    SF).  bench=False: `cv_oof_ridge` is the benched latency
+    representative of the same engine path."""
+    from fastmlframework_spark.ml.wrappers import RidgeClosedFormWrapper
+
+    full = ml_train_table(spark, sf_dir)
+    train = full.filter(F.col("key") % 3 != 1)
+    test = full.filter(F.col("key") % 3 == 1)
+    predictor = CVPredictor(
+        RidgeClosedFormWrapper(
+            scales={"c_acctbal": 100, "order_year": 1}, lam=_RIDGE_LAM
+        ),
+        metric="mean_squared_error",
+        k=3,
+        seeds=(27,),
+        stratified=False,
+        predict_probability=False,
+        target_decimals=6,
+    )
+    res = predictor.run(
+        train, test, "key", "target", ["c_acctbal", "order_year"]
+    )
+    return res.test_pred
+
+
 @query(
     "cv_importance_invariants",
     bench=False,

@@ -525,3 +525,35 @@ def test_decontamination_example_end_to_end(spark, sf_dir_small):
     assert s["n_exact_confirmed"] >= s["n_bloom_strong"] - 2
     assert s["bloom_kb"] < 64
     assert s["n_semantic_flagged"] > 0
+
+
+def test_pii_scrub_masks_and_counts(spark):
+    """Masking replaces every span with the typed token, counts are
+    computed on the ORIGINAL text, and PII-free rows pass through
+    byte-identical."""
+    rows = [
+        (1, "reach me at a.b+c@ex-ample.co.uk or x@y.io thanks"),
+        (2, "call 555-123-4567 or 800 555 1212 from 10.0.0.1"),
+        (3, "no pii here at all"),
+        (4, "ip 192.168.001.255 and mail bob@site.org"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in xcur.pii_scrub(df).collect()}
+    assert (out[1]["n_email"], out[1]["n_phone"], out[1]["n_ipv4"]) == (2, 0, 0)
+    assert out[1]["clean_text"] == "reach me at [EMAIL] or [EMAIL] thanks"
+    assert (out[2]["n_email"], out[2]["n_phone"], out[2]["n_ipv4"]) == (0, 2, 1)
+    assert out[2]["clean_text"] == "call [PHONE] or [PHONE] from [IPV4]"
+    assert out[3]["clean_text"] == "no pii here at all"
+    assert (out[3]["n_email"], out[3]["n_phone"], out[3]["n_ipv4"]) == (0, 0, 0)
+    assert out[4]["n_email"] == 1 and out[4]["n_ipv4"] == 1
+    assert "[EMAIL]" in out[4]["clean_text"] and "[IPV4]" in out[4]["clean_text"]
+
+
+def test_pii_scrub_is_map_only(spark, docs):
+    plan = (
+        xcur.pii_scrub(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan

@@ -132,6 +132,18 @@ SF10_LOOSER_BOUNDS = {
         "exact set-similarity pair join; tiny-vocab corpus defeats "
         "prefix filtering (candidates ~quadratic by construction)",
     ),
+    "dedup_best_representative": (
+        2.2,
+        "consumes ngram_jaccard_pairs — inherits the same corpus-"
+        "adversarial quadratic candidate set; the selection stage "
+        "itself (components + struct-max) is linear in the pair list",
+    ),
+    "dedup_ngram_jaccard": (
+        2.2,
+        "the exact pair-listing Jaccard join itself — answer-bound "
+        "(quadratic candidates on the tiny-vocab corpus); the "
+        "scalable rung for such corpora is MinHash-LSH",
+    ),
 }
 
 

@@ -250,6 +250,7 @@ def add_decade(
     sf_dir: str,
     queries: list[str] | None = None,
     repeats: int = 2,
+    skip_existing: bool = True,
 ) -> dict:
     """Extend a committed exponent table with ONE new decade (VERDICT
     r10 #3: full-registry sf10 evidence): time each query at
@@ -285,7 +286,18 @@ def add_decade(
         lower = [d for d in lower if os.path.isdir(d)]
         fresh_fit = probe_exponents(spark, lower, fresh, repeats=repeats)
         table["queries"].update(fresh_fit["queries"])
+    def _save() -> None:
+        # checkpoint after EVERY query: an sf10 pass is an hour-plus
+        # and an executor OOM must not discard the finished timings
+        # (learned the hard way — the first full run died at query 46
+        # and wrote nothing); skip_existing makes the rerun a resume.
+        with open(json_path, "w") as fh:
+            json.dump(table, fh, indent=1, sort_keys=True)
+
     for name in names:
+        row = table["queries"][name]
+        if skip_existing and sf in row["sf"]:
+            continue
         if name in qs:
             fn = qs[name]
 
@@ -297,7 +309,6 @@ def add_decade(
             def run(d, sfn=sfn):
                 sfn(spark, d)
         best = min(_timed(lambda: run(sf_dir)) for _ in range(repeats))
-        row = table["queries"][name]
         if sf in row["sf"]:  # re-probe: replace the existing sample
             i = row["sf"].index(sf)
             row["sec"][i] = round(best, 4)
@@ -309,11 +320,20 @@ def add_decade(
         )
         print(
             f"{name:28s} exponent={row['exponent']:+.3f} "
-            f"top_decade={row['exponent_top_decade']:+.3f} sec={row['sec']}"
+            f"top_decade={row['exponent_top_decade']:+.3f} sec={row['sec']}",
+            flush=True,
         )
         spark.catalog.clearCache()
+        _save()
     if sf_dir not in table["sf_dirs"]:
         table["sf_dirs"].append(sf_dir)
+    if sf == 10.0:
+        # the sf10 pin set (tests/test_scale_probe.py) is every entry
+        # carrying the fifth decade — after a full-registry pass that
+        # is the whole benched registry, not the r9 representatives
+        table.setdefault("sf10_probe", {})["queries"] = sorted(
+            n for n, q in table["queries"].items() if 10.0 in q["sf"]
+        )
     with open(json_path, "w") as fh:
         json.dump(table, fh, indent=1, sort_keys=True)
     return table
@@ -358,6 +378,13 @@ def main() -> None:
     )
     ap.add_argument("--json-out", default="tools/scale_probe_exponents.json")
     ap.add_argument(
+        "--repeats",
+        type=int,
+        default=2,
+        help="timings per (query, sf) — best-of-N; use 1 for the "
+        "expensive top decade (the full-registry sf10 pass)",
+    )
+    ap.add_argument(
         "--add-decade",
         default=None,
         help="extend --json-out with one new decade (e.g. "
@@ -376,7 +403,10 @@ def main() -> None:
             if args.queries != DEFAULT_QUERIES
             else None
         )
-        add_decade(spark, args.json_out, args.add_decade, names)
+        add_decade(
+            spark, args.json_out, args.add_decade, names,
+            repeats=args.repeats,
+        )
         print(f"updated {args.json_out}")
         return
 

@@ -53,6 +53,8 @@ HEADLINERS = {
     "dedup_sorted_neighborhood": "one distributed range-sort (global_rank) + fixed-size block equi-join (skew-free, <=3w rows/group); digest sets ride the join, Jaccard is per-row array arithmetic — no pair aggregation",
     "text_cms_token_counts": "sketch shuffle capped at depth*width counter keys via map-side partial agg; probe is a broadcast join over top-n*depth rows",
     "text_source_divergence": "vocabulary-bounded count aggregates + vocab join; divergence sums as token-sorted left-to-right HOF folds (cross-engine float-exact), absent-token JS mass closed-form from integer counts",
+    "cv_oof_ridge": "REAL closed-form fit (r11): per-fold integer-exact X'X/X'y partial-agg over the cached folded table, driver O(d^3) Cramer solve, literal-coefficient map-only scoring — no iteration, no per-row Python",
+    "pii_scrub_planted": "PII redaction (r11): chained regexp mask + counts as ONE codegen'd map-only scan; value-hash covers the masked text via the xxhash64 twin",
 }
 
 

@@ -6,6 +6,7 @@ the §7.5 extension layer as one runnable flow:
       → line-level boilerplate removal → Gopher rule battery
       → quality/repetition filter → chargram-LM tail cut
       → contamination screen → duplicate-passage audit
+      → PII redaction (mask + per-kind counts)
       → mixture reweighting + token-budget epochs plan
       → sequence packing → training shards
 
@@ -171,6 +172,26 @@ def run(spark, sf_dir: str, out: str) -> dict:
     # substring-dedup signal a doc-level pass can't remove).
     n_span_docs = xdedup.duplicate_spans(stage4).count()
 
+    # 4c. PII redaction — the ship-side scrub every public-corpus
+    # pipeline runs before sharding (C4/Dolma): mask emails/phones/
+    # IPv4s in place and carry the per-kind counts into the summary
+    # (a source whose PII density jumps is a crawl-config bug).
+    scrubbed = xcur.pii_scrub(stage4).cache()
+    pii = scrubbed.agg(
+        F.sum("n_email").alias("e"),
+        F.sum("n_phone").alias("p"),
+        F.sum("n_ipv4").alias("i"),
+        F.sum(
+            (
+                (F.col("n_email") + F.col("n_phone") + F.col("n_ipv4")) > 0
+            ).cast("long")
+        ).alias("docs"),
+    ).first()
+    stage4 = scrubbed.drop("text", "n_email", "n_phone", "n_ipv4").select(
+        F.col("clean_text").alias("text"),
+        *[c for c in stage4.columns if c != "text"],
+    )
+
     # 5. mixture weights + the token-budget epochs plan (2x the
     # surviving token mass under a temperature-0.5 target — epochs > 2
     # flags domains the plan would over-repeat).
@@ -206,6 +227,8 @@ def run(spark, sf_dir: str, out: str) -> dict:
         "after_decontamination": n4,
         "n_packs": n_packs,
         "dup_span_docs": n_span_docs,
+        "pii_spans_masked": int((pii.e or 0) + (pii.p or 0) + (pii.i or 0)),
+        "pii_docs": int(pii.docs or 0),
         "max_planned_epochs": float(max_epochs),
         "shards": manifest["n_shards"],
         "shard_rows": manifest["total_rows"],

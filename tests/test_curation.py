@@ -117,6 +117,9 @@ def test_curation_pipeline_end_to_end(spark, sf_dir_small, tmp_path):
     assert s["n_packs"] > 0
     # post-dedup the corpus should carry few duplicated passages
     assert 0 <= s["dup_span_docs"] <= s["after_decontamination"]
+    # PII stage ran: synthetic corpus carries no PII, so the scrub
+    # must be an exact pass-through (counts present and zero)
+    assert s["pii_spans_masked"] == 0 and s["pii_docs"] == 0
     # a 2x-token budget forces max(epochs) >= sum(needed)/sum(avail)
     # ~= 2 for ANY mixture — anything materially below 2 means the
     # budget or temperature scaling broke (floor slack only)

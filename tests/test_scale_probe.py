@@ -144,6 +144,19 @@ SF10_LOOSER_BOUNDS = {
         "(quadratic candidates on the tiny-vocab corpus); the "
         "scalable rung for such corpora is MinHash-LSH",
     ),
+    "dedup_minhash_calibration": (
+        2.2,
+        "audit query whose GROUND TRUTH side is the exact threshold-0 "
+        "Jaccard pair join (quadratic on this corpus by construction); "
+        "production runs it on a sample, and the LSH candidate side it "
+        "audits stays ~linear (dedup_minhash_lsh)",
+    ),
+    "dedup_minhash_recall_curve": (
+        2.2,
+        "same exact-ground-truth audit shape as "
+        "dedup_minhash_calibration — truth side quadratic by "
+        "construction on the tiny-vocab corpus",
+    ),
 }
 
 

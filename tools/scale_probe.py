@@ -279,11 +279,13 @@ def add_decade(
         fresh = sorted(set(bench_queries()) - set(table["queries"]))
         names = sorted(table["queries"]) + fresh
     if fresh:
-        base = os.path.dirname(table["sf_dirs"][0].rstrip("/"))
+        # fresh queries get the table's own committed decades (incl.
+        # the replicated sf1 set), so their series stay comparable to
+        # everyone else's before this decade is appended
         lower = [
-            os.path.join(base, f"sf{s}") for s in ("0.001", "0.01", "0.1")
+            d for d in table["sf_dirs"]
+            if os.path.isdir(d) and os.path.abspath(d) != os.path.abspath(sf_dir)
         ]
-        lower = [d for d in lower if os.path.isdir(d)]
         fresh_fit = probe_exponents(spark, lower, fresh, repeats=repeats)
         table["queries"].update(fresh_fit["queries"])
     def _save() -> None:
@@ -313,8 +315,14 @@ def add_decade(
             i = row["sf"].index(sf)
             row["sec"][i] = round(best, 4)
         else:
-            row["sf"].append(sf)
-            row["sec"].append(round(best, 4))
+            # keep (sf, sec) sorted by sf — a later backfill of a
+            # MIDDLE decade (e.g. sf1 for a query first probed after
+            # the sf1 pass) must not leave the series out of order
+            pairs = sorted(
+                zip(row["sf"] + [sf], row["sec"] + [round(best, 4)])
+            )
+            row["sf"] = [p[0] for p in pairs]
+            row["sec"] = [p[1] for p in pairs]
         row["exponent"], row["exponent_top_decade"] = _refit(
             row["sf"], row["sec"]
         )

@@ -157,6 +157,14 @@ SF10_LOOSER_BOUNDS = {
         "dedup_minhash_calibration — truth side quadratic by "
         "construction on the tiny-vocab corpus",
     ),
+    "dedup_containment": (
+        2.3,
+        "exact containment pair join (inverted-index intersect) — "
+        "answer-bound like the Jaccard pair listers: the tiny-vocab "
+        "corpus makes shared-shingle candidate pairs ~quadratic; the "
+        "scalable screen for containment is the Bloom/inverted "
+        "contamination path, which stays ~linear",
+    ),
 }
 
 

@@ -414,6 +414,9 @@ def main() -> None:
         add_decade(
             spark, args.json_out, args.add_decade, names,
             repeats=args.repeats,
+            # an explicit --queries list means "re-probe these":
+            # replace any existing sample instead of skipping it
+            skip_existing=names is None,
         )
         print(f"updated {args.json_out}")
         return

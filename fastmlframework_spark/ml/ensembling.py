@@ -223,9 +223,14 @@ class Blender:
             or [c for c in oof_matrix.columns if c.endswith("_OOF")]
         )
         voting = detect_voting_type(oof_matrix, pred_cols)
+        # cache: the k per-fold branches below are filters on this one
+        # frame, and uncached each branch re-derives the FULL matrix
+        # lineage (model transforms + assembly joins) — k× the scoring
+        # cost.  Left cached (no unpersist): the returned oof_blend is
+        # lazy and a consumer's first action replays the branches.
         folded = with_fold_column(
             oof_matrix, key_col, self.k, self.seed, method="hash"
-        )
+        ).cache()
         normed: dict[str, list[float]] = {}
         blended_folds: list[DataFrame] = []
         for fold in range(self.k):

@@ -69,6 +69,9 @@ EXCLUDED_REASONS = {
     "cv_test_pred_ridge": "oracle-hash evidence for the A10 "
     "test-prediction mean-over-folds path; cv_oof_ridge is the "
     "benched latency representative of the same engine path",
+    "cv_fold_scores_ridge": "oracle-hash evidence for the A20/A21 "
+    "per-fold metric surface over the real ridge fit; cv_oof_ridge "
+    "is the benched latency representative of the same engine path",
 }
 
 # Off-registry timed callables (VERDICT r8 #1): the two real-MLlib-fit

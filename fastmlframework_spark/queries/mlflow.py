@@ -720,6 +720,72 @@ def cv_test_pred_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cv_fold_scores_ridge",
+    bench=False,
+    oracle=f"""
+WITH t AS (
+SELECT
+  o_orderkey AS key,
+  CAST(ROUND(ROUND(c_acctbal, 2) * 100, 0) AS BIGINT) AS x1,
+  CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS x2,
+  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS target
+FROM orders JOIN customer ON o_custkey = c_custkey
+),
+f AS (
+  SELECT *, NTILE(3) OVER (ORDER BY {{hash}}) - 1 AS fold FROM t
+),
+{_RIDGE_SOLVE_CTES.strip()}
+SELECT CAST(f.fold AS INT) AS fold,
+  ROUND(AVG(POW(f.target - ({_RIDGE_AFFINE_SQL.format(x1="f.x1", x2="f.x2")}), 2)), 4) AS mse
+FROM f JOIN b ON f.fold = b.fold
+GROUP BY f.fold
+""".format(
+        hash=(
+            "CAST(concat('0x', substring(md5(CAST(key AS VARCHAR) || '|' ||"
+            " '27'), 1, 15)) AS BIGINT)"
+        ),
+    ),
+)
+def cv_fold_scores_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-hash evidence for the A20/A21 METRIC surface over a
+    REAL fit: the per-fold validation scores `CVPredictor.run`
+    reports in `cv_results` (the reference's cv_score_per_each_fold,
+    prediction.py:490-493) — here 3-fold MSE of the closed-form
+    ridge — re-emitted as a [fold, mse] frame and hash-matched
+    against an oracle that re-derives each fold model and averages
+    the squared residuals over that fold's validation slice.  MSE is
+    rounded to 4 dp (an avg over thousands of doubles carries ~1e-14
+    cross-engine sum-order noise; 4 dp absorbs it with ~1e-11 flip
+    probability).  bench=False: `cv_oof_ridge` is the benched
+    latency representative."""
+    from fastmlframework_spark.ml.wrappers import RidgeClosedFormWrapper
+
+    predictor = CVPredictor(
+        RidgeClosedFormWrapper(
+            scales={"c_acctbal": 100, "order_year": 1}, lam=_RIDGE_LAM
+        ),
+        metric="mean_squared_error",
+        k=3,
+        seeds=(27,),
+        stratified=False,
+        predict_probability=False,
+        target_decimals=6,
+    )
+    res = predictor.run(
+        ml_train_table(spark, sf_dir),
+        None,
+        "key",
+        "target",
+        ["c_acctbal", "order_year"],
+    )
+    scores = res.cv_results[0]["cv_score_per_each_fold"]
+    return spark.createDataFrame(
+        [(fold, round(s, 4)) for fold, s in enumerate(scores)],
+        "fold int, mse double",
+    )
+
+
+@query(
     "cv_importance_invariants",
     bench=False,
     oracle="""

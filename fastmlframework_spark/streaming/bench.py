@@ -312,6 +312,39 @@ def bench_stream_quality_gate(spark, sf_dir: str) -> int:
     return spark.read.parquet(os.path.join(rd, "out")).count()
 
 
+def bench_stream_pii_scrub(spark, sf_dir: str) -> int:
+    """Drain documents through the ingest-time PII scrub (map-only
+    chained regexp mask + per-trigger stats row); returns rows
+    written.  Exists so a regression that sneaks state or a shuffle
+    into the scrub's per-batch plan trips the 2x gate."""
+    from fastmlframework_spark.streaming.quality import (
+        streaming_pii_scrub,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+
+    def build(prep_dir: str) -> dict:
+        src = os.path.join(prep_dir, "incoming")
+        docs.repartition(4).write.mode("overwrite").parquet(src)
+        return {"src": src}
+
+    ctx = _prep("pii_scrub", sf_dir, build)
+    rd = _run_dir(ctx)
+    q = streaming_pii_scrub(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(ctx["src"]),
+        os.path.join(rd, "out"),
+        os.path.join(rd, "stats"),
+        os.path.join(rd, "ckpt"),
+    )
+    q.awaitTermination()
+    _capture_progress("stream_pii_scrub", q)
+    return spark.read.parquet(os.path.join(rd, "out")).count()
+
+
 def bench_stream_decontamination(spark, sf_dir: str) -> int:
     """Drain documents through the ingest-time Bloom decontamination
     gate (immutable collected filter, map-only per-batch probe, three
@@ -366,6 +399,7 @@ STREAMING_BENCHES = {
     "stream_seasonal_stats": bench_stream_seasonal_stats,
     "stream_cusum": bench_stream_cusum,
     "stream_near_dedup": bench_stream_near_dedup,
+    "stream_pii_scrub": bench_stream_pii_scrub,
     "stream_quality_gate": bench_stream_quality_gate,
     "stream_decontamination": bench_stream_decontamination,
 }

@@ -73,6 +73,83 @@ def streaming_quality_gate(
     )
 
 
+def streaming_pii_scrub(
+    stream_df: DataFrame,
+    out_dir: str,
+    stats_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+):
+    """Ingest-time PII redaction (the streaming twin of
+    ``extensions.curation.pii_scrub``): every micro-batch is masked
+    in place — emails/phones/IPv4s replaced by typed tokens — the
+    scrubbed rows (original schema, ``text`` already clean) append to
+    ``out_dir``, and one [batch_id, n_rows, n_email, n_phone,
+    n_ipv4, n_pii_docs] stats row appends per trigger — the feed a
+    crawl-health dashboard tails (a source whose PII density jumps
+    is a config bug, and it should page BEFORE the shards ship).
+    Returns the StreamingQuery.
+
+    Scale shape: the scrub is stateless per-row regexp work that
+    whole-stage-codegens into the micro-batch scan (zero shuffles,
+    zero state — nothing grows over the stream's lifetime); the only
+    aggregation is the 1-row per-batch stats count.  Batch parity is
+    pytest-pinned: micro-batch boundaries cannot change any masked
+    byte.  Like every foreachBatch append sink here, writes are
+    at-least-once under batch retry (decisions are deterministic, so
+    re-runs duplicate rows, never produce different text)."""
+    from fastmlframework_spark.extensions.curation import pii_scrub
+
+    in_cols = stream_df.columns
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        scrubbed = pii_scrub(batch_df, text_col).cache()
+        try:
+            (
+                scrubbed.drop(text_col)
+                .withColumnRenamed("clean_text", text_col)
+                .select(*in_cols)
+                .write.mode("append")
+                .parquet(out_dir)
+            )
+            (
+                scrubbed.agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum("n_email").alias("n_email"),
+                    F.sum("n_phone").alias("n_phone"),
+                    F.sum("n_ipv4").alias("n_ipv4"),
+                    F.sum(
+                        (
+                            (
+                                F.col("n_email")
+                                + F.col("n_phone")
+                                + F.col("n_ipv4")
+                            ) > 0
+                        ).cast("long")
+                    ).alias("n_pii_docs"),
+                )
+                .select(
+                    F.lit(batch_id).alias("batch_id"),
+                    "n_rows",
+                    "n_email",
+                    "n_phone",
+                    "n_ipv4",
+                    "n_pii_docs",
+                )
+                .write.mode("append")
+                .parquet(stats_dir)
+            )
+        finally:
+            scrubbed.unpersist()
+
+    return (
+        stream_df.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def _decontamination_scored(
     batch_df: DataFrame,
     bloom: DataFrame,

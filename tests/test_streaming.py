@@ -897,6 +897,64 @@ def test_streaming_decontamination_gate_matches_batch(
     assert stats.count() > 1
 
 
+def test_streaming_pii_scrub_matches_batch(spark, tmp_path):
+    """The streamed PII scrub is stateless: the union of all batch
+    outputs must equal the batch operator's masked text byte-for-byte
+    regardless of micro-batch boundaries, and the stats feed must sum
+    to the batch counts."""
+    import pyspark.sql.functions as F
+
+    from fastmlframework_spark.extensions.curation import pii_scrub
+    from fastmlframework_spark.streaming.quality import (
+        streaming_pii_scrub,
+    )
+
+    schema = "doc_id long, text string"
+    rows = [
+        (1, "mail a.b@x.io and c@d.org now"),
+        (2, "call 555-123-4567 from 10.0.0.1"),
+        (3, "no pii in this one"),
+        (4, "ip 192.168.1.9 mail z@q.net phone 800 555 1212"),
+        (5, "plain words again"),
+        (6, "another e@f.gh at 1.2.3.4"),
+    ]
+    docs = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "in")
+    docs.repartition(3).write.parquet(src)
+
+    q = streaming_pii_scrub(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        str(tmp_path / "out"),
+        str(tmp_path / "stats"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+
+    got = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    want = {
+        r["doc_id"]: r["clean_text"] for r in pii_scrub(docs).collect()
+    }
+    assert got == want
+    assert "[EMAIL]" in got[1] and "[PHONE]" in got[2] and "[IPV4]" in got[6]
+    assert got[3] == "no pii in this one" and got[5] == "plain words again"
+
+    stats = spark.read.parquet(str(tmp_path / "stats"))
+    agg = stats.agg(
+        F.sum("n_rows").alias("r"),
+        F.sum("n_email").alias("e"),
+        F.sum("n_phone").alias("p"),
+        F.sum("n_ipv4").alias("i"),
+        F.sum("n_pii_docs").alias("d"),
+    ).first()
+    assert (agg.r, agg.e, agg.p, agg.i, agg.d) == (6, 4, 2, 3, 4)
+    assert stats.count() > 1  # genuinely multiple micro-batches
+
+
 def test_decontamination_scored_plan_is_map_only(spark, sf_dir_small):
     """The gate's per-trigger scoring plan (the exact DataFrame the
     foreachBatch sink filters) must contain ZERO Exchange nodes on the

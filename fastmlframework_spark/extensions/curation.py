@@ -339,16 +339,20 @@ def pii_scrub(
 
     Deterministic + engine-portable by construction (see
     PII_PATTERNS), so the full scrub — counts AND masked text —
-    carries a DuckDB value-hash oracle (`pii_scrub_planted`)."""
+    carries a DuckDB value-hash oracle (`pii_scrub_planted`).
+
+    NULL text scrubs as the empty string: counts are 0 (not the -1
+    that F.size(NULL) yields under legacy sizeOfNull) and clean_text
+    is '' — summed per-source PII stats stay correct on sparse
+    corpora."""
     out = df
-    clean = F.col(text_col)
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    clean = text
     for kind in kinds:
         pat = PII_PATTERNS[kind]
         out = out.withColumn(
             f"n_{kind}",
-            F.size(
-                F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))
-            ),
+            F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0))),
         )
         clean = F.regexp_replace(clean, pat, f"[{kind.upper()}]")
     return out.withColumn("clean_text", clean)
@@ -711,7 +715,13 @@ def _with_word_ngrams(
     """Attach the distinct word ``n``-gram array per row (space-joined
     windows over a whitespace split, short texts yield their whole
     token span) — the map-side shingle unit shared by the Bloom build
-    and probe.  String shingles, not ``dedup.shingle_sets`` digests:
+    and probe.  NULL and empty text yield an EMPTY array, not the
+    ``['']`` artifact the raw split/slice/concat_ws chain produces
+    (split(NULL)→NULL, slice→NULL, concat_ws→''): the empty-string
+    pseudo-shingle is filtered out, so downstream NULL/empty-admit
+    contracts (``bloom_probe_annotate``, the streaming
+    decontamination gate) genuinely trigger.  String shingles, not
+    ``dedup.shingle_sets`` digests:
     the Bloom positions are ARITHMETIC on the shingle's own xxhash64,
     so the oracle must hash the identical bytes, and the validated
     cross-engine hash twin (``queries/xxh64_sql.py``) covers UTF-8
@@ -726,13 +736,17 @@ def _with_word_ngrams(
         df.withColumn("__w", F.split(F.col(text_col), r"\s+"))
         .withColumn(
             out,
-            F.array_distinct(
-                F.transform(
-                    F.sequence(
-                        F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))
-                    ),
-                    lambda i: F.concat_ws(" ", F.slice(w, i, n)),
-                )
+            F.filter(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(
+                            F.lit(1),
+                            F.greatest(F.size(w) - (n - 1), F.lit(1)),
+                        ),
+                        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+                    )
+                ),
+                lambda s: s != F.lit(""),
             ),
         )
         .drop("__w")
@@ -899,10 +913,12 @@ def bloom_probe_annotate(
     CARRYING ALL INPUT COLUMNS THROUGH → df columns +
     [n_shingles, n_hits, hit_ratio]: the fraction of the row's
     distinct word ``n``-grams that the filter claims appear ANYWHERE
-    in the eval corpus.  Rows whose text yields no shingles (NULL
-    text) get NULL ``n_shingles``/``hit_ratio`` — they cannot be
-    contaminated, and a consumer's admit predicate treats NULL as
-    clean (``streaming.quality.streaming_decontamination_gate``).
+    in the eval corpus.  Rows whose text yields no shingles (NULL or
+    empty text — ``_with_word_ngrams`` filters the empty-string
+    pseudo-shingle) get ``n_shingles = 0`` and NULL ``hit_ratio`` —
+    they cannot be contaminated, and a consumer's admit predicate
+    treats NULL hit_ratio as clean
+    (``streaming.quality.streaming_decontamination_gate``).
 
     ``n``/``num_bits``/``num_hashes`` come from the filter frame's
     own metadata columns (one single-row first() — the build/probe

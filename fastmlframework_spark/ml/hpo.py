@@ -132,7 +132,10 @@ def maximize(
     names = sorted(pbounds)
     lo = np.asarray([float(pbounds[n][0]) for n in names])
     hi = np.asarray([float(pbounds[n][1]) for n in names])
-    span = np.where(hi > lo, hi - lo, 1.0)
+    # Degenerate bounds (hi == lo) pin the parameter at lo: a zero
+    # span maps every unit-cube probe coordinate back to lo instead
+    # of wandering outside the declared box.
+    span = np.where(hi > lo, hi - lo, 0.0)
     history: list[dict] = []
     X01: list = []  # unit-cube-normalized probe points
     ys: list[float] = []

@@ -134,7 +134,6 @@ def _build_with_luigi(
     luigi,
     *,
     force: bool = False,
-    workers: int = 1,
     timings: dict[str, float] | None = None,
 ) -> list[str]:
     """Run the closure under real Luigi: one shim ``luigi.Task`` per
@@ -142,7 +141,16 @@ def _build_with_luigi(
     instances by parameter tuple, so equal tids dedupe exactly like
     the builtin engine's node map).  ``force`` is emulated the way
     Luigi users do it — ``complete()`` returns False until this
-    build has re-run the task."""
+    build has re-run the task.
+
+    Always ``workers=1`` (in-process): Luigi's ``workers>1`` runs
+    each task in a FORKED child, which would (a) silently discard the
+    closure mutations this shim reports through (``ran``,
+    ``timings``, ``forced_pending``) and (b) run Spark-driver task
+    bodies under fork — unsafe (the Py4J socket and JVM do not
+    survive fork).  Callers wanting fan-out get it from the builtin
+    engine's THREAD pool, which shares the driver safely (see
+    ``build``)."""
     nodes, deps = _discover_closure(tasks)
     ran: list[str] = []
     forced_pending = set(nodes) if force else set()
@@ -174,7 +182,7 @@ def _build_with_luigi(
     ok = luigi.build(
         [_Shim(tid=t.task_id()) for t in tasks],
         local_scheduler=True,
-        workers=workers,
+        workers=1,
         detailed_summary=False,
     )
     if not ok:
@@ -207,15 +215,28 @@ def build(
 
     ``engine``: ``'auto'`` delegates to real Luigi when importable
     (reference scheduler semantics) and falls back to the builtin
-    engine otherwise; ``'luigi'``/``'builtin'`` force a choice."""
+    engine otherwise; ``'luigi'``/``'builtin'`` force a choice.  The
+    Luigi engine always executes IN-PROCESS (``luigi.build`` with
+    ``workers=1`` — forked Luigi workers would lose the run/timing
+    reporting and fork the Spark driver; see ``_build_with_luigi``),
+    so with ``engine='auto'`` a ``workers > 1`` request routes to the
+    builtin thread-pool engine, which actually fans out; an explicit
+    ``engine='luigi'`` with ``workers > 1`` raises rather than
+    silently serializing."""
     if engine not in ("auto", "luigi", "builtin"):
         raise ValueError(f"unknown engine {engine!r}")
-    luigi = _import_luigi() if engine in ("auto", "luigi") else None
+    if engine == "luigi" and workers > 1:
+        raise ValueError(
+            "engine='luigi' runs in-process (workers=1); use "
+            "engine='builtin' (or 'auto') for thread-pool fan-out"
+        )
+    use_luigi = engine == "luigi" or (engine == "auto" and workers == 1)
+    luigi = _import_luigi() if use_luigi else None
     if engine == "luigi" and luigi is None:
         raise RuntimeError("engine='luigi' requested but luigi not importable")
     if luigi is not None:
         return _build_with_luigi(
-            tasks, luigi, force=force, workers=workers, timings=timings
+            tasks, luigi, force=force, timings=timings
         )
 
     nodes, deps = _discover_closure(tasks)

@@ -1116,11 +1116,11 @@ def _pii_oracle() -> str:
     def cnt(kind: str) -> str:
         pat = PII_PATTERNS[kind].replace("'", "''")
         return (
-            f"CAST(LENGTH(regexp_extract_all(text, '{pat}')) AS INT) "
-            f"AS n_{kind}"
+            "CAST(LENGTH(regexp_extract_all(coalesce(text, ''),"
+            f" '{pat}')) AS INT) AS n_{kind}"
         )
 
-    clean = "text"
+    clean = "coalesce(text, '')"
     for kind in ("email", "phone", "ipv4"):
         pat = PII_PATTERNS[kind].replace("'", "''")
         clean = (

@@ -73,6 +73,30 @@ def stream_stream_interval_join(
     return l.join(r, on=cond).drop("__rk")
 
 
+def overwrite_batch_partition(
+    df: DataFrame, batch_id: int, path: str
+) -> None:
+    """The per-batch idempotent parquet write every foreachBatch sink
+    in this package shares: the rows land in their own ``__batch_id=N``
+    partition via DYNAMIC partition overwrite, so a batch replayed
+    after a crash in the write/commit window REPLACES exactly its own
+    prior (possibly partial) output instead of appending duplicates —
+    at-least-once replays become exactly-once ROWS, provided the
+    batch content is deterministic (checkpointed sources pin it).
+
+    Consumers read ``path`` as ordinary parquet; ``__batch_id``
+    surfaces as a partition column they can use (stats feeds key on
+    it) or drop (data feeds).  Cost vs a plain append is nil: same
+    files, same layout, one partition directory per trigger."""
+    (
+        df.withColumn("__batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch_id")
+        .parquet(path)
+    )
+
+
 def write_idempotent_parquet(
     stream: DataFrame, path: str, checkpoint: str
 ) -> None:
@@ -84,13 +108,7 @@ def write_idempotent_parquet(
     partition overwrite covers the crash-mid-batch window."""
 
     def _write(df: DataFrame, batch_id: int) -> None:
-        (
-            df.withColumn("__batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("__batch_id")
-            .parquet(path)
-        )
+        overwrite_batch_partition(df, batch_id, path)
 
     q = (
         stream.writeStream.foreachBatch(_write)

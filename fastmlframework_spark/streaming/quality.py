@@ -4,7 +4,7 @@ Production corpora are filtered AT INGEST, not in a later batch pass —
 every document admitted unfiltered is storage + downstream compute
 wasted.  ``streaming_quality_gate`` runs the exact batch rule battery
 (``extensions.filtering.gopher_rule_flags`` — one map-only projection,
-no state, no shuffle) inside a foreachBatch sink that appends the
+no state, no shuffle) inside a foreachBatch sink that writes the
 surviving rows AND a per-trigger admission-stats row, the monitoring
 feed an ingest dashboard tails.
 
@@ -13,14 +13,27 @@ whole-stage-codegens into the micro-batch scan; the only aggregation
 is the 1-row per-batch stats count.  Nothing here grows with corpus
 size — state is zero, so (unlike the dedup streams) there is no index
 to probe and no watermark to manage.
+
+Exactly-once: every sink write here goes through
+``joins.overwrite_batch_partition`` — each micro-batch lands in its
+own ``__batch_id`` partition via dynamic partition overwrite, so a
+batch replayed after a crash anywhere in the write/commit window
+replaces its own prior output instead of appending duplicates.  Gate
+decisions were always deterministic; since round 12 the output ROWS
+are too (retry-replay pytests drain each gate through a crash planted
+between the data write and the checkpoint commit and assert the
+re-drained output is byte-identical to a clean run).
 """
 
 from __future__ import annotations
+
+from typing import Callable
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from fastmlframework_spark.extensions.filtering import gopher_rule_flags
+from fastmlframework_spark.streaming.joins import overwrite_batch_partition
 
 
 def streaming_quality_gate(
@@ -29,41 +42,50 @@ def streaming_quality_gate(
     stats_dir: str,
     checkpoint_dir: str,
     text_col: str = "text",
+    after_write_hook: Callable[[int], None] | None = None,
 ):
     """Start a foreachBatch stream that scores each micro-batch with
-    the Gopher rule battery, appends PASSING rows (original columns)
-    to ``out_dir``, and appends one [batch_id, n_in, n_pass] stats row
-    to ``stats_dir``.  Returns the StreamingQuery (caller awaits/stops
+    the Gopher rule battery, writes PASSING rows (original columns)
+    to ``out_dir``, and one [batch_id, n_in, n_pass] stats row to
+    ``stats_dir``.  Returns the StreamingQuery (caller awaits/stops
     it; tests drain with availableNow).
 
     Batch parity contract (pytest-pinned): the union of all batch
     outputs equals ``gopher_rule_flags(corpus).filter(passes)`` over
     the concatenated input — the gate is stateless, so micro-batch
-    boundaries cannot change any decision."""
+    boundaries cannot change any decision.  Both sinks are
+    exactly-once ROWS under batch retry (``__batch_id``-partition
+    dynamic overwrite; see module docstring).
+
+    ``after_write_hook(batch_id)`` is a test seam: invoked after both
+    sink writes complete but before foreachBatch returns — i.e.
+    inside the window where the data is durable but the checkpoint
+    has NOT committed the batch.  Retry-replay tests raise here to
+    simulate a crash in exactly that window."""
     in_cols = stream_df.columns
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         flagged = gopher_rule_flags(batch_df, text_col).cache()
         try:
-            (
-                flagged.filter(F.col("passes"))
-                .select(*in_cols)
-                .write.mode("append")
-                .parquet(out_dir)
+            overwrite_batch_partition(
+                flagged.filter(F.col("passes")).select(*in_cols),
+                batch_id,
+                out_dir,
             )
-            (
+            overwrite_batch_partition(
                 flagged.agg(
                     F.count(F.lit(1)).alias("n_in"),
                     F.sum(F.col("passes").cast("long")).alias("n_pass"),
-                )
-                .select(
+                ).select(
                     F.lit(batch_id).alias("batch_id"), "n_in", "n_pass"
-                )
-                .write.mode("append")
-                .parquet(stats_dir)
+                ),
+                batch_id,
+                stats_dir,
             )
         finally:
             flagged.unpersist()
+        if after_write_hook is not None:
+            after_write_hook(batch_id)
 
     return (
         stream_df.writeStream.foreachBatch(_process)
@@ -79,13 +101,14 @@ def streaming_pii_scrub(
     stats_dir: str,
     checkpoint_dir: str,
     text_col: str = "text",
+    after_write_hook: Callable[[int], None] | None = None,
 ):
     """Ingest-time PII redaction (the streaming twin of
     ``extensions.curation.pii_scrub``): every micro-batch is masked
     in place — emails/phones/IPv4s replaced by typed tokens — the
-    scrubbed rows (original schema, ``text`` already clean) append to
+    scrubbed rows (original schema, ``text`` already clean) land in
     ``out_dir``, and one [batch_id, n_rows, n_email, n_phone,
-    n_ipv4, n_pii_docs] stats row appends per trigger — the feed a
+    n_ipv4, n_pii_docs] stats row per trigger — the feed a
     crawl-health dashboard tails (a source whose PII density jumps
     is a config bug, and it should page BEFORE the shards ship).
     Returns the StreamingQuery.
@@ -95,9 +118,11 @@ def streaming_pii_scrub(
     zero state — nothing grows over the stream's lifetime); the only
     aggregation is the 1-row per-batch stats count.  Batch parity is
     pytest-pinned: micro-batch boundaries cannot change any masked
-    byte.  Like every foreachBatch append sink here, writes are
-    at-least-once under batch retry (decisions are deterministic, so
-    re-runs duplicate rows, never produce different text)."""
+    byte.  Both sinks are exactly-once ROWS under batch retry
+    (``__batch_id``-partition dynamic overwrite; a replayed batch
+    replaces its own output, never duplicates it).
+
+    ``after_write_hook``: test seam — see ``streaming_quality_gate``."""
     from fastmlframework_spark.extensions.curation import pii_scrub
 
     in_cols = stream_df.columns
@@ -105,14 +130,14 @@ def streaming_pii_scrub(
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         scrubbed = pii_scrub(batch_df, text_col).cache()
         try:
-            (
+            overwrite_batch_partition(
                 scrubbed.drop(text_col)
                 .withColumnRenamed("clean_text", text_col)
-                .select(*in_cols)
-                .write.mode("append")
-                .parquet(out_dir)
+                .select(*in_cols),
+                batch_id,
+                out_dir,
             )
-            (
+            overwrite_batch_partition(
                 scrubbed.agg(
                     F.count(F.lit(1)).alias("n_rows"),
                     F.sum("n_email").alias("n_email"),
@@ -127,20 +152,21 @@ def streaming_pii_scrub(
                             ) > 0
                         ).cast("long")
                     ).alias("n_pii_docs"),
-                )
-                .select(
+                ).select(
                     F.lit(batch_id).alias("batch_id"),
                     "n_rows",
                     "n_email",
                     "n_phone",
                     "n_ipv4",
                     "n_pii_docs",
-                )
-                .write.mode("append")
-                .parquet(stats_dir)
+                ),
+                batch_id,
+                stats_dir,
             )
         finally:
             scrubbed.unpersist()
+        if after_write_hook is not None:
+            after_write_hook(batch_id)
 
     return (
         stream_df.writeStream.foreachBatch(_process)
@@ -186,14 +212,15 @@ def streaming_decontamination_gate(
     text_col: str = "text",
     max_hit_ratio: float = 0.0,
     min_partitions: int | None = None,
+    after_write_hook: Callable[[int], None] | None = None,
 ):
     """Ingest-time benchmark decontamination: probe each micro-batch
     against a PRE-BUILT eval Bloom filter
     (``extensions.curation.ngram_bloom_filter``); rows at
-    ``hit_ratio <= max_hit_ratio`` (and NULL-text rows, which cannot
-    be contaminated) append to ``out_dir``, the rest are QUARANTINED
-    to ``quarantine_dir`` for the exact containment pass, and one
-    [batch_id, n_in, n_admitted, n_quarantined] stats row appends per
+    ``hit_ratio <= max_hit_ratio`` (and NULL/empty-text rows, which
+    cannot be contaminated) land in ``out_dir``, the rest are
+    QUARANTINED to ``quarantine_dir`` for the exact containment pass,
+    and one [batch_id, n_in, n_admitted, n_quarantined] stats row per
     trigger.  Returns the StreamingQuery.
 
     Bloom error is one-sided, so an admitted row is GUARANTEED to
@@ -214,13 +241,12 @@ def streaming_decontamination_gate(
     ``tests/test_streaming.py::test_decontamination_scored_plan_is_map_only``),
     with no recompute of the filter build and nothing that grows over
     the stream's lifetime.  Batch parity is pytest-pinned: micro-batch
-    boundaries cannot change any admit/quarantine decision.  Note the
-    usual foreachBatch caveat: the parquet APPENDS are at-least-once —
-    a batch that fails mid-write and is retried by the checkpoint can
-    leave duplicate ROWS in ``out_dir``/``quarantine_dir`` (decisions
-    are deterministic, so re-runs duplicate, never flip); an
-    exactly-once consumer dedups on ``key_col`` or reads the stats
-    feed's last batch_id.
+    boundaries cannot change any admit/quarantine decision.  All three
+    sinks are exactly-once ROWS under batch retry: each write lands in
+    its ``__batch_id`` partition via dynamic partition overwrite, so a
+    batch replayed after a crash in the write/commit window replaces
+    its own (possibly partial) output — no ``key_col`` dedup needed
+    downstream.
 
     ``min_partitions``: a PURE-MAP gate inherits the micro-batch's
     source partitioning and — having no shuffle — never re-spreads
@@ -229,7 +255,9 @@ def streaming_decontamination_gate(
     slower than the batch probe for exactly this reason).  Set it to
     ~the cluster's core count for small-file sources; leave ``None``
     (no batch-local shuffle) when triggers already carry enough input
-    splits — the normal case at production scale."""
+    splits — the normal case at production scale.
+
+    ``after_write_hook``: test seam — see ``streaming_quality_gate``."""
     in_cols = stream_df.columns
     frow = bloom.first()
     fschema = bloom.schema
@@ -246,36 +274,39 @@ def streaming_decontamination_gate(
             batch_df, bl, text_col, max_hit_ratio
         ).cache()
         try:
-            (
-                scored.filter(F.col("__admit"))
-                .select(*in_cols)
-                .write.mode("append")
-                .parquet(out_dir)
+            overwrite_batch_partition(
+                scored.filter(F.col("__admit")).select(*in_cols),
+                batch_id,
+                out_dir,
             )
-            (
-                scored.filter(~F.col("__admit"))
-                .select(*in_cols, "n_hits", "hit_ratio")
-                .write.mode("append")
-                .parquet(quarantine_dir)
+            overwrite_batch_partition(
+                scored.filter(~F.col("__admit")).select(
+                    *in_cols, "n_hits", "hit_ratio"
+                ),
+                batch_id,
+                quarantine_dir,
             )
-            (
+            overwrite_batch_partition(
                 scored.agg(
                     F.count(F.lit(1)).alias("n_in"),
-                    F.sum(F.col("__admit").cast("long")).alias("n_admitted"),
-                )
-                .select(
+                    F.sum(F.col("__admit").cast("long")).alias(
+                        "n_admitted"
+                    ),
+                ).select(
                     F.lit(batch_id).alias("batch_id"),
                     "n_in",
                     "n_admitted",
                     (F.col("n_in") - F.col("n_admitted")).alias(
                         "n_quarantined"
                     ),
-                )
-                .write.mode("append")
-                .parquet(stats_dir)
+                ),
+                batch_id,
+                stats_dir,
             )
         finally:
             scored.unpersist()
+        if after_write_hook is not None:
+            after_write_hook(batch_id)
 
     return (
         stream_df.writeStream.foreachBatch(_process)

@@ -560,3 +560,46 @@ def test_pii_scrub_is_map_only(spark, docs):
         .toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_pii_scrub_null_text_counts_zero(spark):
+    """ADVICE r11: F.size(regexp_extract_all(NULL)) is -1 under legacy
+    sizeOfNull — NULL text must scrub to counts 0 and clean_text '',
+    not corrupt summed per-source PII stats with -1s."""
+    df = spark.createDataFrame(
+        [(1, "mail a@b.co"), (2, None)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in xcur.pii_scrub(df).collect()}
+    assert rows[2].n_email == 0 and rows[2].n_phone == 0
+    assert rows[2].n_ipv4 == 0 and rows[2].clean_text == ""
+    assert rows[1].n_email == 1 and "[EMAIL]" in rows[1].clean_text
+    # the summed stats a dashboard tails stay exact
+    agg = (
+        xcur.pii_scrub(df)
+        .agg(F.sum("n_email").alias("e"))
+        .first()
+    )
+    assert agg.e == 1
+
+
+def test_bloom_probe_null_and_empty_text_yield_no_shingles(spark):
+    """ADVICE r11: the raw split/slice/concat_ws chain manufactures a
+    [''] pseudo-shingle for NULL/empty text, silently defeating the
+    documented NULL-admit contract.  After the fix, such rows carry
+    n_shingles == 0 and NULL hit_ratio — the decontamination gate's
+    coalesce-admit path genuinely triggers."""
+    evals = spark.createDataFrame(
+        [("alpha beta gamma delta",)], "text string"
+    )
+    bloom = xcur.ngram_bloom_filter(evals, n=2, num_bits=1024, num_hashes=3)
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in xcur.bloom_probe_annotate(df, bloom).collect()
+    }
+    assert rows[1].n_shingles == 0 and rows[1].hit_ratio is None
+    assert rows[2].n_shingles == 0 and rows[2].hit_ratio is None
+    assert rows[3].n_shingles > 0 and rows[3].hit_ratio == 1.0

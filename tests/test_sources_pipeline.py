@@ -392,6 +392,37 @@ def test_task_engine_rejects_unknown_engine(tmp_path):
         build([], engine="luigi")
 
 
+def test_task_engine_luigi_is_in_process_only(tmp_path):
+    """ADVICE r11: forked Luigi workers lose the closure-reported
+    ran/timings and fork the Spark driver — engine='luigi' must
+    refuse workers>1 outright, and engine='auto' must route fan-out
+    requests to the builtin thread-pool engine even when a (fake)
+    luigi module is importable."""
+    import sys
+    import types
+
+    with pytest.raises(ValueError, match="in-process"):
+        build([], engine="luigi", workers=4)
+
+    # engine='auto' + workers>1 must not touch luigi at all: plant a
+    # booby-trapped module — builtin routing never imports its names.
+    trap = types.ModuleType("luigi")
+    sys.modules["luigi"] = trap
+    try:
+        done = tmp_path / "auto.done"
+
+        class A(Task):
+            def output(self):
+                return LocalTarget(str(done))
+
+            def run(self):
+                done.write_text("ok")
+
+        assert build([A()], workers=2) == [A().task_id()]
+    finally:
+        del sys.modules["luigi"]
+
+
 def test_task_engine_detects_cycle(tmp_path):
     class C(Task):
         def requires(self):
@@ -512,3 +543,58 @@ def test_build_solution_parallel_workers(spark, orders_csv, tmp_path):
         )
         assert os.path.exists(os.path.join(mdir, art.MANIFEST))
     assert build_solution(spark, config, project, workers=2) == []
+
+
+def _real_luigi_available() -> bool:
+    try:
+        import luigi  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _real_luigi_available(),
+    reason="real luigi not installed in this environment (VERDICT r11 "
+    "#6: this test arms the delegation path the day it appears)",
+)
+def test_full_solution_chain_under_real_luigi(spark, orders_csv, tmp_path):
+    """VERDICT r11 #6: the FULL solution chain (O1-O8) scheduled by
+    genuine luigi.build — not the injected shim — must produce the
+    same artifact surfaces as the builtin engine, run every task
+    exactly once, and skip everything on the memoized re-build."""
+    project = str(tmp_path / "proj_luigi")
+    config = parse_hocon(
+        """
+        train_file = %s
+        test_file = %s
+        target_column = is_urgent
+        index_column = o_orderkey
+        modeling_settings {
+          task = classification
+          metric = roc_auc_score
+          models = [logistic_regression]
+          model_seeds_list = [27]
+          run_fs = false
+          run_hpo = false
+          run_stacking = false
+          run_blending = false
+          predict_probability = true
+          cv_params { n_folds = 2, stratified = true }
+        }
+        """
+        % (orders_csv, orders_csv)
+    )
+    # engine='auto' with workers=1 delegates to the REAL luigi here
+    ran = build_solution(spark, config, project)
+    assert any(t.startswith("BuildSolution") for t in ran)
+    train = art.read_artifact(spark, os.path.join(project, "data", "train"))
+    mdir = os.path.join(
+        project, "results", "logistic_regression", "no_fs", "no_hpo",
+        "single_seed",
+    )
+    oof = art.read_artifact(spark, os.path.join(mdir, "train_oof"))
+    assert oof.count() == train.count()
+    # O8 memoization holds across the luigi delegation too
+    assert build_solution(spark, config, project) == []

@@ -8,6 +8,7 @@ import pyspark.sql.functions as F
 import pytest
 
 from fastmlframework_spark.core.tables import load_table
+from fastmlframework_spark.streaming.dedup import read_dedup_index
 from fastmlframework_spark.streaming.windows import (
     run_available_now,
     streaming_tumbling_counts,
@@ -356,7 +357,7 @@ def test_streaming_exact_dedup_catches_cross_batch_dups(spark, tmp_path):
     assert rows[2]["n_copies"] == 2
     assert rows[1]["batch_id"] != rows[6]["batch_id"]  # really two triggers
     # the index now contains corpus + all novel digests
-    assert spark.read.parquet(index_dir).distinct().count() == 4
+    assert read_dedup_index(spark, index_dir).distinct().count() == 4
 
 
 def test_streaming_near_dedup_catches_cross_batch_near_dups(spark, tmp_path):
@@ -445,7 +446,7 @@ def test_streaming_near_dedup_within_batch_self_probe(spark, tmp_path):
     )
     index_dir = str(tmp_path / "bindex")
     minhash_band_index(corpus).write.mode("overwrite").parquet(index_dir)
-    n_index_before = spark.read.parquet(index_dir).count()
+    n_index_before = read_dedup_index(spark, index_dir).count()
 
     base = (
         "the quick brown fox jumps over the lazy dog and keeps running "
@@ -472,7 +473,7 @@ def test_streaming_near_dedup_within_batch_self_probe(spark, tmp_path):
     assert out[7]["n_corpus_matches"] == 0 and out[8]["n_corpus_matches"] == 0
     # index grew by exactly the two novel docs' band rows (7 and 9),
     # not the within-batch duplicate's
-    idx = spark.read.parquet(index_dir)
+    idx = read_dedup_index(spark, index_dir)
     assert idx.count() == n_index_before + 2 * 4  # bands=4 per novel doc
 
 
@@ -678,7 +679,7 @@ def test_streaming_exact_dedup_restart_from_checkpoint(spark, tmp_path):
     assert sorted(rows) == [1, 2, 11]
     assert final.count() == 3
     # the index converged to the distinct content set
-    assert spark.read.parquet(index_dir).distinct().count() == 3
+    assert read_dedup_index(spark, index_dir).distinct().count() == 3
 
 
 def test_streaming_near_dedup_restart_from_checkpoint(spark, tmp_path):
@@ -727,7 +728,7 @@ def test_streaming_near_dedup_restart_from_checkpoint(spark, tmp_path):
     first = spark.read.parquet(out)
     assert {r["doc_id"] for r in first.collect()} == {1, 2}
     assert first.count() == 2
-    n_index_after_b0 = spark.read.parquet(index_dir).count()
+    n_index_after_b0 = read_dedup_index(spark, index_dir).count()
 
     # New files land AFTER the first query fully drained and stopped.
     trunc = base_text[: int(len(base_text) * 0.8)]
@@ -752,9 +753,9 @@ def test_streaming_near_dedup_restart_from_checkpoint(spark, tmp_path):
     assert rows[10]["n_corpus_matches"] >= 1
     assert rows[11]["n_corpus_matches"] == 0
     # only the novel doc extended the index (near-copy adds no bands)
-    n_index_final = spark.read.parquet(index_dir).count()
+    n_index_final = read_dedup_index(spark, index_dir).count()
     assert n_index_after_b0 < n_index_final
-    idx = spark.read.parquet(index_dir)
+    idx = read_dedup_index(spark, index_dir)
     assert idx.filter(F.col("doc_id") == 10).count() == 0
     assert idx.filter(F.col("doc_id") == 11).count() > 0
 
@@ -1046,3 +1047,284 @@ def test_streaming_decontamination_restart_from_checkpoint(spark, tmp_path):
     got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
     assert got == [1, 3]  # doc 1 NOT re-emitted; dirty doc 2 quarantined
     assert [r.doc_id for r in spark.read.parquet(quar).collect()] == [2]
+
+
+# ---------------------------------------------------------------------------
+# Retry-replay exactly-once contract (VERDICT r11 #1): every gate sink
+# must produce byte-identical output when a micro-batch crashes AFTER
+# its data writes but BEFORE the checkpoint commit, and is replayed by
+# a restarted query.  The `after_write_hook` seam raises exactly in
+# that window; the crash run's final artifacts are compared row-for-row
+# (including the __batch_id partition values) against a clean run over
+# the SAME source files.
+# ---------------------------------------------------------------------------
+
+
+class _PlantedCrash(Exception):
+    pass
+
+
+def _crash_once_on(batch_id: int):
+    state = {"armed": True}
+
+    def hook(bid: int) -> None:
+        if state["armed"] and bid == batch_id:
+            state["armed"] = False
+            raise _PlantedCrash(
+                "crash planted after sink writes, before checkpoint commit"
+            )
+
+    return hook
+
+
+def _drain_with_replay(make_query, hook) -> None:
+    """First drain dies at the planted crash (the batch's writes are
+    already durable, its checkpoint commit is not); the second drain
+    is a brand-new query instance on the same checkpoint, so the
+    crashed batch REPLAYS through the sinks."""
+    q = make_query(hook)
+    try:
+        q.awaitTermination()
+        raise AssertionError("planted crash did not fire")
+    except Exception as e:  # StreamingQueryException wrapping _PlantedCrash
+        assert "planted" in str(e) or "_PlantedCrash" in str(e)
+    make_query(None).awaitTermination()
+
+
+def _rows(spark, path):
+    df = spark.read.parquet(path)
+    return sorted(
+        tuple(r[c] for c in sorted(df.columns)) for r in df.collect()
+    )
+
+
+def test_quality_gate_retry_replay_exactly_once(
+    spark, sf_dir_small, tmp_path
+):
+    from fastmlframework_spark.streaming.quality import streaming_quality_gate
+
+    docs = spark.read.parquet(f"{sf_dir_small}/documents.parquet")
+    src = str(tmp_path / "in")
+    docs.limit(30).repartition(3).write.parquet(src)
+    schema = docs.schema
+
+    def run(tag, hook):
+        out = str(tmp_path / f"out_{tag}")
+        stats = str(tmp_path / f"stats_{tag}")
+
+        def make_query(h):
+            return streaming_quality_gate(
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src),
+                out,
+                stats,
+                str(tmp_path / f"ckpt_{tag}"),
+                after_write_hook=h,
+            )
+
+        if hook is None:
+            make_query(None).awaitTermination()
+        else:
+            _drain_with_replay(make_query, hook)
+        return _rows(spark, out), _rows(spark, stats)
+
+    ref = run("clean", None)
+    got = run("crash", _crash_once_on(1))
+    assert got == ref  # byte-identical rows, no duplicates
+
+
+def test_pii_scrub_retry_replay_exactly_once(spark, tmp_path):
+    from fastmlframework_spark.streaming.quality import streaming_pii_scrub
+
+    schema = "doc_id long, text string"
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b@x.io now"),
+            (2, "call 555-123-4567"),
+            (3, "no pii here"),
+            (4, "ip 10.0.0.1 mail z@q.net"),
+        ],
+        schema,
+    )
+    src = str(tmp_path / "in")
+    docs.repartition(3).write.parquet(src)
+
+    def run(tag, hook):
+        out = str(tmp_path / f"out_{tag}")
+        stats = str(tmp_path / f"stats_{tag}")
+
+        def make_query(h):
+            return streaming_pii_scrub(
+                spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src),
+                out,
+                stats,
+                str(tmp_path / f"ckpt_{tag}"),
+                after_write_hook=h,
+            )
+
+        if hook is None:
+            make_query(None).awaitTermination()
+        else:
+            _drain_with_replay(make_query, hook)
+        return _rows(spark, out), _rows(spark, stats)
+
+    ref = run("clean", None)
+    got = run("crash", _crash_once_on(1))
+    assert got == ref
+
+
+def test_decontamination_gate_retry_replay_exactly_once(
+    spark, sf_dir_small, tmp_path
+):
+    from fastmlframework_spark.extensions.curation import ngram_bloom_filter
+    from fastmlframework_spark.streaming.quality import (
+        streaming_decontamination_gate,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir_small}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    evals = docs.filter(F.col("doc_id") % 37 == 0).select(
+        F.expr("substring(text, 5, 120)").alias("text")
+    )
+    bloom = ngram_bloom_filter(evals, n=5, num_bits=8192, num_hashes=5)
+    src = str(tmp_path / "in")
+    docs.limit(40).repartition(3).write.parquet(src)
+    schema = docs.schema
+
+    def run(tag, hook):
+        out = str(tmp_path / f"out_{tag}")
+        quar = str(tmp_path / f"quar_{tag}")
+        stats = str(tmp_path / f"stats_{tag}")
+
+        def make_query(h):
+            return streaming_decontamination_gate(
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src),
+                bloom,
+                out,
+                quar,
+                stats,
+                str(tmp_path / f"ckpt_{tag}"),
+                after_write_hook=h,
+            )
+
+        if hook is None:
+            make_query(None).awaitTermination()
+        else:
+            _drain_with_replay(make_query, hook)
+        return _rows(spark, out), _rows(spark, quar), _rows(spark, stats)
+
+    ref = run("clean", None)
+    got = run("crash", _crash_once_on(1))
+    assert got == ref
+
+
+def test_exact_dedup_retry_replay_exactly_once(spark, tmp_path):
+    from fastmlframework_spark.streaming.dedup import (
+        build_digest_index,
+        streaming_exact_dedup,
+    )
+
+    schema = "doc_id long, text string"
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha content"),
+            (2, "beta content"),
+            (3, "alpha content"),  # dup of 1 (cross-batch or within)
+            (4, "gamma content"),
+        ],
+        schema,
+    )
+    src = str(tmp_path / "in")
+    docs.repartition(3).write.parquet(src)
+
+    def run(tag, hook):
+        index_dir = str(tmp_path / f"index_{tag}")
+        build_digest_index(spark.createDataFrame([], schema), index_dir)
+        out = str(tmp_path / f"out_{tag}")
+
+        def make_query(h):
+            return streaming_exact_dedup(
+                spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src),
+                index_dir,
+                out,
+                str(tmp_path / f"ckpt_{tag}"),
+                after_write_hook=h,
+            )
+
+        if hook is None:
+            make_query(None).awaitTermination()
+        else:
+            _drain_with_replay(make_query, hook)
+        idx = sorted(
+            r.digest
+            for r in read_dedup_index(spark, index_dir).collect()
+        )
+        return _rows(spark, out), idx
+
+    ref = run("clean", None)
+    got = run("crash", _crash_once_on(1))
+    # output rows byte-identical AND the index did not grow dup rows
+    assert got == ref
+
+
+def test_near_dedup_retry_replay_exactly_once(spark, tmp_path):
+    from fastmlframework_spark.extensions.dedup import minhash_band_index
+    from fastmlframework_spark.streaming.dedup import streaming_near_dedup
+
+    schema = "doc_id long, text string"
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "far across the wide open field toward the distant river bank"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, "separate seed subject matter about catalyst optimizers"),
+            (3, base[: int(len(base) * 0.8)]),  # near-copy of 1
+            (4, "fresh unrelated short words"),
+        ],
+        schema,
+    )
+    src = str(tmp_path / "in")
+    docs.repartition(3).write.parquet(src)
+
+    def run(tag, hook):
+        index_dir = str(tmp_path / f"bindex_{tag}")
+        minhash_band_index(
+            spark.createDataFrame([], schema)
+        ).write.mode("overwrite").parquet(index_dir)
+        out = str(tmp_path / f"out_{tag}")
+
+        def make_query(h):
+            return streaming_near_dedup(
+                spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src),
+                index_dir,
+                out,
+                str(tmp_path / f"ckpt_{tag}"),
+                after_write_hook=h,
+            )
+
+        if hook is None:
+            make_query(None).awaitTermination()
+        else:
+            _drain_with_replay(make_query, hook)
+        index = read_dedup_index(spark, index_dir)
+        idx = sorted(
+            tuple(r[c] for c in sorted(index.columns))
+            for r in index.collect()
+        )
+        return _rows(spark, out), idx
+
+    ref = run("clean", None)
+    got = run("crash", _crash_once_on(1))
+    assert got == ref

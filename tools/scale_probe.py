@@ -236,6 +236,11 @@ def _refit(sfs: list[float], times: list[float]) -> tuple[float, float]:
     xs = [math.log(s) for s in sfs]
     ys = [math.log(t) for t in times]
     n = len(xs)
+    if n < 2:
+        # a 1-point series (fresh query whose lower-decade dirs were
+        # all absent) has no slope — report 0 rather than dividing
+        # by a zero variance
+        return 0.0, 0.0
     xbar, ybar = sum(xs) / n, sum(ys) / n
     slope = sum((x - xbar) * (y - ybar) for x, y in zip(xs, ys)) / sum(
         (x - xbar) ** 2 for x in xs
@@ -305,11 +310,21 @@ def add_decade(
 
             def run(d, fn=fn):
                 fn(spark, d).write.format("noop").mode("overwrite").save()
-        else:
+        elif name in STREAMING_BENCHES:
             sfn = STREAMING_BENCHES[name]
 
             def run(d, sfn=sfn):
                 sfn(spark, d)
+        else:
+            # committed series for a query retired/renamed since the
+            # base table was written — skip rather than abort an
+            # hour-plus sf10 pass mid-run with a KeyError
+            print(
+                f"{name:28s} SKIP: absent from both registries "
+                "(retired since the base table was committed)",
+                flush=True,
+            )
+            continue
         best = min(_timed(lambda: run(sf_dir)) for _ in range(repeats))
         if sf in row["sf"]:  # re-probe: replace the existing sample
             i = row["sf"].index(sf)

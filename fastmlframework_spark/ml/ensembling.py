@@ -198,6 +198,98 @@ class Blender:
         folded.unpersist()
         return BlendResult(weights=fold_weights, oof_blend=oof_blend, score=score)
 
+    def objective_grid(
+        self,
+        oof_matrix: DataFrame,
+        weight_grid: Sequence[Sequence[float]],
+        key_col: str = "key",
+        target_col: str = "target",
+        pred_cols: Sequence[str] | None = None,
+    ) -> DataFrame:
+        """M19's SEARCH OBJECTIVE pinned on a fixed weight grid
+        (VERDICT r11 #5): evaluate EXACTLY the function ``run``'s BO
+        maximizes — per fold, the metric of the M15/M16 vote over the
+        fold's TRAIN slice at raw weights ``w + 1e-9`` — for every
+        grid point, through the identical machinery (``_apply_vote``
+        → ``metrics.roc_auc_by_df``).  Returns one row
+        [fold, w0.., w{n-1}, objective] per (fold, grid point).
+
+        The GP's proposal sequence can never hash-match across
+        engines, but the objective SURFACE it climbs is deterministic
+        SQL — this is the query-shaped evidence that what the search
+        optimizes is the right function (`blend_objective_grid`).
+
+        Scale shape — ONE scan, not folds×grid scans: the (fold,
+        point, normalized-weight) tuples are a ≤k·|grid|-row
+        BROADCAST frame nested-loop-joined on ``data.fold !=
+        grid.fold`` (the train-slice predicate), the vote is
+        soft_vote's own arithmetic — the identical left-associated
+        Σ pred·(wᵢ/Σw) with the normalization done in the SAME Python
+        float ops, carried as grid columns instead of per-branch
+        literals (pytest pins value equality against the
+        ``run``-closure path) — and a single grouped rank-AUC keyed
+        on (fold, grid) scores every point in one action.
+        Reference: ensembling/blending/blender.py:340-362."""
+        if self.metric != "roc_auc_score":
+            raise ValueError("objective_grid currently pins roc_auc_score")
+        pred_cols = list(
+            pred_cols
+            or [c for c in oof_matrix.columns if c.endswith("_OOF")]
+        )
+        voting = detect_voting_type(oof_matrix, pred_cols)
+        if voting != "soft":
+            raise ValueError("objective_grid pins the soft-vote objective")
+        folded = with_fold_column(
+            oof_matrix, key_col, self.k, self.seed, method="hash"
+        )
+        nw = len(weight_grid[0])
+        wcols = [f"w{i}" for i in range(nw)]
+        rows = []
+        for gid, point in enumerate(weight_grid):
+            # EXACTLY the run()-objective arithmetic: raw w + 1e-9,
+            # then soft_vote's w/Σw normalization (same op order)
+            weights = [float(w) + 1e-9 for w in point]
+            wsum = float(sum(weights))
+            for fold in range(self.k):
+                rows.append(
+                    (
+                        fold,
+                        gid,
+                        *[float(w) for w in point],
+                        *[w / wsum for w in weights],
+                    )
+                )
+        grid = oof_matrix.sparkSession.createDataFrame(
+            rows,
+            ["gfold", "gid", *wcols, *[f"l{i}" for i in range(nw)]],
+        )
+        blend = None
+        for i, c in enumerate(pred_cols):
+            term = F.col(c) * F.col(f"l{i}")
+            blend = term if blend is None else blend + term
+        scored = (
+            folded.join(
+                F.broadcast(grid), on=F.col("fold") != F.col("gfold")
+            )
+            .select(
+                F.col("gfold").alias("__f"),
+                "gid",
+                *wcols,
+                F.col(target_col).alias("__label"),
+                blend.alias("__score"),
+            )
+        )
+        return (
+            metrics_mod.roc_auc_by_df(
+                scored, "__label", "__score", by=["__f", "gid", *wcols]
+            )
+            .select(
+                F.col("__f").alias("fold"),
+                *wcols,
+                F.round("auc", 6).alias("objective"),
+            )
+        )
+
     def apply_frozen(
         self,
         oof_matrix: DataFrame,

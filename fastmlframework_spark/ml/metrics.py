@@ -14,6 +14,8 @@ std-of-scores stays driver-side over k scalars, as in the reference.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
@@ -143,10 +145,10 @@ def roc_auc_by_df(
     df: DataFrame,
     label_col: str,
     score_col: str,
-    by: str,
+    by: str | Sequence[str],
     n_buckets: int = 1024,
 ) -> DataFrame:
-    """Grouped rank-based AUC: one row ``[by, auc]`` per group, in ONE
+    """Grouped rank-based AUC: one row ``[*by, auc]`` per group, in ONE
     Spark plan (VERDICT r8 #2 — the CV engine's A20 per-fold pass used
     to run k separate ``roc_auc_df`` actions over fold filters; this
     computes every fold's AUC in a single action).  Same Mann-Whitney
@@ -154,9 +156,14 @@ def roc_auc_by_df(
     per-(group, score) counts, per-group [min, max] bucketing, within-
     (group, bucket) prefix windows, per-(group, bucket) offsets, final
     groupBy(group) reduction.  Exact integer rank arithmetic, so the
-    grouped form returns the same AUC as filtering each group would."""
+    grouped form returns the same AUC as filtering each group would.
+    ``by`` may be one column name or a list (composite group keys —
+    the blend objective grid groups on fold × grid point); the group
+    is packed into ONE struct column internally so every stage still
+    keys on a single expression."""
+    by_cols = [by] if isinstance(by, str) else list(by)
     d = df.select(
-        F.col(by).alias("__g"),
+        F.struct(*by_cols).alias("__g"),
         F.col(score_col).alias("__s"),
         F.col(label_col).cast("double").alias("__y"),
     )
@@ -215,7 +222,9 @@ def roc_auc_by_df(
                 )
             ).alias("auc")
         )
-        .select(F.col("__g").alias(by), "auc")
+        .select(
+            *[F.col(f"__g.{c}").alias(c) for c in by_cols], "auc"
+        )
     )
 
 

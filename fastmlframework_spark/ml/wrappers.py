@@ -347,9 +347,14 @@ class RidgeClosedFormWrapper:
     * Prediction is the left-associated affine form over the same
       integer encoding, rounded to the engine contract's 6 dp.
 
-    d > 2 features fall back to ``numpy.linalg.solve`` — still a real
-    deterministic fit, but LAPACK's pivot order has no SQL twin, so
-    only the d ≤ 2 path carries the driver-hash oracle.
+    d > 2 features solve by FIXED-ORDER (unpivoted) Gauss-Jordan
+    elimination (VERDICT r11 #2) — safe without pivoting because the
+    ridge-regularized normal matrix is symmetric positive definite —
+    generated by ``gauss_jordan_formulas`` as one shared list of
+    single-op formulas that the driver evals in Python and the oracle
+    renders into SQL CTEs token-for-token (``cv_oof_ridge_d4``), so
+    the driver-hash envelope now covers realistic feature counts,
+    not just the 3×3 Cramer pair.
 
     Scale shape: one map-side-combinable aggregate per fold over the
     training rows (9 integer sums + count), a driver-side O(d³) solve
@@ -404,20 +409,8 @@ class RidgeClosedFormWrapper:
             coefs = [b1, b2]
             intercept = b0
         else:
-            import numpy as np
-
-            A = np.zeros((d + 1, d + 1))
-            v = np.zeros(d + 1)
-            A[0, 0] = ints["n"]
-            v[0] = ints["sy"]
-            for i in range(1, d + 1):
-                A[0, i] = A[i, 0] = ints[f"s{i}"]
-                v[i] = ints[f"s{i}y"]
-                for j in range(i, d + 1):
-                    A[i, j] = A[j, i] = ints[f"s{min(i, j)}{max(i, j)}"]
-                A[i, i] += self.lam
-            beta = np.linalg.solve(A, v)
-            intercept, coefs = float(beta[0]), [float(b) for b in beta[1:]]
+            beta = _gauss_jordan_solve(ints, self.lam, d)
+            intercept, coefs = beta[0], beta[1:]
         return ClosedFormLinearModel(
             feature_cols=list(feature_cols),
             scales=scales,
@@ -463,6 +456,83 @@ def _cramer3_solve(s: dict, lam: int) -> tuple[float, float, float]:
         + v1 * (a12 * a23 - a22 * a13)
     )
     return det0 / det, det1 / det, det2 / det
+
+
+def gauss_jordan_formulas(m: int) -> tuple[list[tuple[str, str]], list[str]]:
+    """Fixed-order (unpivoted) Gauss-Jordan elimination for an m×m
+    system, emitted as a list of (name, expr) assignments where every
+    expr is at most two IEEE-double ops over already-defined symbols
+    — plus the final solution symbol per unknown.
+
+    THE cross-engine contract (the d>2 analogue of ``_cramer3_solve``):
+    the SAME list is (a) eval'ed in Python by ``_gauss_jordan_solve``
+    (the Spark driver's solve) and (b) rendered into SQL CTEs by the
+    ``cv_oof_ridge_d4`` oracle builder (``queries/mlflow.py``).
+    Because each assignment is a single ``x / p`` or ``x - f * y``
+    with unambiguous association, both engines execute the identical
+    IEEE operation sequence and produce identical bits.
+
+    No pivoting is SAFE here by construction, not luck: the inputs
+    are ridge-regularized normal matrices (A = X'X + λI bordered by
+    the intercept row), symmetric positive definite, whose leading
+    principal minors are all positive — the unpivoted pivot entries
+    can never be zero.  Do NOT reuse for general matrices.
+
+    Input symbols: ``a{i}_{j}`` (matrix, 0-indexed) and ``v{i}``
+    (rhs).  Returns (formulas, solution_symbols)."""
+    mat = [[f"a{i}_{j}" for j in range(m)] for i in range(m)]
+    rhs = [f"v{i}" for i in range(m)]
+    out: list[tuple[str, str]] = []
+    for k in range(m):
+        piv = mat[k][k]
+        for j in range(k + 1, m):
+            out.append((f"r{k}_{j}", f"{mat[k][j]} / {piv}"))
+        out.append((f"u{k}", f"{rhs[k]} / {piv}"))
+        for i in range(m):
+            if i == k:
+                continue
+            fac = mat[i][k]
+            for j in range(k + 1, m):
+                out.append(
+                    (f"g{k}_{i}_{j}", f"{mat[i][j]} - {fac} * r{k}_{j}")
+                )
+            out.append((f"w{k}_{i}", f"{rhs[i]} - {fac} * u{k}"))
+        for j in range(k + 1, m):
+            mat[k][j] = f"r{k}_{j}"
+        rhs[k] = f"u{k}"
+        for i in range(m):
+            if i == k:
+                continue
+            for j in range(k + 1, m):
+                mat[i][j] = f"g{k}_{i}_{j}"
+            rhs[i] = f"w{k}_{i}"
+    return out, list(rhs)
+
+
+def ridge_normal_env(ints: dict, lam: int, d: int) -> dict[str, float]:
+    """The initial symbol environment for ``gauss_jordan_formulas``
+    from the integer normal-equation sums: intercept-bordered X'X
+    with the ridge diag added in the INTEGER domain before the
+    int→double conversion (both engines round-to-nearest), exactly
+    as the d=2 Cramer path does."""
+    env: dict[str, float] = {"a0_0": float(ints["n"]), "v0": float(ints["sy"])}
+    for i in range(1, d + 1):
+        env[f"a0_{i}"] = env[f"a{i}_0"] = float(ints[f"s{i}"])
+        env[f"v{i}"] = float(ints[f"s{i}y"])
+        for j in range(i, d + 1):
+            val = ints[f"s{i}{j}"] + (lam if i == j else 0)
+            env[f"a{i}_{j}"] = env[f"a{j}_{i}"] = float(val)
+    return env
+
+
+def _gauss_jordan_solve(ints: dict, lam: int, d: int) -> list[float]:
+    """Driver-side evaluation of the shared elimination formulas —
+    returns [intercept, b1, ..., bd]."""
+    env = ridge_normal_env(ints, lam, d)
+    formulas, sol = gauss_jordan_formulas(d + 1)
+    for name, expr in formulas:
+        env[name] = eval(expr, {"__builtins__": {}}, env)  # noqa: S307
+    return [float(env[s]) for s in sol]
 
 
 class FrozenFoldsWrapper:

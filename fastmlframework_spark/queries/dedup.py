@@ -365,7 +365,12 @@ def _exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_minhash_covers_exact", oracle=_EXACT_PAIRS_SQL, bench=False)
+@query(
+    "dedup_minhash_covers_exact",
+    oracle=_EXACT_PAIRS_SQL,
+    bench=False,
+    bench_reason="coverage audit vs the exact-pair ground truth of benched dedup_minhash_lsh",
+)
 def dedup_minhash_covers_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall invariant: exact-dup pairs found by the MinHash+LSH
     candidate join.  Must equal the full exact-dup pair set (identical
@@ -379,7 +384,12 @@ def dedup_minhash_covers_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash_covers_exact", oracle=_EXACT_PAIRS_SQL, bench=False)
+@query(
+    "dedup_simhash_covers_exact",
+    oracle=_EXACT_PAIRS_SQL,
+    bench=False,
+    bench_reason="coverage audit vs the exact-pair ground truth of benched dedup_simhash",
+)
 def dedup_simhash_covers_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall invariant: exact-dup pairs found by the SimHash
     block-LSH join (identical texts ⇒ hamming 0 ≤ budget) — driver-
@@ -402,6 +412,7 @@ SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id % 10 = 0
 @query(
     "dedup_embedding_cosine",
     bench=False,  # oracle-only: exact O(n²) recall ground truth for
+    bench_reason="size-guarded exact O(n²) cosine ground truth for the benched LSH/SemDeDup rungs",
     # dedup_embedding_lsh — size-guarded in embedding_dup_pairs and
     # never the benched/production path.
     oracle=f"""
@@ -472,6 +483,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_embedding_lsh_covers_planted",
     bench=False,
+    bench_reason="planted-recall audit of the benched dedup_embedding_lsh path",
     oracle=f"""
 SELECT vec_id AS key_a, vec_id + 10000 AS key_b
 FROM ({_EMBED_CORPUS_SQL}) e
@@ -1238,15 +1250,81 @@ def semdedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _mh_calibration_oracle(num_hashes: int = 8, bands: int = 4) -> str:
-    """Banded candidates (xxhash64 signature twin) LEFT-joined to the
-    exact shingle-Jaccard pairs of the SAME subset corpus, grouped by
-    Jaccard decile."""
-    hlist, sig_cols, band_eq, agree = _mh_sql_parts(num_hashes, bands)
+# Absolute doc budget for the SAMPLED calibration/recall audits
+# (VERDICT r11 #3): their truth side is an exact threshold-0 pair
+# enumeration, quadratic in corpus size — production audits sample.
+# The budget-derived md5 threshold is computed from the same COUNT in
+# both engines (the knn_density_by_label pattern), so the sampled id
+# set is identical and the oracles stay hash-green.
+_MH_SAMPLE_BUDGET = 512
+
+
+def _mh_sample_sql() -> str:
+    """Subset corpus → budget-sampled corpus CTEs (SQL twin of
+    ``_mh_sampled_corpus``)."""
     return f"""
-WITH corpus AS (
+sub AS (
   SELECT * FROM ({_CORPUS_SQL}) c WHERE {_SUBSET_PRED}
 ),
+th AS (
+  SELECT CASE WHEN COUNT(*) <= {_MH_SAMPLE_BUDGET} THEN 'g'
+         ELSE lower(lpad(to_hex(CAST(FLOOR(
+             {_MH_SAMPLE_BUDGET}.0 / COUNT(*) * 4294967296) AS BIGINT)),
+             8, '0'))
+         END AS t
+  FROM sub
+),
+corpus AS (
+  SELECT sub.* FROM sub, th
+  WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':mhs'), 1, 8) < th.t
+)"""
+
+
+def _mh_sampled_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-sampled subset corpus: deterministic md5 hash-sample
+    with an ABSOLUTE row budget — the threshold derives from the
+    subset count, so the truth side's exact pair enumeration stays
+    ~budget² no matter how large the corpus grows (a fixed fraction
+    would leave the audit quadratic in N)."""
+    import math
+
+    corpus = _corpus(spark, sf_dir).filter(F.expr(_SUBSET_PRED))
+    n = corpus.count()
+    if n <= _MH_SAMPLE_BUDGET:
+        thresh = "g"  # lexically above any hex digit: keep everything
+    else:
+        thresh = format(
+            math.floor(_MH_SAMPLE_BUDGET / n * 4294967296), "08x"
+        )
+    return corpus.filter(
+        F.substring(
+            F.md5(
+                F.concat(F.col("doc_id").cast("string"), F.lit(":mhs"))
+            ),
+            1,
+            8,
+        )
+        < F.lit(thresh)
+    )
+
+
+def _mh_calibration_oracle(
+    num_hashes: int = 8, bands: int = 4, sampled: bool = False
+) -> str:
+    """Banded candidates (xxhash64 signature twin) LEFT-joined to the
+    exact shingle-Jaccard pairs of the SAME (subset or budget-sampled)
+    corpus, grouped by Jaccard decile."""
+    hlist, sig_cols, band_eq, agree = _mh_sql_parts(num_hashes, bands)
+    corpus_ctes = (
+        _mh_sample_sql()
+        if sampled
+        else f"""
+corpus AS (
+  SELECT * FROM ({_CORPUS_SQL}) c WHERE {_SUBSET_PRED}
+)"""
+    )
+    return f"""
+WITH {corpus_ctes.strip()},
 toks AS (
   SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM corpus
 ),
@@ -1292,21 +1370,7 @@ FROM lab GROUP BY 1 ORDER BY 1
 """
 
 
-@query("dedup_minhash_calibration", oracle=_mh_calibration_oracle())
-def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Is the MinHash estimator calibrated?  Every banded candidate
-    pair carries its full-signature agreement (the Jaccard ESTIMATE)
-    and its exact shingle Jaccard (ground truth, tractable on the
-    subset corpus); grouped by truth decile, avg estimate should track
-    avg truth — the audit that tells you whether num_hashes/bands are
-    tuned before trusting the verify threshold at scale.  Banded
-    candidates that share no shingle land in decile 0 via the left
-    join (estimator false positives).
-
-    Plan: both pair sets are sub-quadratic subset joins (banded
-    candidates; inverted-index Jaccard), the calibration join is
-    pair-keyed, and the output is ≤ 10 rows."""
-    corpus = _corpus(spark, sf_dir).filter(F.expr(_SUBSET_PRED))
+def _mh_calibration_body(corpus: DataFrame) -> DataFrame:
     cand = xdedup.minhash_lsh_pairs(
         corpus, n=3, num_hashes=8, bands=4, verify_threshold=None
     )
@@ -1330,16 +1394,69 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _mh_recall_oracle(num_hashes: int = 8, bands: int = 4) -> str:
-    """ALL true Jaccard pairs of the subset corpus LEFT-joined to the
-    banded candidate set — per truth decile, the fraction banding
-    retrieved (the LSH S-curve, the dual of the calibration audit's
-    candidate-conditioned view)."""
+@query(
+    "dedup_minhash_calibration",
+    oracle=_mh_calibration_oracle(),
+    bench=False,
+    bench_reason="exact threshold-0 truth side is answer-quadratic; benched form is dedup_minhash_calibration_sampled",
+)
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is the MinHash estimator calibrated?  Every banded candidate
+    pair carries its full-signature agreement (the Jaccard ESTIMATE)
+    and its exact shingle Jaccard (ground truth, tractable on the
+    subset corpus); grouped by truth decile, avg estimate should track
+    avg truth — the audit that tells you whether num_hashes/bands are
+    tuned before trusting the verify threshold at scale.  Banded
+    candidates that share no shingle land in decile 0 via the left
+    join (estimator false positives).
+
+    Plan: both pair sets are sub-quadratic subset joins (banded
+    candidates; inverted-index Jaccard), the calibration join is
+    pair-keyed, and the output is ≤ 10 rows.  bench=False since r12:
+    the threshold-0 truth side is an exact pair enumeration —
+    answer-quadratic on the adversarial synthetic corpus; the benched
+    default is `dedup_minhash_calibration_sampled` (VERDICT r11 #3)."""
+    return _mh_calibration_body(
+        _corpus(spark, sf_dir).filter(F.expr(_SUBSET_PRED))
+    )
+
+
+@query(
+    "dedup_minhash_calibration_sampled",
+    oracle=_mh_calibration_oracle(sampled=True),
+)
+def dedup_minhash_calibration_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The benched form of the MinHash calibration audit (VERDICT r11
+    #3): identical estimator-vs-truth deciles, but the corpus is a
+    deterministic md5 hash-sample with an ABSOLUTE ~512-doc budget, so
+    the exact truth-pair enumeration stays ~budget² at ANY scale —
+    how a production audit actually runs (its own docstring said so;
+    now the benched path does it).  The count-derived threshold is
+    identical in both engines, so the sampled id set — and the hash —
+    match exactly."""
+    return _mh_calibration_body(_mh_sampled_corpus(spark, sf_dir))
+
+
+def _mh_recall_oracle(
+    num_hashes: int = 8, bands: int = 4, sampled: bool = False
+) -> str:
+    """ALL true Jaccard pairs of the (subset or budget-sampled)
+    corpus LEFT-joined to the banded candidate set — per truth
+    decile, the fraction banding retrieved (the LSH S-curve, the dual
+    of the calibration audit's candidate-conditioned view)."""
     hlist, sig_cols, band_eq, _agree = _mh_sql_parts(num_hashes, bands)
-    return f"""
-WITH corpus AS (
+    corpus_ctes = (
+        _mh_sample_sql()
+        if sampled
+        else f"""
+corpus AS (
   SELECT * FROM ({_CORPUS_SQL}) c WHERE {_SUBSET_PRED}
-),
+)"""
+    )
+    return f"""
+WITH {corpus_ctes.strip()},
 toks AS (
   SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM corpus
 ),
@@ -1383,21 +1500,7 @@ GROUP BY 1 ORDER BY 1
 """
 
 
-@query("dedup_minhash_recall_curve", oracle=_mh_recall_oracle())
-def dedup_minhash_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The LSH S-curve, measured: of ALL co-shingle pairs at each true
-    Jaccard decile, what fraction did the banded candidate join
-    retrieve — the recall side of the banding trade-off
-    (``dedup_minhash_calibration`` is the precision/bias side,
-    conditioned on candidates).  Reading the curve tells you whether
-    the (num_hashes, bands) operating point recalls the duplicates
-    your verify threshold intends to keep BEFORE trusting it on a
-    corpus too large for ground truth.
-
-    Plan: the true-pair side is the subset inverted-index join, the
-    candidate side the banded join; retrieval is one pair-keyed left
-    join and the output ≤ 10 rows."""
-    corpus = _corpus(spark, sf_dir).filter(F.expr(_SUBSET_PRED))
+def _mh_recall_body(corpus: DataFrame) -> DataFrame:
     truth = xdedup.ngram_jaccard_pairs(corpus, n=3, threshold=0.0)
     cand = xdedup.minhash_lsh_pairs(
         corpus, n=3, num_hashes=8, bands=4, verify_threshold=None
@@ -1420,3 +1523,45 @@ def dedup_minhash_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("jaccard_decile")
     )
+
+
+@query(
+    "dedup_minhash_recall_curve",
+    oracle=_mh_recall_oracle(),
+    bench=False,
+    bench_reason="exact threshold-0 truth side is answer-quadratic; benched form is dedup_minhash_recall_sampled",
+)
+def dedup_minhash_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH S-curve, measured: of ALL co-shingle pairs at each true
+    Jaccard decile, what fraction did the banded candidate join
+    retrieve — the recall side of the banding trade-off
+    (``dedup_minhash_calibration`` is the precision/bias side,
+    conditioned on candidates).  Reading the curve tells you whether
+    the (num_hashes, bands) operating point recalls the duplicates
+    your verify threshold intends to keep BEFORE trusting it on a
+    corpus too large for ground truth.
+
+    Plan: the true-pair side is the subset inverted-index join, the
+    candidate side the banded join; retrieval is one pair-keyed left
+    join and the output ≤ 10 rows.  bench=False since r12: the truth
+    side is answer-quadratic (see `dedup_minhash_calibration`); the
+    benched default is `dedup_minhash_recall_sampled`."""
+    return _mh_recall_body(
+        _corpus(spark, sf_dir).filter(F.expr(_SUBSET_PRED))
+    )
+
+
+@query(
+    "dedup_minhash_recall_sampled",
+    oracle=_mh_recall_oracle(sampled=True),
+)
+def dedup_minhash_recall_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The benched form of the LSH recall S-curve (VERDICT r11 #3):
+    same per-decile retrieval fractions, measured on the ~512-doc
+    absolute-budget hash-sample (`_mh_sampled_corpus`) so the exact
+    truth enumeration is scale-free — the sampling a production
+    recall audit performs, with the count-derived threshold identical
+    in both engines so the oracle still hash-matches."""
+    return _mh_recall_body(_mh_sampled_corpus(spark, sf_dir))

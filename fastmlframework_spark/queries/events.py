@@ -632,6 +632,7 @@ def events_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_cusum_alarms",
     bench=False,
+    bench_reason="recursive-CTE oracle cross-check of the benched stream_cusum drain",
     oracle="""
 WITH RECURSIVE base AS (
   SELECT event_id, event_type, value,

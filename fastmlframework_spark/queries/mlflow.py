@@ -55,6 +55,7 @@ def cv_oof_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "cv_oof_invariants",
     bench=False,
+    bench_reason="re-runs the real iterative MLlib fit for invariant checks; training throughput, not query latency",
     oracle="""
 WITH t AS (
 SELECT
@@ -268,6 +269,7 @@ def _key_hash_sql(seed: int) -> str:
 @query(
     "cv_oof_frozen_bagged",
     bench=False,
+    bench_reason="bagged variant of the frozen twin; the oracle hash is the point, single-seed loop is benched",
     oracle=f"""
 WITH t AS (
 SELECT
@@ -597,6 +599,7 @@ o{seed} AS (
 @query(
     "cv_oof_ridge_bagged",
     bench=False,
+    bench_reason="two-seed variant; cv_oof_ridge is the benched latency path",
     oracle=f"""
 WITH t AS (
 SELECT
@@ -652,6 +655,7 @@ def cv_oof_ridge_bagged(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "cv_test_pred_ridge",
     bench=False,
+    bench_reason="test-prediction variant; cv_oof_ridge is the benched latency path",
     oracle=f"""
 WITH t AS (
 SELECT
@@ -722,6 +726,7 @@ def cv_test_pred_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "cv_fold_scores_ridge",
     bench=False,
+    bench_reason="per-fold metric variant; cv_oof_ridge is the benched latency path",
     oracle=f"""
 WITH t AS (
 SELECT
@@ -788,6 +793,8 @@ def cv_fold_scores_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "cv_importance_invariants",
     bench=False,
+    bench_reason="invariant re-run of the real GBT null-importance fit; "
+    "training throughput, not query latency (timed in BENCH_CV)",
     oracle="""
 SELECT CAST(4 AS BIGINT) AS n_features,
        CAST(0 AS BIGINT) AS n_negative,
@@ -841,3 +848,262 @@ def cv_feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.feature_importance.select(
         "feature", F.round("importance", 6).alias("importance")
     )
+
+
+def _gj_ridge_d4_oracle(lam: int) -> str:
+    """SQL twin of the d=4 closed-form ridge CV (VERDICT r11 #2):
+    renders ``ml.wrappers.gauss_jordan_formulas`` — the SAME
+    assignment list the Spark driver evals — into chained CTEs (one
+    normalize + one eliminate CTE per elimination step), on top of
+    the per-fold complement normal-equation sums.  Token-for-token
+    with the Python solve by construction: each assignment is a
+    single ``x / p`` or ``x - f * y`` whose rendering is the
+    identical IEEE-double op in both engines."""
+    from fastmlframework_spark.ml.wrappers import gauss_jordan_formulas
+
+    d, m = 4, 5
+    sums, tots = ["COUNT(*) AS n"], ["SUM(n) AS n"]
+    names = (
+        [f"s{i}" for i in range(1, d + 1)]
+        + [f"s{i}{j}" for i in range(1, d + 1) for j in range(i, d + 1)]
+        + ["sy"]
+        + [f"s{i}y" for i in range(1, d + 1)]
+    )
+    srcs = (
+        [f"x{i}" for i in range(1, d + 1)]
+        + [
+            f"x{i} * x{j}"
+            for i in range(1, d + 1)
+            for j in range(i, d + 1)
+        ]
+        + ["target"]
+        + [f"x{i} * target" for i in range(1, d + 1)]
+    )
+    for nm, src in zip(names, srcs):
+        sums.append(f"SUM({src}) AS {nm}")
+        tots.append(f"SUM({nm}) AS {nm}")
+    c_defs = [
+        "s.fold",
+        "CAST(tot.n - s.n AS DOUBLE) AS a0_0",
+        "CAST(tot.sy - s.sy AS DOUBLE) AS v0",
+    ]
+    for i in range(1, d + 1):
+        e = f"CAST(tot.s{i} - s.s{i} AS DOUBLE)"
+        c_defs += [f"{e} AS a0_{i}", f"{e} AS a{i}_0"]
+        c_defs.append(f"CAST(tot.s{i}y - s.s{i}y AS DOUBLE) AS v{i}")
+        for j in range(i, d + 1):
+            reg = f" + {lam}" if i == j else ""
+            e = f"CAST(tot.s{i}{j} - s.s{i}{j}{reg} AS DOUBLE)"
+            c_defs.append(f"{e} AS a{i}_{j}")
+            if i != j:
+                c_defs.append(f"{e} AS a{j}_{i}")
+    formulas, sol = gauss_jordan_formulas(m)
+    elim_ctes, cur = [], "c"
+    for k in range(m):
+        norm = [
+            f"{e} AS {n}"
+            for n, e in formulas
+            if n.startswith(f"r{k}_") or n == f"u{k}"
+        ]
+        elim = [
+            f"{e} AS {n}"
+            for n, e in formulas
+            if n.startswith((f"g{k}_", f"w{k}_"))
+        ]
+        elim_ctes.append(
+            f"gj{k}a AS (SELECT *, {', '.join(norm)} FROM {cur})"
+        )
+        elim_ctes.append(
+            f"gj{k}b AS (SELECT *, {', '.join(elim)} FROM gj{k}a)"
+        )
+        cur = f"gj{k}b"
+    elim_block = ",\n".join(elim_ctes)
+    affine = f"b.{sol[0]}"
+    for i in range(1, d + 1):
+        affine += f" + b.{sol[i]} * CAST(f.x{i} AS DOUBLE)"
+    hash_expr = _key_hash_sql(27)
+    return f"""
+WITH t AS (
+SELECT
+  o_orderkey AS key,
+  CAST(ROUND(ROUND(c_acctbal, 2) * 100, 0) AS BIGINT) AS x1,
+  CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS x2,
+  CAST(ROUND(ROUND(o_totalprice, 2) * 100, 0) AS BIGINT) AS x3,
+  CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS x4,
+  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS target
+FROM orders JOIN customer ON o_custkey = c_custkey
+),
+f AS (
+  SELECT *, NTILE(3) OVER (ORDER BY {hash_expr}) - 1 AS fold FROM t
+),
+s AS (
+  SELECT fold, {', '.join(sums)} FROM f GROUP BY fold
+),
+tot AS (
+  SELECT {', '.join(tots)} FROM s
+),
+c AS (
+  SELECT {', '.join(c_defs)} FROM s, tot
+),
+{elim_block}
+SELECT f.key,
+  ROUND({affine}, 6) AS target_oof,
+  f.target AS target
+FROM f JOIN {cur} b ON f.fold = b.fold
+"""
+
+
+@query("cv_oof_ridge_d4", bench=True, oracle=_gj_ridge_d4_oracle(_RIDGE_LAM))
+def cv_oof_ridge_d4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`cv_oof_ridge` at a REALISTIC feature count (VERDICT r11 #2):
+    4 features through the real `CVPredictor.run` CV loop with
+    `RidgeClosedFormWrapper`, whose d>2 solve is the fixed-order
+    unpivoted Gauss-Jordan elimination (`gauss_jordan_formulas`) —
+    the LAPACK fallback is gone, so the driver-hash envelope now
+    covers the multi-feature normal-equation path end-to-end: scaled-
+    integer X'X/X'y aggregates (exact in any summation order), the
+    shared elimination formula list (Python eval on the driver, CTE
+    rendering in the oracle), left-associated affine scoring, 6-dp
+    round.  The 4th feature is the order-priority digit — an integer
+    encode of a categorical, exactly how the reference one-hot path
+    feeds ordinal codes to the linear leg
+    (modeling/model_wrappers.py:242-323)."""
+    from fastmlframework_spark.ml.wrappers import RidgeClosedFormWrapper
+
+    predictor = CVPredictor(
+        RidgeClosedFormWrapper(
+            scales={
+                "c_acctbal": 100,
+                "order_year": 1,
+                "o_totalprice": 100,
+                "prio": 1,
+            },
+            lam=_RIDGE_LAM,
+        ),
+        metric="mean_squared_error",
+        k=3,
+        seeds=(27,),
+        stratified=False,
+        predict_probability=False,
+        target_decimals=6,
+    )
+    train = ml_train_table(spark, sf_dir).withColumn(
+        "prio", F.substring("o_orderpriority", 1, 1).cast("long")
+    )
+    res = predictor.run(
+        train,
+        None,
+        "key",
+        "target",
+        ["c_acctbal", "order_year", "o_totalprice", "prio"],
+    )
+    return res.oof
+
+
+# 5×5 raw-weight grid for the blend-objective surface; values chosen
+# exactly double-representable so both engines emit identical
+# stringified w columns.
+_BLEND_GRID = [
+    (a / 4.0, b / 4.0) for a in range(5) for b in range(5)
+]
+
+
+def _blend_objective_grid_oracle() -> str:
+    """SQL replay of `Blender.objective_grid`: the normalized vote
+    literals are computed by the SAME Python arithmetic soft_vote
+    applies ((w+1e-9)/Σ, full-precision repr embedded), the blend is
+    the identical left-associated weighted sum, and the per-(fold,
+    grid) AUC is the metric_roc_auc rank arithmetic partitioned by
+    group — so the whole objective surface hash-matches."""
+    rows = []
+    for gid, (wa, wb) in enumerate(_BLEND_GRID):
+        a, b = wa + 1e-9, wb + 1e-9
+        wsum = a + b
+        rows.append(
+            f"({gid}, CAST({wa!r} AS DOUBLE), CAST({wb!r} AS DOUBLE), "
+            f"CAST({a / wsum!r} AS DOUBLE), CAST({b / wsum!r} AS DOUBLE))"
+        )
+    grid = ",\n    ".join(rows)
+    return f"""
+WITH t AS (
+SELECT
+  o_orderkey AS key,
+  ROUND(o_totalprice, 2) AS o_totalprice,
+  ROUND(c_acctbal, 2) AS c_acctbal,
+  CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS target
+FROM orders JOIN customer ON o_custkey = c_custkey
+),
+m AS (
+  SELECT key, target,
+    {_frozen_sigmoid_sql(*_FROZEN_FOLDS[0])} AS pa,
+    {_frozen_sigmoid_sql(*_FROZEN_FOLDS[1])} AS pb,
+    CAST(concat('0x', substring(md5(CAST(key AS VARCHAR) || '|' || '27'),
+         1, 15)) AS BIGINT) % 3 AS fold
+  FROM t
+),
+g(gid, wa, wb, la, lb) AS (VALUES
+    {grid}
+),
+fg AS (SELECT fs.f AS gfold, g.* FROM g, (VALUES (0), (1), (2)) fs(f)),
+d AS (
+  SELECT fg.gfold, fg.gid, fg.wa, fg.wb,
+         m.pa * fg.la + m.pb * fg.lb AS s,
+         CAST(m.target AS DOUBLE) AS y
+  FROM m JOIN fg ON m.fold <> fg.gfold
+),
+per AS (
+  SELECT gfold, gid, wa, wb, s, COUNT(*) AS n, SUM(y) AS npos
+  FROM d GROUP BY gfold, gid, wa, wb, s
+),
+c AS (
+  SELECT *, COALESCE(SUM(n) OVER (PARTITION BY gfold, gid ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+  FROM per
+)
+SELECT gfold AS fold, wa AS w0, wb AS w1,
+  ROUND(
+    (SUM(npos * (below + (n + 1) / 2.0)) - SUM(npos) * (SUM(npos) + 1) / 2.0)
+    / (SUM(npos) * SUM(n - npos)), 6) AS objective
+FROM c GROUP BY gfold, gid, wa, wb
+"""
+
+
+@query(
+    "blend_objective_grid",
+    bench=False,
+    bench_reason="75-point objective-surface audit of the BO search; blend_frozen_weights is the benched blend path",
+    oracle=_blend_objective_grid_oracle(),
+)
+def blend_objective_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-hash evidence for M19's weight-search OBJECTIVE
+    (VERDICT r11 #5, the last pytest-only stage): the frozen two-model
+    OOF matrix runs through `Blender.objective_grid`, which evaluates
+    EXACTLY the function `Blender.run`'s GP climbs — per fold, the
+    rank-AUC of the real M15 soft vote over the fold's TRAIN slice at
+    raw weights w+1e-9 — on a fixed 5×5 grid.  The proposals of the
+    search are stochastic surrogate output and can never hash; the
+    SURFACE they optimize is deterministic SQL, and this pins it:
+    75 (fold, point) objective values, value-hashed against the
+    oracle's replay of the sigmoids, the md5-mod fold, the normalized
+    vote literals, and the grouped Mann-Whitney AUC.
+    Reference: ensembling/blending/blender.py:340-362."""
+    from fastmlframework_spark.ml.ensembling import (
+        Blender,
+        assemble_oof_matrix,
+    )
+    from fastmlframework_spark.ml.wrappers import frozen_logistic_model
+
+    feats = ["o_totalprice", "c_acctbal", "order_year"]
+    train = ml_train_table(spark, sf_dir)
+    oofs = {}
+    for name, (coefs, intercept) in zip(
+        ["model_a", "model_b"], _FROZEN_FOLDS[:2]
+    ):
+        fitted = frozen_logistic_model(spark, feats, coefs, intercept)
+        oofs[name] = fitted.predict_proba(train, class_label=1).select(
+            "key", F.col("prediction").alias("target_oof"), "target"
+        )
+    matrix = assemble_oof_matrix(oofs)
+    blender = Blender(metric="roc_auc_score", k=3, seed=27)
+    return blender.objective_grid(matrix, _BLEND_GRID)

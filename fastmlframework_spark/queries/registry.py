@@ -23,6 +23,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _QUERIES: dict[str, QueryFn] = {}
 _ORACLES: dict[str, str] = {}
 _NO_BENCH: set[str] = set()
+_NO_BENCH_REASON: dict[str, str] = {}
 
 # Modules that register queries at import time.
 _QUERY_MODULES = (
@@ -46,24 +47,42 @@ _QUERY_MODULES = (
 
 
 def query(
-    name: str, oracle: str | None = None, bench: bool = True
+    name: str,
+    oracle: str | None = None,
+    bench: bool = True,
+    bench_reason: str | None = None,
 ) -> Callable[[QueryFn], QueryFn]:
     """Register ``fn`` under ``name``; ``oracle`` is DuckDB SQL or None
     for non-SQL-expressible operators (driver then does rows-only).
-    ``bench=False`` excludes the query from bench.py timing (model
-    training, not query latency)."""
+    ``bench=False`` excludes the query from bench.py timing and
+    REQUIRES ``bench_reason`` — a one-liner explaining the exclusion
+    (exact oracle-only ground truth, frozen hash twin of a benched
+    path, …).  The reasons feed the generated COVERAGE.md audit block
+    (VERDICT r11 #8), so every exclusion is visible, not implicit."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in _QUERIES:
             raise ValueError(f"duplicate query name {name!r}")
+        if not bench and not bench_reason:
+            raise ValueError(
+                f"query {name!r}: bench=False requires a bench_reason"
+            )
         _QUERIES[name] = fn
         if oracle is not None:
             _ORACLES[name] = oracle
         if not bench:
             _NO_BENCH.add(name)
+            _NO_BENCH_REASON[name] = bench_reason  # type: ignore[assignment]
         return fn
 
     return deco
+
+
+def bench_exclusions() -> dict[str, str]:
+    """Every bench=False registry query with its declared reason —
+    the COVERAGE.md audit surface."""
+    _load()
+    return dict(sorted(_NO_BENCH_REASON.items()))
 
 
 def _load() -> None:

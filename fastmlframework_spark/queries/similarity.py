@@ -102,6 +102,7 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ann_lsh_planted_top1",
     bench=False,
+    bench_reason="planted-recall audit of the benched ann_topk_lsh path",
     oracle="""
 SELECT vec_id AS query_id, vec_id + 10000 AS vec_id,
        CAST(1.0 AS DOUBLE) AS cosine, CAST(1 AS INTEGER) AS rank
@@ -183,6 +184,7 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ann_pq_planted_top1",
     bench=False,
+    bench_reason="planted-recall audit of the benched ann_topk_pq path",
     oracle="""
 SELECT vec_id AS query_id, vec_id + 10000 AS vec_id,
        CAST(1.0 AS DOUBLE) AS cosine, CAST(1 AS INTEGER) AS rank
@@ -237,6 +239,7 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ann_ivfpq_planted_top1",
     bench=False,
+    bench_reason="planted-recall audit of the benched ann_topk_ivfpq path",
     oracle="""
 SELECT vec_id AS query_id, vec_id + 10000 AS vec_id,
        CAST(1.0 AS DOUBLE) AS cosine, CAST(1 AS INTEGER) AS rank
@@ -440,6 +443,7 @@ def ann_topk_ivfsq8(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ann_ivfsq8_planted_top1",
     bench=False,
+    bench_reason="planted-recall audit of the benched ann_topk_ivfsq8 path",
     oracle="""
 SELECT vec_id AS query_id, vec_id + 10000 AS vec_id,
        CAST(1.0 AS DOUBLE) AS cosine, CAST(1 AS INTEGER) AS rank
@@ -562,6 +566,7 @@ def ann_topk_ivfhamming(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ann_ivfhamming_planted_top1",
     bench=False,
+    bench_reason="planted-recall audit of the benched ann_topk_ivfhamming path",
     oracle="""
 SELECT vec_id AS query_id, vec_id + 10000 AS vec_id,
        CAST(1.0 AS DOUBLE) AS cosine, CAST(1 AS INTEGER) AS rank

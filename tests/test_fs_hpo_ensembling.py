@@ -236,3 +236,90 @@ def test_hpo_gp_ei_beats_random_search():
     mean_bo = sum(gaps_bo) / len(gaps_bo)
     mean_rand = sum(gaps_rand) / len(gaps_rand)
     assert mean_bo < mean_rand / 2, (mean_bo, mean_rand)
+
+
+def test_maximize_degenerate_bounds_stay_pinned():
+    """ADVICE r11: hi == lo dimensions must evaluate AT lo, never at
+    lo + u for u in (0, 1] outside the declared box."""
+    seen = []
+
+    def obj(x, frozen):
+        seen.append(frozen)
+        return -((x - 0.25) ** 2)
+
+    res = maximize(
+        obj,
+        {"x": (0.0, 1.0), "frozen": (3.5, 3.5)},
+        init_points=3,
+        n_iter=3,
+    )
+    assert seen and all(v == 3.5 for v in seen)
+    assert res.best_params["frozen"] == 3.5
+
+
+def test_objective_grid_matches_run_objective(oof_tables):
+    """VERDICT r11 #5 machinery-equivalence pin: objective_grid's
+    value at a grid point must equal what Blender.run's objective
+    closure computes through _apply_vote + metrics.score on the same
+    fold's train slice — the grid carries soft_vote's normalization
+    as columns, and this asserts the two paths are value-identical."""
+    from fastmlframework_spark.ml import metrics as metrics_mod
+    from fastmlframework_spark.ml.folds import with_fold_column
+
+    m = assemble_oof_matrix(oof_tables)
+    blender = Blender(metric="roc_auc_score", k=2, seed=11)
+    grid = [(0.25, 0.75), (1.0, 0.0), (0.5, 0.5)]
+    got = {
+        (r["fold"], r["w0"], r["w1"]): r["objective"]
+        for r in blender.objective_grid(m, grid).collect()
+    }
+    assert len(got) == 6
+
+    pred_cols = [c for c in m.columns if c.endswith("_OOF")]
+    folded = with_fold_column(m, "key", 2, 11, method="hash")
+    for fold in range(2):
+        train = folded.filter(F.col("fold") != fold)
+        for wa, wb in grid:
+            # the run()-closure path, verbatim
+            weights = [wa + 1e-9, wb + 1e-9]
+            blend = blender._apply_vote(
+                train, pred_cols, weights, "soft", "key"
+            )
+            want = metrics_mod.score(
+                blend, "roc_auc_score", "target", "blend"
+            )
+            assert got[(fold, wa, wb)] == round(want, 6), (fold, wa, wb)
+
+
+def _real_bayes_opt_available() -> bool:
+    try:
+        import bayes_opt  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _real_bayes_opt_available(),
+    reason="bayes_opt not installed in this environment (VERDICT r11 "
+    "#6: this test arms the delegation path the day it appears)",
+)
+def test_maximize_under_real_bayes_opt():
+    """VERDICT r11 #6: M13 through GENUINE bayes_opt.maximize — the
+    HPOResult contract must hold exactly as with the builtin GP-EI:
+    history length = init_points + n_iter, best_score is the max of
+    the history, params stay inside the declared box, and the same
+    seed reproduces the same best."""
+
+    def objective(x, y):
+        return -((x - 0.3) ** 2) - (y - 0.7) ** 2
+
+    bounds = {"x": (0.0, 1.0), "y": (0.0, 1.0)}
+    r1 = maximize(objective, bounds, init_points=4, n_iter=6, seed=5)
+    r2 = maximize(objective, bounds, init_points=4, n_iter=6, seed=5)
+    assert len(r1.history) == 10
+    assert r1.best_score == max(h["score"] for h in r1.history)
+    assert 0.0 <= r1.best_params["x"] <= 1.0
+    assert 0.0 <= r1.best_params["y"] <= 1.0
+    assert r1.best_params == r2.best_params

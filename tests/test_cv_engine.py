@@ -286,3 +286,60 @@ def test_ridge_predict_is_map_only(spark):
     )
     plan = m.predict(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_logistic_newton_fits_real_signal(spark):
+    """The fixed-point Newton wrapper is a REAL fit: on separable-ish
+    synthetic data it must (a) be deterministic, (b) produce nonzero
+    data-driven coefficients with the right signs, and (c) rank
+    positives above negatives far better than chance."""
+    import math as _math
+
+    from fastmlframework_spark.ml.wrappers import LogisticNewtonWrapper
+
+    rows = []
+    for i in range(2000):
+        x1 = float(i % 97) - 48.0
+        x2 = float((i * 7) % 31) - 15.0
+        z = 0.15 * x1 - 0.3 * x2 - 0.2
+        p = 1.0 / (1.0 + _math.exp(-z))
+        # deterministic 'draw': threshold a hash-ish fraction
+        u = ((i * 2654435761) % 1000) / 1000.0
+        rows.append((i, x1, x2, 1 if u < p else 0))
+    df = spark.createDataFrame(rows, ["k", "x1", "x2", "y"])
+    w = LogisticNewtonWrapper(scales={"x1": 10, "x2": 10}, iters=3)
+    m1 = w.fit(df, ["x1", "x2"], "y")
+    m2 = w.fit(df, ["x1", "x2"], "y")
+    assert m1.coefficients == m2.coefficients  # bit-deterministic
+    assert m1.coefficients[0] > 0 > m1.coefficients[1]  # sign recovery
+    from fastmlframework_spark.ml import metrics as metrics_mod
+
+    scored = m1.predict_proba(df, class_label=1).select(
+        F.col("y").alias("label"), F.col("prediction").alias("score")
+    )
+    auc = metrics_mod.score(scored, "roc_auc_score", "label", "score")
+    assert auc > 0.75, auc
+    # data-dependence: perturbing labels moves the fit
+    df2 = df.withColumn(
+        "y", F.when(F.col("k") % 5 == 0, 1 - F.col("y")).otherwise(F.col("y"))
+    )
+    m3 = w.fit(df2, ["x1", "x2"], "y")
+    assert m3.coefficients != m1.coefficients
+
+
+def test_logistic_newton_scoring_is_map_only(spark):
+    """ClosedFormLogisticModel scoring is a pure projection — no
+    exchange, no MLlib transform, whole plan stays in the scan."""
+    from fastmlframework_spark.ml.wrappers import ClosedFormLogisticModel
+
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).cast("double").alias("x1"),
+    )
+    m = ClosedFormLogisticModel(
+        feature_cols=["x1"], scales=[1], coefficients=[0.3], intercept=-0.1
+    )
+    plan = (
+        m.predict_proba(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan

@@ -687,6 +687,240 @@ class LogisticNewtonWrapper:
         )
 
 
+@dataclass
+class TreeNode:
+    """One fitted CART node: either a split (feat index, integer
+    threshold, children) or a leaf carrying the training-set positive
+    rate."""
+
+    n: int
+    pos: int
+    feat: int | None = None  # 1-based feature index, None = leaf
+    thr: int | None = None
+    left: "TreeNode | None" = None
+    right: "TreeNode | None" = None
+
+    @property
+    def prediction(self) -> float:
+        return float(self.pos) / float(self.n)
+
+
+@dataclass
+class ClosedFormTreeModel:
+    """M2/M3-shaped predict surface for an exactly-fitted CART: the
+    tree is a nested CASE expression over the raw integer features —
+    pure projection, no MLlib, no exchange; a SQL oracle replays the
+    identical routing and leaf rates."""
+
+    feature_cols: Sequence[str]
+    root: TreeNode
+    task: str = "classification"
+
+    def _expr(self, node: TreeNode):
+        if node.feat is None:
+            return F.lit(node.prediction)
+        cond = F.col(self.feature_cols[node.feat - 1]) <= F.lit(node.thr)
+        return F.when(cond, self._expr(node.left)).otherwise(
+            self._expr(node.right)
+        )
+
+    def predict_proba(self, df: DataFrame, class_label: int = 1) -> DataFrame:
+        p = self._expr(self.root)
+        if class_label == 0:
+            p = F.lit(1.0) - p
+        return df.withColumn("prediction", p)
+
+    def predict(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "prediction", (self._expr(self.root) > 0.5).cast("int")
+        )
+
+    def feature_importances(self) -> list[tuple[str, float]]:
+        # split-count importance — exact and engine-independent
+        counts = dict.fromkeys(self.feature_cols, 0.0)
+
+        def walk(node: TreeNode) -> None:
+            if node.feat is not None:
+                counts[self.feature_cols[node.feat - 1]] += 1.0
+                walk(node.left)
+                walk(node.right)
+
+        walk(self.root)
+        return list(counts.items())
+
+
+def _cart_split_score(
+    n_l: int, pos_l: int, n_r: int, pos_r: int
+) -> float:
+    """The split criterion BOTH engines evaluate on the same exact
+    integers: Σ_child (pos² + neg²)/n — maximizing it minimizes the
+    weighted Gini impurity.  Numerators stay below 2^53 for corpora
+    up to ~90M training rows per fold, so int→double conversion is
+    exact and the two divisions + one add are the identical IEEE ops
+    as the oracle's ``CAST(a AS DOUBLE)/n_l + CAST(b AS DOUBLE)/n_r``."""
+    a = pos_l * pos_l + (n_l - pos_l) * (n_l - pos_l)
+    b = pos_r * pos_r + (n_r - pos_r) * (n_r - pos_r)
+    return float(a) / float(n_l) + float(b) / float(n_r)
+
+
+class CARTClosedFormWrapper:
+    """A REAL greedy decision-tree fit (depth ≤ 2 CART, binary
+    classification) that is bit-reproducible between the distributed
+    engine and a single-threaded SQL oracle (`cv_oof_tree_depth2`) —
+    extending the round-12 hash-matched-real-fit family (closed-form
+    ridge, fixed-point Newton logistic) to the TREE leg that M2/M3
+    map onto MLlib GBT.
+
+    Why it is exactly reproducible, with no quantization at all:
+
+    * Features are SMALL-DOMAIN INTEGERS (year, priority digit,
+      month …) — exactly the codes the reference's categorical
+      pipeline feeds its tree models — so every candidate threshold
+      enumeration and every split statistic is a pure integer COUNT/
+      SUM: exact in any aggregation order, identical on any cluster.
+    * The greedy criterion is evaluated from those exact integers by
+      two exact int→double conversions, two divisions and one add
+      (``_cart_split_score``) — the same IEEE sequence in both
+      engines — and the argmax is made total by the deterministic
+      tie-break (score DESC, feature ASC, threshold ASC).
+    * A node splits only where both children are nonempty; a node
+      with no legal candidate stays a leaf (the oracle mirrors this
+      with a LEFT JOIN + COALESCE to the parent rate).
+
+    Scale shape: fitting runs ONE value-histogram aggregate per tree
+    level (feature values unpivoted map-side, grouped counts — rows
+    bounded by Σ feature domain sizes, a few dozen), a driver-side
+    argmax over those few rows, and map-only scoring; nothing
+    materializes training rows.  Reference:
+    modeling/model_wrappers.py:60-239 (tree-model legs),
+    modeling/prediction.py:288-416 (the CV loop)."""
+
+    task = "classification"
+
+    def __init__(self, max_depth: int = 2):
+        if max_depth < 1 or max_depth > 2:
+            raise ValueError("CARTClosedFormWrapper supports depth 1-2")
+        self.max_depth = int(max_depth)
+
+    def reset_seed(self, seed: int) -> "CARTClosedFormWrapper":
+        return self  # exact greedy fit: nothing stochastic
+
+    def _histogram(
+        self, df: DataFrame, feature_cols: Sequence[str], label_col: str
+    ) -> list:
+        """Per-(feature, value) [n, pos] counts in ONE aggregate: the
+        features unpivot map-side into (feat_idx, value) pairs."""
+        pairs = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("feat"),
+                        F.col(c).cast("long").alias("val"),
+                    )
+                    for i, c in enumerate(feature_cols, start=1)
+                ]
+            )
+        ).alias("fv")
+        return (
+            df.select(pairs, F.col(label_col).cast("long").alias("__y"))
+            .groupBy("fv.feat", "fv.val")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("__y").alias("pos"),
+            )
+            .collect()
+        )
+
+    @staticmethod
+    def _best_split(rows: list) -> tuple[int, int] | None:
+        """(feat, thr) maximizing the split score with the total
+        tie-break, or None when no candidate leaves both children
+        nonempty."""
+        by_feat: dict[int, list] = {}
+        for r in rows:
+            by_feat.setdefault(int(r["feat"]), []).append(
+                (int(r["val"]), int(r["n"]), int(r["pos"]))
+            )
+        best: tuple[float, int, int] | None = None
+        for feat in sorted(by_feat):
+            vals = sorted(by_feat[feat])
+            n_t = sum(v[1] for v in vals)
+            pos_t = sum(v[2] for v in vals)
+            n_l = pos_l = 0
+            for val, n, pos in vals[:-1]:
+                n_l += n
+                pos_l += pos
+                n_r, pos_r = n_t - n_l, pos_t - pos_l
+                if n_l <= 0 or n_r <= 0:
+                    continue
+                score = _cart_split_score(n_l, pos_l, n_r, pos_r)
+                key = (-score, feat, val)
+                if best is None or key < (-best[0], best[1], best[2]):
+                    best = (score, feat, val)
+        return (best[1], best[2]) if best is not None else None
+
+    def _grow(
+        self,
+        df: DataFrame,
+        feature_cols: Sequence[str],
+        label_col: str,
+        depth: int,
+    ) -> TreeNode:
+        rows = self._histogram(df, feature_cols, label_col)
+        f1 = sorted(
+            (int(r["val"]), int(r["n"]), int(r["pos"]))
+            for r in rows
+            if int(r["feat"]) == 1
+        )
+        n_t = sum(v[1] for v in f1)
+        pos_t = sum(v[2] for v in f1)
+        node = TreeNode(n=n_t, pos=pos_t)
+        if depth >= self.max_depth:
+            return node
+        split = self._best_split(rows)
+        if split is None:
+            return node
+        feat, thr = split
+        node.feat, node.thr = feat, thr
+        if depth + 1 >= self.max_depth:
+            # children are leaves: their (n, pos) totals are the cum
+            # stats of the chosen split feature — already in THIS
+            # node's histogram, no further aggregate needed
+            fv = sorted(
+                (int(r["val"]), int(r["n"]), int(r["pos"]))
+                for r in rows
+                if int(r["feat"]) == feat
+            )
+            n_l = sum(n for val, n, _ in fv if val <= thr)
+            pos_l = sum(p for val, _, p in fv if val <= thr)
+            node.left = TreeNode(n=n_l, pos=pos_l)
+            node.right = TreeNode(n=n_t - n_l, pos=pos_t - pos_l)
+            return node
+        c = F.col(feature_cols[feat - 1]).cast("long") <= F.lit(thr)
+        node.left = self._grow(
+            df.filter(c), feature_cols, label_col, depth + 1
+        )
+        node.right = self._grow(
+            df.filter(~c), feature_cols, label_col, depth + 1
+        )
+        return node
+
+    def fit(
+        self,
+        df: DataFrame,
+        feature_cols: Sequence[str],
+        label_col: str,
+    ) -> ClosedFormTreeModel:
+        root = self._grow(df, feature_cols, label_col, 0)
+        if root.feat is None:
+            raise ValueError(
+                "degenerate training slice: no legal root split"
+            )
+        return ClosedFormTreeModel(
+            feature_cols=list(feature_cols), root=root
+        )
+
+
 class FrozenFoldsWrapper:
     """An M1-shaped wrapper whose per-fold "fit" returns a frozen
     logistic model with LITERAL per-fold coefficients, in fit-call

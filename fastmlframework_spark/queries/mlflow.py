@@ -1271,3 +1271,175 @@ def cv_oof_logistic_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["c_acctbal", "order_year"],
     )
     return res.oof
+
+
+def _cart_oracle() -> str:
+    """SQL replay of the depth-2 CART CV fit: per validation fold the
+    tree trained on its complement — value histograms (exact integer
+    counts), cumulative split stats, the identical two-division score
+    (`ml.wrappers._cart_split_score`), the total-order argmax
+    (score DESC, feat ASC, thr ASC), child assignment, and leaf
+    positive rates — then OOF routing of each validation row through
+    ITS fold's tree."""
+    score = (
+        "CAST(posl * posl + (nl - posl) * (nl - posl) AS DOUBLE) / nl"
+        " + CAST((post - posl) * (post - posl)"
+        " + ((nt - nl) - (post - posl)) * ((nt - nl) - (post - posl))"
+        " AS DOUBLE) / (nt - nl)"
+    )
+    fsel = "CASE b.feat WHEN 1 THEN {r}.x1 WHEN 2 THEN {r}.x2 ELSE {r}.x3 END"
+    return f"""
+WITH t AS (
+SELECT
+  o_orderkey AS key,
+  CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS x1,
+  CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS x2,
+  CAST(ROUND(ROUND(o_totalprice, 2) * 100, 0) AS BIGINT) % 10 AS x3,
+  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS target
+FROM orders JOIN customer ON o_custkey = c_custkey
+),
+f AS (
+  SELECT *, NTILE(3) OVER (ORDER BY {_key_hash_sql(27)}) - 1 AS fold FROM t
+),
+tr AS (
+  SELECT tf.tf AS fold, f.key, f.x1, f.x2, f.x3, f.target
+  FROM f JOIN (VALUES (0), (1), (2)) tf(tf) ON f.fold <> tf.tf
+),
+u0 AS (
+  SELECT fold, 1 AS feat, x1 AS val, target FROM tr
+  UNION ALL SELECT fold, 2, x2, target FROM tr
+  UNION ALL SELECT fold, 3, x3, target FROM tr
+),
+h0 AS (
+  SELECT fold, feat, val, COUNT(*) AS n, SUM(target) AS pos
+  FROM u0 GROUP BY fold, feat, val
+),
+c0 AS (
+  SELECT fold, feat, val AS thr,
+    SUM(n) OVER w AS nl, SUM(pos) OVER w AS posl,
+    SUM(n) OVER (PARTITION BY fold, feat) AS nt,
+    SUM(pos) OVER (PARTITION BY fold, feat) AS post,
+    MAX(val) OVER (PARTITION BY fold, feat) AS vmax
+  FROM h0
+  WINDOW w AS (PARTITION BY fold, feat ORDER BY val
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+s0 AS (
+  SELECT fold, feat, thr, {score} AS score
+  FROM c0 WHERE thr < vmax AND nl > 0 AND nt - nl > 0
+),
+b0 AS (
+  SELECT fold, feat, thr FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY fold ORDER BY score DESC, feat, thr) AS rn
+    FROM s0) WHERE rn = 1
+),
+a1 AS (
+  SELECT tr.*, CASE WHEN ({fsel.format(r='tr')}) <= b.thr
+                    THEN 0 ELSE 1 END AS node
+  FROM tr JOIN b0 b USING (fold)
+),
+u1 AS (
+  SELECT fold, node, 1 AS feat, x1 AS val, target FROM a1
+  UNION ALL SELECT fold, node, 2, x2, target FROM a1
+  UNION ALL SELECT fold, node, 3, x3, target FROM a1
+),
+h1 AS (
+  SELECT fold, node, feat, val, COUNT(*) AS n, SUM(target) AS pos
+  FROM u1 GROUP BY fold, node, feat, val
+),
+c1 AS (
+  SELECT fold, node, feat, val AS thr,
+    SUM(n) OVER w AS nl, SUM(pos) OVER w AS posl,
+    SUM(n) OVER (PARTITION BY fold, node, feat) AS nt,
+    SUM(pos) OVER (PARTITION BY fold, node, feat) AS post,
+    MAX(val) OVER (PARTITION BY fold, node, feat) AS vmax
+  FROM h1
+  WINDOW w AS (PARTITION BY fold, node, feat ORDER BY val
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+s1 AS (
+  SELECT fold, node, feat, thr, {score} AS score
+  FROM c1 WHERE thr < vmax AND nl > 0 AND nt - nl > 0
+),
+b1 AS (
+  SELECT fold, node, feat, thr FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY fold, node ORDER BY score DESC, feat, thr) AS rn
+    FROM s1) WHERE rn = 1
+),
+a2 AS (
+  SELECT a1.fold, a1.node,
+    CASE WHEN b.fold IS NULL THEN -1
+         WHEN ({fsel.format(r='a1')}) <= b.thr THEN 0
+         ELSE 1 END AS sub,
+    a1.target
+  FROM a1 LEFT JOIN b1 b ON a1.fold = b.fold AND a1.node = b.node
+),
+leaf AS (
+  SELECT fold, node, sub, COUNT(*) AS n, SUM(target) AS pos
+  FROM a2 GROUP BY fold, node, sub
+),
+v1 AS (
+  SELECT f.*, CASE WHEN ({fsel.format(r='f')}) <= b.thr
+                   THEN 0 ELSE 1 END AS node
+  FROM f JOIN b0 b ON f.fold = b.fold
+),
+v2 AS (
+  SELECT v1.key, v1.target, v1.fold, v1.node,
+    CASE WHEN b.fold IS NULL THEN -1
+         WHEN ({fsel.format(r='v1')}) <= b.thr THEN 0
+         ELSE 1 END AS sub
+  FROM v1 LEFT JOIN b1 b ON v1.fold = b.fold AND v1.node = b.node
+)
+SELECT v2.key,
+  ROUND(CAST(l.pos AS DOUBLE) / l.n, 6) AS target_oof,
+  v2.target AS target
+FROM v2 JOIN leaf l
+  ON v2.fold = l.fold AND v2.node = l.node AND v2.sub = l.sub
+"""
+
+
+@query("cv_oof_tree_depth2", oracle=_cart_oracle())
+def cv_oof_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL greedy TREE fit, driver-hash-matched (the tree-leg
+    companion to `cv_oof_ridge`/`cv_oof_logistic_newton`): 3-fold CV
+    through the real `CVPredictor.run` loop with
+    `CARTClosedFormWrapper` — depth-2 CART over small-integer
+    features (order year / priority digit / price cent digit, ordinal
+    codes the reference's categorical pipeline feeds its tree
+    models).  Every split statistic is an exact integer count
+    aggregate (order-independent by construction — NO quantization
+    needed), the greedy criterion is two exact int→double divisions,
+    and the argmax is totally ordered, so the oracle replays the
+    ENTIRE fit — per-fold histograms, both levels of split selection
+    incl. tie-breaks, leaf rates — and the value hash pins the full
+    tree-growing trajectory plus OOF routing.  Reference:
+    modeling/model_wrappers.py:60-239, modeling/prediction.py:288-416."""
+    from fastmlframework_spark.ml.wrappers import CARTClosedFormWrapper
+
+    predictor = CVPredictor(
+        CARTClosedFormWrapper(max_depth=2),
+        metric="roc_auc_score",
+        k=3,
+        seeds=(27,),
+        stratified=False,
+        predict_probability=True,
+        target_decimals=6,
+    )
+    train = (
+        ml_train_table(spark, sf_dir)
+        .withColumn("prio", F.substring("o_orderpriority", 1, 1).cast("long"))
+        .withColumn(
+            "cent_digit",
+            F.round(F.col("o_totalprice") * 100, 0).cast("long") % 10,
+        )
+    )
+    res = predictor.run(
+        train,
+        None,
+        "key",
+        "target",
+        ["order_year", "prio", "cent_digit"],
+    )
+    return res.oof

@@ -343,3 +343,61 @@ def test_logistic_newton_scoring_is_map_only(spark):
         m.predict_proba(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_cart_wrapper_recovers_planted_splits(spark):
+    """The depth-2 CART is a REAL greedy fit: on data whose target is
+    a two-level threshold rule over small-int features it must
+    recover the planted split structure exactly, deterministically."""
+    from fastmlframework_spark.ml.wrappers import CARTClosedFormWrapper
+
+    rows = []
+    for i in range(3000):
+        x1 = i % 10
+        x2 = (i * 7) % 6
+        # noise-free conjunction: a depth-2 tree separates it exactly
+        y = 1 if (x1 <= 4 and x2 <= 2) else 0
+        rows.append((i, x1, x2, y))
+    df = spark.createDataFrame(rows, ["k", "x1", "x2", "y"])
+    w = CARTClosedFormWrapper(max_depth=2)
+    m1 = w.fit(df, ["x1", "x2"], "y")
+    m2 = w.fit(df, ["x1", "x2"], "y")
+    # the greedy root is one of the two planted thresholds
+    assert (m1.root.feat, m1.root.thr) in [(1, 4), (2, 2)]
+    # the fitted tree separates the rule PERFECTLY: every leaf pure,
+    # every row scored to exactly its label
+    bad = (
+        m1.predict_proba(df)
+        .filter(F.col("prediction") != F.col("y").cast("double"))
+        .count()
+    )
+    assert bad == 0
+
+    # bit-deterministic across refits
+    def shape(n):
+        if n is None:
+            return None
+        return (n.feat, n.thr, n.n, n.pos, shape(n.left), shape(n.right))
+
+    assert shape(m1.root) == shape(m2.root)
+
+
+def test_cart_scoring_is_map_only(spark):
+    from fastmlframework_spark.ml.wrappers import (
+        ClosedFormTreeModel,
+        TreeNode,
+    )
+
+    root = TreeNode(
+        n=10, pos=5, feat=1, thr=3,
+        left=TreeNode(n=6, pos=5), right=TreeNode(n=4, pos=0),
+    )
+    m = ClosedFormTreeModel(feature_cols=["x1"], root=root)
+    df = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("x1")
+    )
+    plan = (
+        m.predict_proba(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert m.feature_importances() == [("x1", 1.0)]

@@ -55,6 +55,9 @@ HEADLINERS = {
     "text_source_divergence": "vocabulary-bounded count aggregates + vocab join; divergence sums as token-sorted left-to-right HOF folds (cross-engine float-exact), absent-token JS mass closed-form from integer counts",
     "cv_oof_ridge": "REAL closed-form fit (r11): per-fold integer-exact X'X/X'y partial-agg over the cached folded table, driver O(d^3) Cramer solve, literal-coefficient map-only scoring — no iteration, no per-row Python",
     "pii_scrub_planted": "PII redaction (r11): chained regexp mask + counts as ONE codegen'd map-only scan; value-hash covers the masked text via the xxhash64 twin",
+    "cv_oof_logistic_newton": "REAL iterative fit (r12): per-iteration fixed-point DECIMAL(38,0) gradient/Hessian partial-agg (map-side combined, exact in any order), driver Gauss-Jordan solve, literal-coefficient sigmoid scoring — the optimizer trajectory itself is the hash-matched plan",
+    "cv_oof_tree_depth2": "REAL greedy tree fit (r12): one bounded value-histogram aggregate per level (features unpivoted map-side, counts exact integers), driver argmax, nested-CASE map-only scoring",
+    "blend_objective_grid": "BO objective surface (r12): ONE matrix scan nested-loop-joined to the 75-row broadcast (fold, weights) grid, all 75 AUCs in a single grouped bucketed-rank pass",
 }
 
 

@@ -1592,3 +1592,130 @@ def ivfhamming_topk(
         .filter(F.col("rank") <= k)
         .select(query_key_col, key_col, "cosine", "rank")
     )
+
+
+KMEANS_QUANT = float(1 << 20)  # 2^20: exact binary fixed-point scale
+
+
+def kmeans_lloyd_quantized(
+    df: DataFrame,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    iters: int = 2,
+    salt: str = ":km",
+) -> DataFrame:
+    """DISTRIBUTED Lloyd k-means whose every step is cross-engine
+    deterministic → final assignment [key, cluster, dist] after
+    ``iters`` full updates — clustering joins the hash-matched
+    real-computation family (ridge, Newton logistic, CART): the
+    `embedding_kmeans_lloyd` oracle replays initialization, every
+    assignment, every centroid update, and the final distances, and
+    the driver value-hash covers the whole trajectory.
+
+    Determinism engineering (same toolkit as the Newton fit):
+
+    * Init is data-derived but total-ordered: the ``k`` rows with the
+      smallest md5(key||salt) (ties by key) become centroids 0..k-1 —
+      no RNG stream, identical in any engine.
+    * Distances are left-to-right HOF folds over CAST(float AS
+      DOUBLE) coordinates against LITERAL centroid arrays — the exact
+      IEEE sequence the oracle unrolls term by term; the argmin is
+      made total by ties-to-smallest-cluster.
+    * Centroid updates — the only order-dependent sums — are
+      fixed-point binary quantized: each coordinate is scaled by 2^20
+      (exact), rounded to an integer-valued double, summed as
+      DECIMAL(38,0) (exact in any order), unscaled, divided by the
+      exact integer count.  An emptied cluster keeps its previous
+      centroid (both engines alike).
+
+    Scale shape: per iteration ONE map-only assignment projection +
+    one (k·dim)-key grouped aggregate (map-side combined — shuffle
+    bounded by k·dim counter rows, not corpus size) and a k·dim
+    driver collect; no MLlib, no sampling, the full corpus votes in
+    every update.  This is the honest distributed twin of
+    ``lloyd_centers`` (which fits on a driver-side sample for IVF
+    cell layout)."""
+    dim = int(df.select(F.size(F.col(vec_col)).alias("d")).first()["d"])
+    ed = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(
+        F.col(key_col), ed.alias("__ed"),
+        F.md5(
+            F.concat(F.col(key_col).cast("string"), F.lit(salt))
+        ).alias("__h"),
+    )
+    init_rows = (
+        base.orderBy("__h", key_col).limit(k).select("__ed").collect()
+    )
+    if len(init_rows) < k:
+        raise ValueError(f"need at least k={k} rows to initialize")
+    centroids = [[float(v) for v in r["__ed"]] for r in init_rows]
+
+    def dist_cols(cents: list) -> list:
+        out = []
+        for c in range(k):
+            carr = F.array(*[F.lit(v) for v in cents[c]])
+            out.append(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("__ed"), carr, lambda x, y: (x - y) * (x - y)
+                    ),
+                    F.lit(0.0),
+                    lambda a, v: a + v,
+                ).alias(f"__d{c}")
+            )
+        return out
+
+    def cluster_col() -> F.Column:
+        expr = None
+        for c in range(k - 1):
+            cond = None
+            for j in range(c + 1, k):
+                leq = F.col(f"__d{c}") <= F.col(f"__d{j}")
+                cond = leq if cond is None else cond & leq
+            expr = (
+                F.when(cond, c) if expr is None else expr.when(cond, c)
+            )
+        return expr.otherwise(k - 1)
+
+    for _ in range(iters):
+        assigned = base.select(key_col, "__ed", *dist_cols(centroids))
+        assigned = assigned.withColumn("__c", cluster_col())
+        sums = (
+            assigned.select(
+                "__c", F.posexplode("__ed").alias("__j", "__x")
+            )
+            .groupBy("__c", "__j")
+            .agg(
+                F.sum(
+                    F.round(F.col("__x") * F.lit(KMEANS_QUANT), 0).cast(
+                        "decimal(38,0)"
+                    )
+                ).alias("__s"),
+                F.count(F.lit(1)).alias("__n"),
+            )
+            .collect()
+        )
+        new = [list(c) for c in centroids]  # emptied cluster keeps prev
+        for r in sums:
+            new[int(r["__c"])][int(r["__j"])] = (
+                float(int(r["__s"])) / KMEANS_QUANT
+            ) / float(int(r["__n"]))
+        centroids = new
+
+    final = base.select(
+        key_col, "__ed", *dist_cols(centroids)
+    ).withColumn("__c", cluster_col())
+    pick = None
+    for c in range(k):
+        cond = F.col("__c") == c
+        pick = (
+            F.when(cond, F.col(f"__d{c}"))
+            if pick is None
+            else pick.when(cond, F.col(f"__d{c}"))
+        )
+    return final.select(
+        F.col(key_col),
+        F.col("__c").alias("cluster"),
+        F.round(pick, 6).alias("dist"),
+    )

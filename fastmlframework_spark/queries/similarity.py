@@ -665,3 +665,116 @@ def ann_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return xsim.ivf_recall_curve(
         emb, emb.filter(F.col("vec_id") < 10), k=3, n_clusters=8
     )
+
+
+def _kmeans_oracle(k: int = 4, iters: int = 2, dim: int = 64) -> str:
+    """SQL replay of `kmeans_lloyd_quantized`: hash-ordered init,
+    per-iteration unrolled squared-L2 distances (the identical
+    left-to-right IEEE chain as Spark's zip_with/aggregate fold),
+    ties-to-smallest-cluster argmin, fixed-point DECIMAL(38,0)
+    centroid sums, keep-previous on emptied clusters, final rounded
+    distances."""
+    Q = 1048576.0
+
+    def dists(cs: str) -> str:
+        cols = []
+        for c in range(k):
+            terms = " + ".join(
+                f"(ed[{j}] - {cs}[{c + 1}][{j}])"
+                f" * (ed[{j}] - {cs}[{c + 1}][{j}])"
+                for j in range(1, dim + 1)
+            )
+            cols.append(f"({terms}) AS d{c}")
+        return ", ".join(cols)
+
+    def cluster_case() -> str:
+        whens = []
+        for c in range(k - 1):
+            cond = " AND ".join(
+                f"d{c} <= d{j}" for j in range(c + 1, k)
+            )
+            whens.append(f"WHEN {cond} THEN {c}")
+        return f"CASE {' '.join(whens)} ELSE {k - 1} END"
+
+    pick = " ".join(
+        f"WHEN {c} THEN d{c}" for c in range(k)
+    )
+    its = []
+    prev = "c0s"
+    for t in range(1, iters + 1):
+        its.append(f"""
+a{t} AS (
+  SELECT e.vec_id, e.ed, {dists(f'{prev}.cs')}
+  FROM e, {prev}
+),
+g{t} AS (SELECT *, {cluster_case()} AS cluster FROM a{t}),
+u{t} AS (
+  SELECT cluster, dd.i AS dim,
+         SUM(CAST(ROUND(ed[dd.i] * {Q!r}, 0) AS DECIMAL(38,0))) AS s,
+         COUNT(*) AS n
+  FROM g{t}, range(1, {dim + 1}) dd(i)
+  GROUP BY cluster, dd.i
+),
+c{t}v AS (
+  SELECT cluster, dim,
+         CAST(s AS DOUBLE) / {Q!r} / CAST(n AS DOUBLE) AS v
+  FROM u{t}
+),
+c{t}l AS (
+  SELECT cluster, list(v ORDER BY dim) AS cv FROM c{t}v GROUP BY cluster
+),
+c{t}f AS (
+  SELECT p.cluster, COALESCE(l.cv, p.cv) AS cv
+  FROM {prev}base p LEFT JOIN c{t}l l USING (cluster)
+),
+c{t}s AS (SELECT list(cv ORDER BY cluster) AS cs FROM c{t}f),
+c{t}sbase AS (SELECT cluster, cv FROM c{t}f)""")
+        prev = f"c{t}s"
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, __x -> CAST(__x AS DOUBLE)) AS ed,
+         md5(CAST(vec_id AS VARCHAR) || ':km') AS h
+  FROM embeddings
+),
+init AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cluster, ed AS cv
+  FROM e ORDER BY h, vec_id LIMIT {k}
+),
+c0s AS (SELECT list(cv ORDER BY cluster) AS cs FROM init),
+c0sbase AS (SELECT cluster, cv FROM init),
+{','.join(its)},
+af AS (
+  SELECT e.vec_id, e.ed, {dists(f'{prev}.cs')}
+  FROM e, {prev}
+),
+gf AS (SELECT *, {cluster_case()} AS cluster FROM af)
+SELECT vec_id, cluster,
+       ROUND(CASE cluster {pick} END, 6) AS dist
+FROM gf
+"""
+
+
+@query("embedding_kmeans_lloyd", oracle=_kmeans_oracle())
+def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED k-means, driver-hash-matched end-to-end (r12 —
+    clustering joins the hash-matched real-computation family): two
+    full Lloyd updates over the embeddings table with
+    `extensions.similarity.kmeans_lloyd_quantized` — hash-ordered
+    data-derived init, exact-IEEE distance folds against literal
+    centroids, total argmin, fixed-point DECIMAL(38,0) centroid
+    sums — and the oracle replays the ENTIRE trajectory (both
+    updates, both assignment generations, final distances).  This is
+    the semantic core under IVF cell layout and SemDeDup-style
+    cluster pruning, verified as a value hash rather than an
+    invariant.  Scale shape: per iteration one map-only assignment +
+    one (k·dim)-key map-side-combined aggregate; shuffle never
+    carries corpus rows."""
+    from fastmlframework_spark.extensions.similarity import (
+        kmeans_lloyd_quantized,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    return kmeans_lloyd_quantized(emb, k=4, iters=2)

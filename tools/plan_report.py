@@ -58,6 +58,7 @@ HEADLINERS = {
     "cv_oof_logistic_newton": "REAL iterative fit (r12): per-iteration fixed-point DECIMAL(38,0) gradient/Hessian partial-agg (map-side combined, exact in any order), driver Gauss-Jordan solve, literal-coefficient sigmoid scoring — the optimizer trajectory itself is the hash-matched plan",
     "cv_oof_tree_depth2": "REAL greedy tree fit (r12): one bounded value-histogram aggregate per level (features unpivoted map-side, counts exact integers), driver argmax, nested-CASE map-only scoring",
     "blend_objective_grid": "BO objective surface (r12): ONE matrix scan nested-loop-joined to the 75-row broadcast (fold, weights) grid, all 75 AUCs in a single grouped bucketed-rank pass",
+    "embedding_kmeans_lloyd": "REAL distributed clustering (r12): map-only assignment against literal centroids; the update shuffle carries only kxdim fixed-point counters behind a partial_sum HashAggregate",
 }
 
 

@@ -1636,7 +1636,15 @@ def kmeans_lloyd_quantized(
     every update.  This is the honest distributed twin of
     ``lloyd_centers`` (which fits on a driver-side sample for IVF
     cell layout)."""
-    dim = int(df.select(F.size(F.col(vec_col)).alias("d")).first()["d"])
+    probe = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if probe is None:
+        raise ValueError(f"need at least k={k} rows to initialize")
+    if probe["d"] is None or int(probe["d"]) <= 0:
+        raise ValueError(
+            f"column {vec_col!r} must hold non-empty non-NULL vectors; "
+            f"probed size was {probe['d']!r}"
+        )
+    dim = int(probe["d"])
     ed = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = df.select(
         F.col(key_col), ed.alias("__ed"),

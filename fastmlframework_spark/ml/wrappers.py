@@ -186,9 +186,39 @@ class ModelWrapper:
 
 def get_wrapped_estimator(
     name: str, task: str, params: dict | None = None, seed: int = 27
-) -> ModelWrapper:
-    """M6: registry factory by (reference-compatible) name."""
-    return ModelWrapper(name=name, task=task, params=params or {}, seed=seed)
+):
+    """M6: registry factory by (reference-compatible) name.
+
+    ``params['estimator_kind']`` selects a CLOSED-FORM wrapper family
+    instead of an MLlib estimator — this is how the solution chain
+    (pipeline/solution.py) configures hash-matched models per slot
+    (several config models may share a kind, distinguished only by
+    their ``model_params``): 'ridge_closed_form' →
+    `RidgeClosedFormWrapper`, 'logistic_newton' →
+    `LogisticNewtonWrapper`, 'cart_closed_form' →
+    `CARTClosedFormWrapper`.  The wrapper's own ``task`` attribute
+    governs scoring semantics; the ``task`` argument only routes the
+    MLlib fallback."""
+    params = dict(params or {})
+    kind = params.pop("estimator_kind", None)
+    if kind == "ridge_closed_form":
+        return RidgeClosedFormWrapper(
+            scales={k: int(v) for k, v in params.get("scales", {}).items()},
+            lam=int(params.get("lam", 1)),
+        )
+    if kind == "logistic_newton":
+        return LogisticNewtonWrapper(
+            scales={k: int(v) for k, v in params.get("scales", {}).items()},
+            iters=int(params.get("iters", 2)),
+            lam=float(params.get("lam", 1.0)),
+        )
+    if kind == "cart_closed_form":
+        return CARTClosedFormWrapper(
+            max_depth=int(params.get("max_depth", 2))
+        )
+    if kind is not None:
+        raise ValueError(f"unknown estimator_kind {kind!r}")
+    return ModelWrapper(name=name, task=task, params=params, seed=seed)
 
 
 def frozen_logistic_model(
@@ -525,13 +555,29 @@ def ridge_normal_env(ints: dict, lam: int, d: int) -> dict[str, float]:
     return env
 
 
+def eval_elim_formula(expr: str, env: dict[str, float]) -> float:
+    """Evaluate one Gauss-Jordan elimination assignment WITHOUT eval.
+
+    Every formula emitted by ``gauss_jordan_formulas`` is exactly one
+    of two shapes — ``x / p`` or ``x - f * y`` — so a two-op
+    dispatcher reproduces the identical IEEE operation sequence with
+    no dynamic code execution (closes the ADVICE r12 eval-footgun
+    note: symbol names could in principle become data-derived one
+    day; a parser can't be spoofed by an env dict)."""
+    parts = expr.split(" ")
+    if len(parts) == 3:  # "x / p"
+        return env[parts[0]] / env[parts[2]]
+    # "x - f * y"
+    return env[parts[0]] - env[parts[2]] * env[parts[4]]
+
+
 def _gauss_jordan_solve(ints: dict, lam: int, d: int) -> list[float]:
     """Driver-side evaluation of the shared elimination formulas —
     returns [intercept, b1, ..., bd]."""
     env = ridge_normal_env(ints, lam, d)
     formulas, sol = gauss_jordan_formulas(d + 1)
     for name, expr in formulas:
-        env[name] = eval(expr, {"__builtins__": {}}, env)  # noqa: S307
+        env[name] = eval_elim_formula(expr, env)
     return [float(env[s]) for s in sol]
 
 
@@ -677,7 +723,7 @@ class LogisticNewtonWrapper:
                     env[f"a{i}_{j}"] = env[f"a{j}_{i}"] = val
                 env[f"v{i}"] = float(int(row[f"sv{i}"])) / self.QUANT
             for name, expr in formulas:
-                env[name] = eval(expr, {"__builtins__": {}}, env)  # noqa: S307
+                env[name] = eval_elim_formula(expr, env)
             betas = [b + env[s] for b, s in zip(betas, sol)]
         return ClosedFormLogisticModel(
             feature_cols=list(feature_cols),
@@ -821,7 +867,7 @@ class CARTClosedFormWrapper:
                 ]
             )
         ).alias("fv")
-        return (
+        rows = (
             df.select(pairs, F.col(label_col).cast("long").alias("__y"))
             .groupBy("fv.feat", "fv.val")
             .agg(
@@ -830,6 +876,15 @@ class CARTClosedFormWrapper:
             )
             .collect()
         )
+        for r in rows:
+            if r["val"] is None:
+                raise ValueError(
+                    "CARTClosedFormWrapper requires non-NULL integer "
+                    f"features; column {feature_cols[int(r['feat']) - 1]!r} "
+                    "has NULL (or non-castable) values — impute or drop "
+                    "them before fitting"
+                )
+        return rows
 
     @staticmethod
     def _best_split(rows: list) -> tuple[int, int] | None:

@@ -1,10 +1,18 @@
-"""Rows-only registry queries for the ML engine surface — model fits
-are not SQL-expressible, so the driver records a rows-only check
-(SURVEY.md §5); the strong invariants live in tests/test_cv_engine.py.
+"""ML-engine registry queries — since r8 dominated by FULLY
+ORACLE-BACKED (hash-matched) evidence, not rows-only checks: frozen
+scoring and frozen full-CV loops (`cv_oof_frozen*`,
+`cv_scoring_frozen`), REAL closed-form fits (`cv_oof_ridge*` via
+Cramer/Gauss-Jordan over exact integer sums, `cv_oof_logistic_newton`
+— a genuine 2-step Newton/IRLS fit under the 2^-20 fixed-point
+aggregation contract, `cv_oof_tree_depth2` — exact greedy CART), plus
+oracle-backed invariant twins (`cv_oof_invariants`,
+`cv_importance_invariants`) for the MLlib paths whose optimizer
+internals are inherently un-oracle-able.  Several are benched
+(bench=True); the rest carry declared bench_reason exclusions.
 
-Kept deliberately small (filtered subsets, few iterations): these
-demonstrate the engine end-to-end through the driver contract, not
-training throughput.  Excluded from bench timing (bench=False)."""
+The only rows-only remnants (`cv_oof_logreg`, `cv_feature_importance`)
+were RETIRED from the registry in r9 — kept as plain callables for
+BENCH_CV timing and the invariant queries that re-run them."""
 
 from __future__ import annotations
 
@@ -1145,14 +1153,24 @@ def _gj_elim_ctes(m: int, src: str, suffix: str) -> tuple[str, str, list]:
     return ",\n".join(ctes), cur, sol
 
 
-def _newton_iteration_sql(d: int, it: int, beta_cte: str) -> str:
+def _newton_iteration_sql(
+    d: int,
+    it: int,
+    beta_cte: str,
+    lam: float = _NEWTON_LAM,
+    suffix: str = "",
+    src: str = "f",
+) -> str:
     """One fixed-point Newton iteration as CTEs: per-(training fold)
-    quantized DECIMAL(38,0) gradient/Hessian sums (`it{it}`), the
-    unscaled damped normal system (`n{it}`), the Gauss-Jordan solve,
-    and the updated betas (`b{it}`).  Expression trees mirror
-    `LogisticNewtonWrapper.fit` token-for-token; multiplications by
-    the implicit intercept regressor 1.0 are dropped (exact identity
-    on IEEE doubles)."""
+    quantized DECIMAL(38,0) gradient/Hessian sums (`it{suffix}{it}`),
+    the unscaled damped normal system (`n{suffix}{it}`), the
+    Gauss-Jordan solve, and the updated betas (`b{suffix}{it}`).
+    Expression trees mirror `LogisticNewtonWrapper.fit`
+    token-for-token; multiplications by the implicit intercept
+    regressor 1.0 are dropped (exact identity on IEEE doubles).
+    ``lam``/``suffix``/``src`` let several Newton pipelines (distinct
+    damping, distinct fold tables) compose in ONE oracle (the
+    solution-chain query, queries/stacking.py)."""
     Q = _NEWTON_QUANT
     xd = ["1.0"] + [f"CAST(f.x{i} AS DOUBLE)" for i in range(1, d + 1)]
     z = f"(b.c0 + b.c1 * {xd[1]})"
@@ -1173,28 +1191,30 @@ def _newton_iteration_sql(d: int, it: int, beta_cte: str) -> str:
     for i in range(d + 1):
         for j in range(i, d + 1):
             sums.append(f"{q(prod(xd[i], xd[j], w))} AS sa{i}_{j}")
-            lam = f" + {_NEWTON_LAM!r}" if i == j else ""
-            e = f"CAST(sa{i}_{j} AS DOUBLE) / {Q!r}{lam}"
+            damp = f" + {lam!r}" if i == j else ""
+            e = f"CAST(sa{i}_{j} AS DOUBLE) / {Q!r}{damp}"
             unscale.append(f"{e} AS a{i}_{j}")
             if i != j:
                 unscale.append(f"{e} AS a{j}_{i}")
         sums.append(f"{q(prod(xd[i], r))} AS sv{i}")
         unscale.append(f"CAST(sv{i} AS DOUBLE) / {Q!r} AS v{i}")
-    elim, final, sol = _gj_elim_ctes(d + 1, f"n{it}", f"i{it}")
+    elim, final, sol = _gj_elim_ctes(
+        d + 1, f"n{suffix}{it}", f"i{suffix}{it}"
+    )
     upd = ", ".join(
         f"b.c{i} + e.{s} AS c{i}" for i, s in enumerate(sol)
     )
     return f"""
-it{it} AS (
+it{suffix}{it} AS (
   SELECT b.fold, {', '.join(sums)}
-  FROM f JOIN {beta_cte} b ON f.fold <> b.fold
+  FROM {src} f JOIN {beta_cte} b ON f.fold <> b.fold
   GROUP BY b.fold
 ),
-n{it} AS (
-  SELECT {', '.join(unscale)} FROM it{it}
+n{suffix}{it} AS (
+  SELECT {', '.join(unscale)} FROM it{suffix}{it}
 ),
 {elim},
-b{it} AS (
+b{suffix}{it} AS (
   SELECT e.fold, {upd} FROM {final} e JOIN {beta_cte} b USING (fold)
 )"""
 

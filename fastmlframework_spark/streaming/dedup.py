@@ -38,6 +38,7 @@ no longer grows the index either.)
 
 from __future__ import annotations
 
+import os
 from typing import Callable
 
 import pyspark.sql.functions as F
@@ -79,9 +80,17 @@ def _index_for_batch(
     content), i.e. deterministic across replays — the property the
     exactly-once overwrite relies on.  The exclusion is a row filter
     on input_file_name, not a listing change: the self-partition is
-    micro-batch-sized, so reading-then-dropping it costs nothing."""
+    micro-batch-sized, so reading-then-dropping it costs nothing.
+
+    The match is anchored to the INDEX ROOT (absolute
+    ``<index_dir>/batch_<id>/``), not a bare ``/batch_<id>/``
+    substring — a user-supplied index path that itself contains a
+    literal ``batch_<N>`` segment (e.g. an index rooted under
+    ``.../batch_3/index``) must not have its legitimate committed
+    files dropped from the probe (ADVICE r12)."""
+    root = os.path.abspath(index_dir).rstrip("/")
     return read_dedup_index(spark, index_dir).filter(
-        ~F.input_file_name().contains(f"/batch_{batch_id}/")
+        ~F.input_file_name().contains(f"{root}/batch_{batch_id}/")
     )
 
 

@@ -401,3 +401,43 @@ def test_cart_scoring_is_map_only(spark):
     )
     assert "Exchange" not in plan, plan
     assert m.feature_importances() == [("x1", 1.0)]
+
+
+def test_eval_elim_formula_matches_python_eval():
+    """ADVICE r12: the two-op dispatcher that replaced eval() must
+    reproduce the identical IEEE sequence — bit-equality against a
+    literal eval of every formula at d up to 6."""
+    from fastmlframework_spark.ml.wrappers import (
+        eval_elim_formula,
+        gauss_jordan_formulas,
+    )
+
+    rng = __import__("random").Random(7)
+    for m in (2, 4, 6):
+        env_a = {}
+        for i in range(m):
+            env_a[f"v{i}"] = rng.uniform(-100, 100)
+            for j in range(m):
+                env_a[f"a{i}_{j}"] = rng.uniform(-100, 100)
+            env_a[f"a{i}_{i}"] += 1000.0  # keep pivots away from zero
+        env_b = dict(env_a)
+        for name, expr in gauss_jordan_formulas(m)[0]:
+            env_a[name] = eval_elim_formula(expr, env_a)
+            env_b[name] = eval(expr, {"__builtins__": {}}, env_b)
+            assert env_a[name] == env_b[name], (name, expr)
+
+
+def test_cart_rejects_null_feature_values(spark):
+    """ADVICE r12: a NULL (or non-castable) feature value must raise a
+    clear ValueError naming the column, not an opaque TypeError deep
+    in the driver-side int() conversions."""
+    import pytest as _pytest
+
+    from fastmlframework_spark.ml.wrappers import CARTClosedFormWrapper
+
+    df = spark.createDataFrame(
+        [(1, None, 1), (2, 3, 0), (0, 4, 1)],
+        "f_a int, f_b int, y int",
+    )
+    with _pytest.raises(ValueError, match="f_b"):
+        CARTClosedFormWrapper(max_depth=2).fit(df, ["f_a", "f_b"], "y")

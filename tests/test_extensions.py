@@ -1016,3 +1016,27 @@ def test_kmeans_lloyd_update_shuffle_is_dim_bounded(spark):
     assert ex, plan
     below = "\n".join(lines[ex[0] + 1:])
     assert "partial_sum" in below, plan
+
+
+def test_kmeans_guards_empty_and_null_vectors(spark):
+    """ADVICE r12: an empty input frame and a NULL/empty first vector
+    must both raise the intended ValueError, not a TypeError from the
+    dim probe."""
+    import pytest as _pytest
+
+    from fastmlframework_spark.extensions.similarity import (
+        kmeans_lloyd_quantized,
+    )
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match="at least k"):
+        kmeans_lloyd_quantized(empty, k=2, iters=1)
+
+    nulled = spark.createDataFrame(
+        [(1, None), (2, [1.0, 2.0])],
+        "vec_id long, embedding array<float>",
+    )
+    with _pytest.raises(ValueError, match="non-NULL"):
+        kmeans_lloyd_quantized(nulled, k=2, iters=1)

@@ -1328,3 +1328,35 @@ def test_near_dedup_retry_replay_exactly_once(spark, tmp_path):
     ref = run("clean", None)
     got = run("crash", _crash_once_on(1))
     assert got == ref
+
+
+def test_index_probe_anchored_to_root_not_bare_batch_segment(
+    spark, tmp_path
+):
+    """ADVICE r12: an index ROOTED under a path that itself contains a
+    literal ``batch_<N>`` segment must not have legitimate committed
+    files dropped from the probe — the self-contribution exclusion is
+    anchored to ``<index_dir>/batch_<id>/``, not any ``/batch_<id>/``
+    substring."""
+    from fastmlframework_spark.streaming.dedup import (
+        _index_batch_dir,
+        _index_for_batch,
+        build_digest_index,
+    )
+
+    # the index root deliberately contains a 'batch_1' path segment
+    index_dir = str(tmp_path / "batch_1" / "index")
+    schema = "doc_id long, text string"
+    base = spark.createDataFrame([(1, "seed content")], schema)
+    build_digest_index(base, index_dir)
+    # a committed prior contribution from batch 0
+    spark.createDataFrame([("digest-from-batch-0",)], "digest string") \
+        .write.parquet(_index_batch_dir(index_dir, 0))
+
+    probe = _index_for_batch(spark, index_dir, batch_id=1)
+    # both the seed digest and batch 0's digest must be visible
+    assert probe.count() == 2
+    # and batch 1's own contribution is still excluded
+    spark.createDataFrame([("self-digest",)], "digest string") \
+        .write.parquet(_index_batch_dir(index_dir, 1))
+    assert _index_for_batch(spark, index_dir, batch_id=1).count() == 2

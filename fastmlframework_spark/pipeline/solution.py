@@ -422,12 +422,21 @@ class StackingTask(Task):
         meta = get_wrapped_estimator(
             ctx.cfg("stacking_settings.meta_model", "logistic_regression"),
             ctx.task_kind,
+            params=dict(
+                ctx.cfg("stacking_settings.meta_model_params", {}) or {}
+            ),
         )
         stacker = Stacker(
             meta,
             metric=ctx.metric,
             k=int(ctx.cfg("modeling_settings.cv_params.n_folds", 3)),
             seeds=[ctx.seeds[0]],
+            stratified=bool(
+                ctx.cfg("modeling_settings.cv_params.stratified", True)
+            ),
+            target_decimals=int(
+                ctx.cfg("modeling_settings.target_decimals", 6)
+            ),
         )
         res = stacker.run(matrix, key_col=ctx.key_col, target_col="target")
         art.save_solution_artifacts(

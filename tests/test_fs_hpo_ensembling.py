@@ -323,3 +323,90 @@ def test_maximize_under_real_bayes_opt():
     assert 0.0 <= r1.best_params["x"] <= 1.0
     assert 0.0 <= r1.best_params["y"] <= 1.0
     assert r1.best_params == r2.best_params
+
+
+def test_get_wrapped_estimator_closed_form_kinds():
+    """estimator_kind dispatch (r13): the config-driven route to the
+    closed-form wrapper families used by the solution chain."""
+    import pytest as _pytest
+
+    from fastmlframework_spark.ml.wrappers import (
+        CARTClosedFormWrapper,
+        LogisticNewtonWrapper,
+        ModelWrapper,
+        RidgeClosedFormWrapper,
+        get_wrapped_estimator,
+    )
+
+    r = get_wrapped_estimator(
+        "any_name",
+        "regression",
+        params={
+            "estimator_kind": "ridge_closed_form",
+            "scales": {"a": 100},
+            "lam": 7,
+        },
+    )
+    assert isinstance(r, RidgeClosedFormWrapper)
+    assert r.scales == {"a": 100} and r.lam == 7
+
+    n = get_wrapped_estimator(
+        "x",
+        "classification",
+        params={
+            "estimator_kind": "logistic_newton",
+            "scales": {"a": 1},
+            "iters": 1,
+            "lam": 4.0,
+        },
+    )
+    assert isinstance(n, LogisticNewtonWrapper)
+    assert n.iters == 1 and n.lam == 4.0
+
+    c = get_wrapped_estimator(
+        "y",
+        "classification",
+        params={"estimator_kind": "cart_closed_form", "max_depth": 1},
+    )
+    assert isinstance(c, CARTClosedFormWrapper) and c.max_depth == 1
+
+    with _pytest.raises(ValueError, match="estimator_kind"):
+        get_wrapped_estimator("z", "classification",
+                              params={"estimator_kind": "nope"})
+
+    m = get_wrapped_estimator("logistic_regression", "classification")
+    assert isinstance(m, ModelWrapper)
+
+
+def test_solution_chain_stacked_end_to_end(spark, sf_dir_small):
+    """The chain query executes the full O1-O8 task graph from a cold
+    project dir and returns the final stacked-OOF artifact — one row
+    per train key, 6-dp predictions, and the per-model + stacking
+    artifact bundles on disk."""
+    import os
+    import tempfile
+
+    from fastmlframework_spark.queries.stacking import (
+        solution_chain_stacked,
+    )
+
+    out = solution_chain_stacked(spark, sf_dir_small)
+    rows = out.collect()
+    n_train = (
+        spark.read.parquet(os.path.join(sf_dir_small, "orders.parquet"))
+        .count()
+    )
+    assert len(rows) == n_train
+    assert set(out.columns) == {"key", "target_oof", "target"}
+    assert len({r.key for r in rows}) == len(rows)
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "fmlf_solution_chain",
+        os.path.basename(os.path.normpath(sf_dir_small)),
+    )
+    for sub in (
+        "results/stacking/train_oof/_SUCCESS",
+        "results/stacking/manifest.json",
+        "solution_manifest.json",
+    ):
+        assert os.path.exists(os.path.join(root, sub)), sub

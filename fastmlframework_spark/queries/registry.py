@@ -39,6 +39,7 @@ _QUERY_MODULES = (
     "fastmlframework_spark.queries.events",
     "fastmlframework_spark.queries.mlflow",
     "fastmlframework_spark.queries.stacking",
+    "fastmlframework_spark.queries.forest",
     "fastmlframework_spark.queries.multimodal",
     "fastmlframework_spark.queries.llmprep",
     "fastmlframework_spark.queries.curation",

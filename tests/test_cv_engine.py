@@ -441,3 +441,47 @@ def test_cart_rejects_null_feature_values(spark):
     )
     with _pytest.raises(ValueError, match="f_b"):
         CARTClosedFormWrapper(max_depth=2).fit(df, ["f_a", "f_b"], "y")
+
+
+def test_forest_bagged_members_differ_and_average(spark):
+    """The bagged forest is a real ensemble: member trees see
+    different (hash-subsampled) rows and different (rotating) feature
+    subsets, and the model's probability is exactly the mean of the
+    members' leaf rates."""
+    from fastmlframework_spark.ml.wrappers import ForestClosedFormWrapper
+
+    rows = []
+    for i in range(600):
+        x1 = i % 5
+        x2 = (i * 7) % 3
+        x3 = (i * 11) % 4
+        y = 1 if (x1 >= 3) ^ (x2 == 1) else 0
+        rows.append((i, x1, x2, x3, y))
+    df = spark.createDataFrame(
+        rows, "key long, f1 long, f2 long, f3 long, y long"
+    )
+    wrapper = ForestClosedFormWrapper(key_col="key", n_trees=3)
+    model = wrapper.fit(df, ["f1", "f2", "f3"], "y")
+    assert len(model.trees) == 3
+    # rotating subsets: member b drops feature b
+    assert [t.feature_cols for t in model.trees] == [
+        ["f2", "f3"], ["f1", "f3"], ["f1", "f2"],
+    ]
+    # deterministic: refit is identical
+    model2 = wrapper.fit(df, ["f1", "f2", "f3"], "y")
+    p1 = {r.key: r.prediction
+          for r in model.predict_proba(df).select("key", "prediction").collect()}
+    p2 = {r.key: r.prediction
+          for r in model2.predict_proba(df).select("key", "prediction").collect()}
+    assert p1 == p2
+    # the ensemble mean equals the member means exactly
+    member_preds = []
+    for t in model.trees:
+        member_preds.append({
+            r.key: r.prediction
+            for r in t.predict_proba(df).select("key", "prediction").collect()
+        })
+    for k, v in p1.items():
+        exact = ((member_preds[0][k] + member_preds[1][k])
+                 + member_preds[2][k]) / 3.0
+        assert v == exact

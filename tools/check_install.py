@@ -62,6 +62,23 @@ print("imported from:", fastmlframework_spark.__file__)
 print("registry:", len(q), "queries,", len(o), "oracles")
 """
 
+# Environment-gated delegation targets: the wrappers/tasks delegate to
+# these when importable (ml/hpo.py bayes_opt, pipeline/tasks.py luigi,
+# ml/wrappers.py SynapseML/LightGBM/XGBoost parity per SURVEY §7.4(3));
+# the per-round check records which are present so the skip-marked
+# genuine-package tests' status is explainable from the committed log.
+VENDOR_PACKAGES = ("synapse.ml", "lightgbm", "xgboost", "luigi", "bayes_opt")
+
+VENDOR_CHECK = r"""
+import importlib.util
+for name in {pkgs!r}:
+    try:
+        spec = importlib.util.find_spec(name)
+    except ModuleNotFoundError:  # absent parent of a dotted name
+        spec = None
+    print(f"vendored {{name}}: {{'PRESENT' if spec else 'absent'}}")
+"""
+
 
 def run() -> int:
     env = dict(os.environ)
@@ -84,6 +101,11 @@ def run() -> int:
         (
             "import from installed copy (cwd=/tmp, repo stripped)",
             [sys.executable, "-c", IMPORT_CHECK.format(repo=REPO)],
+            {"cwd": "/tmp"},
+        ),
+        (
+            "vendored-package check (env-gated delegation targets)",
+            [sys.executable, "-c", VENDOR_CHECK.format(pkgs=VENDOR_PACKAGES)],
             {"cwd": "/tmp"},
         ),
     ]

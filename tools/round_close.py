@@ -48,6 +48,38 @@ def _bench_line(tag: str, data: dict) -> str:
     return line
 
 
+def check_install_log_fresh() -> list[str]:
+    """Staleness gate (VERDICT r12 #5b): the committed
+    INSTALL_CHECK.log must record the CURRENT registry count —
+    r12 shipped a log saying 201 queries against a 221-query
+    registry.  Returns a list of problems (empty = fresh)."""
+    import re
+
+    problems: list[str] = []
+    path = os.path.join(REPO, "INSTALL_CHECK.log")
+    if not os.path.exists(path):
+        return ["INSTALL_CHECK.log missing — run tools/check_install.py"]
+    with open(path) as fh:
+        text = fh.read()
+    m = re.search(r"registry: (\d+) queries", text)
+    sys.path.insert(0, REPO)
+    from fastmlframework_spark.queries.registry import all_queries
+
+    live = len(all_queries())
+    if not m or int(m.group(1)) != live:
+        problems.append(
+            f"INSTALL_CHECK.log records registry "
+            f"{m.group(1) if m else '?'} but the live registry has "
+            f"{live} queries — rerun tools/check_install.py"
+        )
+    if "vendored" not in text:
+        problems.append(
+            "INSTALL_CHECK.log predates the vendored-package check — "
+            "rerun tools/check_install.py"
+        )
+    return problems
+
+
 def build_message() -> str:
     full = _load("BENCH_FULL.json")
     if full is None:
@@ -90,6 +122,11 @@ def main() -> None:
         "message (default: just print it)",
     )
     args = ap.parse_args()
+    stale = check_install_log_fresh()
+    for p in stale:
+        print(f"STALE: {p}", file=sys.stderr)
+    if stale and args.commit:
+        sys.exit("refusing to stamp a round-close over stale artifacts")
     msg = build_message()
     if not args.commit:
         print(msg)

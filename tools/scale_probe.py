@@ -399,6 +399,13 @@ def main() -> None:
         help="existing sf10.0 directory to include as the fifth decade "
         "of the --exponents fit",
     )
+    ap.add_argument(
+        "--make-sf100",
+        action="store_true",
+        help="generate a mutated 10x replica of --out/sf10.0 (an "
+        "sf100-scale set, third replication level) at --out/sf100.0 "
+        "(VERDICT r12 #7: a sixth decade for the heaviest families)",
+    )
     ap.add_argument("--json-out", default="tools/scale_probe_exponents.json")
     ap.add_argument(
         "--repeats",
@@ -446,6 +453,18 @@ def main() -> None:
         src = os.path.join(args.out, "sf1.0")
         out = os.path.join(args.out, "sf10.0")
         replicate(spark, src, out, 10, mutate=True, step_mult=10, level=1)
+        print(f"wrote {out}")
+        return
+
+    if args.make_sf100:
+        # third replication level (VERDICT r12 #7 — a sixth decade):
+        # strides widen past the sf10 key space, mutation namespace
+        # moves to 'ssr' tokens / a further-offset embedding seed, so
+        # cross-level content stays distinct and dup structure
+        # proportional
+        src = os.path.join(args.out, "sf10.0")
+        out = os.path.join(args.out, "sf100.0")
+        replicate(spark, src, out, 10, mutate=True, step_mult=100, level=2)
         print(f"wrote {out}")
         return
 

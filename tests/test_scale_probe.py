@@ -218,3 +218,48 @@ def test_sf10_probe_covers_expensive_families(probe):
     have = set(probe.get("sf10_probe", {}).get("queries", []))
     missing = sorted(required - have)
     assert not missing, f"sf10 probe missing: {missing}"
+
+
+# sf10 -> sf100 pins for the SIXTH-decade representatives (VERDICT
+# r12 #7): the heaviest family representatives carry a committed
+# sf100 sample so a super-linear constant invisible at sf10 cannot
+# hide.  Representatives only — a full-registry sf100 pass would cost
+# hours for no additional signal.  stream_decontamination is the one
+# deliberate exclusion: its committed sf10 drain already costs 680 s
+# (availableNow over the full 2.7M-doc corpus) and its sf1->sf10
+# exponent is pinned by the fifth-decade gate; a ~2 h sf100 drain
+# buys no new signal for that cost.
+SF100_REPRESENTATIVES = (
+    "cv_oof_logistic_newton",
+    "cv_oof_tree_depth2",
+    "dedup_duplicate_spans",
+    "dedup_sorted_neighborhood",
+    "ann_topk_ivfsq8",
+    "contamination_bloom_screen",
+    "embedding_kmeans_lloyd",
+)
+
+SF100_LOOSER_BOUNDS: dict = {}
+
+
+def test_sf100_decade_exponents_bounded(probe):
+    """Every sixth-decade representative must stay below b = 1.5 over
+    sf10 -> sf100 (documented exceptions would go in
+    SF100_LOOSER_BOUNDS with a reason, as the sf10 set does)."""
+    probed = [
+        n for n in SF100_REPRESENTATIVES
+        if n in probe["queries"]
+        and 100.0 in probe["queries"][n]["sf"]
+    ]
+    if not probed:
+        pytest.skip("sf100 decade not probed yet")
+    assert set(probed) == set(SF100_REPRESENTATIVES), (
+        sorted(set(SF100_REPRESENTATIVES) - set(probed))
+    )
+    bad = {}
+    for name in probed:
+        d = _decade(probe["queries"][name], 10.0, 100.0)
+        bound = SF100_LOOSER_BOUNDS.get(name, (1.5,))[0]
+        if d is None or d >= bound:
+            bad[name] = (None if d is None else round(d, 4), bound)
+    assert not bad, f"sf10->sf100 exponents over their bounds: {bad}"

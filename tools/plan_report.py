@@ -59,6 +59,9 @@ HEADLINERS = {
     "cv_oof_tree_depth2": "REAL greedy tree fit (r12): one bounded value-histogram aggregate per level (features unpivoted map-side, counts exact integers), driver argmax, nested-CASE map-only scoring",
     "blend_objective_grid": "BO objective surface (r12): ONE matrix scan nested-loop-joined to the 75-row broadcast (fold, weights) grid, all 75 AUCs in a single grouped bucketed-rank pass",
     "embedding_kmeans_lloyd": "REAL distributed clustering (r12): map-only assignment against literal centroids; the update shuffle carries only kxdim fixed-point counters behind a partial_sum HashAggregate",
+    "stacker_oof_ridge": "two-level fit (r13): both base CVs are bounded partial-agg fits; the OOF matrix is two 1:1 key equi-joins over the parquet artifacts; the meta fit re-enters the integer-sum ridge shape — no stage materializes rows on the driver",
+    "solution_chain_stacked": "O1-O8 chain (r13): CSV scan -> narrowed keyed parquet, per-model CV fits as per-fold partial aggs, stacking over artifact scans; every task boundary is a parquet sink/scan, nothing rides the driver between tasks",
+    "cv_oof_forest_bagged": "bagged forest (r13): per member one histogram partial-agg per level over the hash-subsampled rows; the WHOLE 3-tree ensemble scores as a single map-only nested-CASE mean projection",
 }
 
 

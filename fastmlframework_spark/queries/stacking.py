@@ -1,5 +1,10 @@
-"""Driver-hash evidence for the two-level ensembling surfaces
-(SURVEY.md §2.9 M14, §2.11 O1-O8) — the round-13 capstone queries.
+"""Driver-hash evidence for the two-level ensembling surfaces and the
+HPO loop (SURVEY.md §2.9 M13/M14, §2.11 O1-O8) — the round-13
+capstone queries: `stacker_oof_ridge` (the real Stacker over real
+closed-form OOF artifacts), `solution_chain_stacked` (the whole
+`build_solution` O1-O8 task chain, final artifact hash-matched), and
+`hpo_trajectory_newton` (the live GP-EI `maximize` history with every
+evaluation oracle-replayed).
 
 `stacker_oof_ridge` runs the REAL `Stacker` (ml/ensembling.py) over
 REAL OOF artifacts produced by two closed-form base models through

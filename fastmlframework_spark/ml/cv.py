@@ -112,11 +112,26 @@ class CVPredictor:
         ).cache()
 
         self.wrapper.reset_seed(seed)
+        # Batched-fit fast path: the closed-form wrappers can fit ALL
+        # k fold-complement models from one grouped/conditional
+        # aggregate per iteration/level (bit-identical by exact
+        # integer/fixed-point sums) — one scan of the cached fold
+        # table where the per-fold loop ran k (guide §2.3/§2.4).
+        fit_all = getattr(self.wrapper, "fit_folds", None)
+        models = (
+            fit_all(folded, feature_cols, target_col, "fold", self.k)
+            if fit_all is not None
+            else None
+        )
         oof_frames, test_frames, scores = [], [], []
         imp_rows: list[tuple[str, float, int]] = []
         for fold in range(self.k):
-            tr, va = fold_split(folded, "fold", fold)
-            fitted = self.wrapper.fit(tr, feature_cols, target_col)
+            if models is not None:
+                fitted = models[fold]
+                va = folded.filter(F.col("fold") == fold)
+            else:
+                tr, va = fold_split(folded, "fold", fold)
+                fitted = self.wrapper.fit(tr, feature_cols, target_col)
             # Tag the fold as a LITERAL: the validation slice IS fold
             # `fold` by construction, so the A20 pass below needs no
             # re-tag join back onto the folded table (VERDICT r8 #2).
@@ -139,7 +154,16 @@ class CVPredictor:
         # A20: every fold's metric in ONE action over the unioned OOF
         # table (grouped AUC / grouped agg), not k filtered jobs —
         # halves the CV loop's job count (VERDICT r8 #2).
-        oof_scored = _union_all(oof_frames).cache()
+        # localCheckpoint (not cache): the OOF union's logical plan
+        # carries the fold-assignment + per-fold-predict lineage, and
+        # the metric/artifact/stacker consumers each re-analyze it —
+        # with the grouped-AUC referencing it 4×, Catalyst planning
+        # time (driver-side, single-threaded) dominated the metric
+        # pass.  Truncating lineage at this small [key, pred, target,
+        # fold] table makes every downstream plan O(1) to analyze
+        # (guide §5 / §3.3); the rows are already deterministic, so
+        # results are unchanged.
+        oof_scored = _union_all(oof_frames).localCheckpoint()
         score_map = metrics_mod.score_by(
             oof_scored, self.metric, "target", "target_oof", "fold"
         )

@@ -335,7 +335,15 @@ class Blender:
             )
         from functools import reduce
 
-        oof_blend = reduce(lambda a, b: a.unionByName(b), blended_folds)
+        # localCheckpoint: same reason as the CV engine's OOF table —
+        # the k-branch union over the matrix lineage makes every
+        # downstream plan (the rank-AUC references it 4×) expensive to
+        # ANALYZE; truncating at this small [key, blend, target] table
+        # removes that driver-side planning cost without changing a
+        # row (guide §5/§3.3).
+        oof_blend = reduce(
+            lambda a, b: a.unionByName(b), blended_folds
+        ).localCheckpoint()
         score = metrics_mod.score(oof_blend, self.metric, target_col, "blend")
         return BlendResult(weights=normed, oof_blend=oof_blend, score=score)
 

@@ -402,22 +402,23 @@ class RidgeClosedFormWrapper:
     def reset_seed(self, seed: int) -> "RidgeClosedFormWrapper":
         return self  # closed form: nothing stochastic to reseed
 
-    def fit(
-        self,
-        df: DataFrame,
-        feature_cols: Sequence[str],
-        label_col: str,
-    ) -> ClosedFormLinearModel:
-        scales = [int(self.scales.get(c, 1)) for c in feature_cols]
-        xs = [
-            _ridge_int_feature(c, s).alias(f"x{i}")
-            for i, (c, s) in enumerate(zip(feature_cols, scales), start=1)
+    @staticmethod
+    def _sum_names(d: int) -> list[str]:
+        names = ["n"]
+        names += [f"s{i}" for i in range(1, d + 1)]
+        names += [
+            f"s{i}{j}"
+            for i in range(1, d + 1)
+            for j in range(i, d + 1)
         ]
-        y = F.col(label_col).cast("bigint").alias("y")
-        g = df.select(*xs, y)
+        names.append("sy")
+        names += [f"s{i}y" for i in range(1, d + 1)]
+        return names
+
+    @staticmethod
+    def _agg_exprs(d: int) -> list:
         dec = "decimal(38,0)"
         aggs = [F.count(F.lit(1)).alias("n")]
-        d = len(feature_cols)
         for i in range(1, d + 1):
             aggs.append(F.sum(F.col(f"x{i}").cast(dec)).alias(f"s{i}"))
         for i in range(1, d + 1):
@@ -432,8 +433,12 @@ class RidgeClosedFormWrapper:
             aggs.append(
                 F.sum((F.col(f"x{i}") * F.col("y")).cast(dec)).alias(f"s{i}y")
             )
-        row = g.agg(*aggs).first()
-        ints = {k: int(row[k]) for k in row.asDict()}
+        return aggs
+
+    def _model_from_ints(
+        self, ints: dict, feature_cols: Sequence[str], scales: Sequence[int]
+    ) -> ClosedFormLinearModel:
+        d = len(feature_cols)
         if d == 2:
             b0, b1, b2 = _cramer3_solve(ints, self.lam)
             coefs = [b1, b2]
@@ -447,6 +452,68 @@ class RidgeClosedFormWrapper:
             coefficients=coefs,
             intercept=intercept,
         )
+
+    def _int_projection(
+        self, feature_cols: Sequence[str], label_col: str
+    ) -> tuple[list, object, list[int]]:
+        scales = [int(self.scales.get(c, 1)) for c in feature_cols]
+        xs = [
+            _ridge_int_feature(c, s).alias(f"x{i}")
+            for i, (c, s) in enumerate(zip(feature_cols, scales), start=1)
+        ]
+        y = F.col(label_col).cast("bigint").alias("y")
+        return xs, y, scales
+
+    def fit(
+        self,
+        df: DataFrame,
+        feature_cols: Sequence[str],
+        label_col: str,
+    ) -> ClosedFormLinearModel:
+        xs, y, scales = self._int_projection(feature_cols, label_col)
+        g = df.select(*xs, y)
+        d = len(feature_cols)
+        row = g.agg(*self._agg_exprs(d)).first()
+        ints = {k: int(row[k]) for k in row.asDict()}
+        return self._model_from_ints(ints, feature_cols, scales)
+
+    def fit_folds(
+        self,
+        folded: DataFrame,
+        feature_cols: Sequence[str],
+        label_col: str,
+        fold_col: str = "fold",
+        k: int = 3,
+    ) -> dict[int, ClosedFormLinearModel]:
+        """ALL k per-fold-complement fits from ONE grouped aggregate
+        (guide-§2.3 "aggregate before you shuffle" applied across
+        folds): the normal-equation sums grouped by the fold column,
+        fold f's training sums recovered as total − fold_f — EXACT
+        because every sum is a DECIMAL(38,0) integer (associative,
+        order-free), so the solve inputs are bit-identical to k
+        separate complement aggregates while scanning the data ONCE
+        instead of k times."""
+        xs, y, scales = self._int_projection(feature_cols, label_col)
+        g = folded.select(F.col(fold_col).alias("__fold"), *xs, y)
+        d = len(feature_cols)
+        rows = g.groupBy("__fold").agg(*self._agg_exprs(d)).collect()
+        names = self._sum_names(d)
+
+        def val(r, nm):
+            v = r[nm]
+            return int(v) if v is not None else 0
+
+        totals = {nm: sum(val(r, nm) for r in rows) for nm in names}
+        per = {int(r["__fold"]): r for r in rows}
+        models: dict[int, ClosedFormLinearModel] = {}
+        for f in range(k):
+            fr = per.get(f)
+            ints = {
+                nm: totals[nm] - (val(fr, nm) if fr is not None else 0)
+                for nm in names
+            }
+            models[f] = self._model_from_ints(ints, feature_cols, scales)
+        return models
 
 
 def _cramer3_solve(s: dict, lam: int) -> tuple[float, float, float]:
@@ -732,6 +799,91 @@ class LogisticNewtonWrapper:
             intercept=betas[0],
         )
 
+    def fit_folds(
+        self,
+        folded: DataFrame,
+        feature_cols: Sequence[str],
+        label_col: str,
+        fold_col: str = "fold",
+        k: int = 3,
+    ) -> dict[int, ClosedFormLogisticModel]:
+        """ALL k per-fold Newton trajectories in ONE aggregate per
+        iteration instead of k (guide §2.3/§2.4 — one scan where k
+        scans carried the same rows): per fold f the quantized
+        gradient/Hessian summands are evaluated at fold f's OWN β
+        (post-iteration-1 the trajectories diverge, so a grouped-sum/
+        subtract form would be wrong — the conditional form
+        ``SUM(CASE WHEN fold <> f THEN summand_f END)`` is used
+        instead).  The summand multiset per fold is exactly the one
+        ``fit`` aggregates — the fixed-point DECIMAL(38,0) sums are
+        order-free — so every β update is bit-identical."""
+        scales = [int(self.scales.get(c, 1)) for c in feature_cols]
+        d = len(feature_cols)
+        g = folded.select(
+            F.col(fold_col).alias("__fold"),
+            *[
+                _ridge_int_feature(c, s).cast("double").alias(f"x{i}")
+                for i, (c, s) in enumerate(
+                    zip(feature_cols, scales), start=1
+                )
+            ],
+            F.col(label_col).cast("double").alias("y"),
+        )
+        xcols = [F.lit(1.0)] + [F.col(f"x{i}") for i in range(1, d + 1)]
+        betas = {f: [0.0] * (d + 1) for f in range(k)}
+        formulas, sol = gauss_jordan_formulas(d + 1)
+        for _ in range(self.iters):
+            aggs = []
+            for f in range(k):
+                z = F.lit(betas[f][0])
+                for i in range(1, d + 1):
+                    z = z + F.lit(betas[f][i]) * F.col(f"x{i}")
+                p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+                w = p * (F.lit(1.0) - p)
+                r = F.col("y") - p
+                comp = F.col("__fold") != F.lit(f)
+
+                def q(expr, cond=comp):
+                    return F.sum(
+                        F.when(
+                            cond,
+                            F.round(expr * F.lit(self.QUANT), 0).cast(
+                                "decimal(38,0)"
+                            ),
+                        )
+                    )
+
+                for i in range(d + 1):
+                    for j in range(i, d + 1):
+                        aggs.append(
+                            q(xcols[i] * xcols[j] * w).alias(
+                                f"f{f}_sa{i}_{j}"
+                            )
+                        )
+                    aggs.append(q(xcols[i] * r).alias(f"f{f}_sv{i}"))
+            row = g.agg(*aggs).first()
+            for f in range(k):
+                env: dict[str, float] = {}
+                for i in range(d + 1):
+                    for j in range(i, d + 1):
+                        val = float(int(row[f"f{f}_sa{i}_{j}"])) / self.QUANT
+                        if i == j:
+                            val = val + self.lam
+                        env[f"a{i}_{j}"] = env[f"a{j}_{i}"] = val
+                    env[f"v{i}"] = float(int(row[f"f{f}_sv{i}"])) / self.QUANT
+                for name, expr in formulas:
+                    env[name] = eval_elim_formula(expr, env)
+                betas[f] = [b + env[s] for b, s in zip(betas[f], sol)]
+        return {
+            f: ClosedFormLogisticModel(
+                feature_cols=list(feature_cols),
+                scales=scales,
+                coefficients=betas[f][1:],
+                intercept=betas[f][0],
+            )
+            for f in range(k)
+        }
+
 
 @dataclass
 class TreeNode:
@@ -887,6 +1039,23 @@ class CARTClosedFormWrapper:
         return rows
 
     @staticmethod
+    def _leaf_children(
+        rows: list, feat: int, thr: int, n_t: int, pos_t: int
+    ) -> tuple[TreeNode, TreeNode]:
+        """Leaf children of a split: (n, pos) cum stats of the chosen
+        feature, read off the node's own histogram rows."""
+        fv = sorted(
+            (int(r["val"]), int(r["n"]), int(r["pos"]))
+            for r in rows
+            if int(r["feat"]) == feat
+        )
+        n_l = sum(n for val, n, _ in fv if val <= thr)
+        pos_l = sum(p for val, _, p in fv if val <= thr)
+        return TreeNode(n=n_l, pos=pos_l), TreeNode(
+            n=n_t - n_l, pos=pos_t - pos_l
+        )
+
+    @staticmethod
     def _best_split(rows: list) -> tuple[int, int] | None:
         """(feat, thr) maximizing the split score with the total
         tie-break, or None when no candidate leaves both children
@@ -941,15 +1110,9 @@ class CARTClosedFormWrapper:
             # children are leaves: their (n, pos) totals are the cum
             # stats of the chosen split feature — already in THIS
             # node's histogram, no further aggregate needed
-            fv = sorted(
-                (int(r["val"]), int(r["n"]), int(r["pos"]))
-                for r in rows
-                if int(r["feat"]) == feat
+            node.left, node.right = self._leaf_children(
+                rows, feat, thr, n_t, pos_t
             )
-            n_l = sum(n for val, n, _ in fv if val <= thr)
-            pos_l = sum(p for val, _, p in fv if val <= thr)
-            node.left = TreeNode(n=n_l, pos=pos_l)
-            node.right = TreeNode(n=n_t - n_l, pos=pos_t - pos_l)
             return node
         c = F.col(feature_cols[feat - 1]).cast("long") <= F.lit(thr)
         node.left = self._grow(
@@ -974,6 +1137,216 @@ class CARTClosedFormWrapper:
         return ClosedFormTreeModel(
             feature_cols=list(feature_cols), root=root
         )
+
+    def fit_folds(
+        self,
+        folded: DataFrame,
+        feature_cols: Sequence[str],
+        label_col: str,
+        fold_col: str = "fold",
+        k: int = 3,
+    ) -> dict[int, ClosedFormTreeModel]:
+        """ALL k per-fold-complement CART fits from ONE histogram
+        aggregate per tree level (instead of k·(2^level)): see
+        ``_batched_cart_trees``.  Split statistics are exact integer
+        counts, so every fold's tree is bit-identical to ``fit`` on
+        the fold's complement slice."""
+        trees = _batched_cart_trees(
+            folded,
+            [(0, None, list(feature_cols))],
+            label_col,
+            fold_col,
+            k,
+            self.max_depth,
+        )
+        out: dict[int, ClosedFormTreeModel] = {}
+        for f in range(k):
+            root = trees[(0, f)]
+            if root.feat is None:
+                raise ValueError(
+                    "degenerate training slice: no legal root split"
+                )
+            out[f] = ClosedFormTreeModel(
+                feature_cols=list(feature_cols), root=root
+            )
+        return out
+
+
+def _batched_cart_trees(
+    folded: DataFrame,
+    tasks: Sequence[tuple[int, "F.Column | None", Sequence[str]]],
+    label_col: str,
+    fold_col: str,
+    k: int,
+    max_depth: int,
+) -> dict[tuple[int, int], TreeNode]:
+    """Grow EVERY (task, fold) depth≤2 CART with ONE Spark aggregate
+    per tree level — the fold-batched (and, for the forest,
+    member-batched) form of ``CARTClosedFormWrapper._grow`` (guide
+    §2.3/§2.4: the per-(fold, member) histogram jobs all scanned the
+    same cached table; batching turns k·m scans per level into one).
+
+    ``tasks``: (tag, bag_condition_or_None, feature_cols) per tree.
+    Returns {(tag, fold): root TreeNode}.
+
+    Exactness: level-0 histograms group by the ACTUAL fold and derive
+    fold f's complement counts as total − fold_f (integer counts —
+    exact), dropping zero-count (feat, val) groups so the candidate/
+    tie-break enumeration sees exactly the rows a per-fold groupBy
+    would emit.  Level-1 histograms tag each row with the fold-
+    specific split side via CASE and exclude the target fold with the
+    same predicate ``fit`` uses — identical row multisets, identical
+    integer counts, hence identical trees."""
+    cart = CARTClosedFormWrapper
+
+    # ---- level 0: one grouped histogram over (fold, task, feat, val)
+    arrays = []
+    for tag, bag, feats in tasks:
+        structs = [
+            F.struct(
+                F.lit(int(tag)).alias("t"),
+                F.lit(i).alias("feat"),
+                F.col(c).cast("long").alias("val"),
+            )
+            for i, c in enumerate(feats, start=1)
+        ]
+        arr = F.array(*structs)
+        if bag is not None:
+            arr = F.when(bag, arr).otherwise(F.slice(arr, 1, 0))
+        arrays.append(arr)
+    hist0 = (
+        folded.select(
+            F.col(fold_col).alias("__fold"),
+            F.explode(F.flatten(F.array(*arrays))).alias("fv"),
+            F.col(label_col).cast("long").alias("__y"),
+        )
+        .groupBy("__fold", "fv.t", "fv.feat", "fv.val")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("__y").alias("pos"))
+        .collect()
+    )
+    feats_by_tag = {int(tag): list(feats) for tag, _, feats in tasks}
+    for r in hist0:
+        if r["val"] is None:
+            raise ValueError(
+                "CARTClosedFormWrapper requires non-NULL integer "
+                "features; column "
+                f"{feats_by_tag[int(r['t'])][int(r['feat']) - 1]!r} "
+                "has NULL (or non-castable) values — impute or drop "
+                "them before fitting"
+            )
+    # totals per (t, feat, val); complement_f = total − fold_f
+    totals: dict[tuple[int, int, int], list[int]] = {}
+    by_fold: dict[tuple[int, int, int, int], tuple[int, int]] = {}
+    for r in hist0:
+        key = (int(r["t"]), int(r["feat"]), int(r["val"]))
+        n, pos = int(r["n"]), int(r["pos"])
+        tot = totals.setdefault(key, [0, 0])
+        tot[0] += n
+        tot[1] += pos
+        by_fold[(int(r["__fold"]),) + key] = (n, pos)
+
+    def complement_rows(tag: int, f: int) -> list[dict]:
+        rows = []
+        for (t, feat, val), (n_t, pos_t) in totals.items():
+            if t != tag:
+                continue
+            own = by_fold.get((f, t, feat, val), (0, 0))
+            n_c, pos_c = n_t - own[0], pos_t - own[1]
+            if n_c > 0:
+                rows.append(
+                    {"feat": feat, "val": val, "n": n_c, "pos": pos_c}
+                )
+        return rows
+
+    roots: dict[tuple[int, int], TreeNode] = {}
+    level0_rows: dict[tuple[int, int], list[dict]] = {}
+    splits: dict[tuple[int, int], tuple[int, int]] = {}
+    for tag, _, feats in tasks:
+        for f in range(k):
+            rows = complement_rows(int(tag), f)
+            level0_rows[(int(tag), f)] = rows
+            f1 = [r for r in rows if int(r["feat"]) == 1]
+            n_t = sum(int(r["n"]) for r in f1)
+            pos_t = sum(int(r["pos"]) for r in f1)
+            node = TreeNode(n=n_t, pos=pos_t)
+            roots[(int(tag), f)] = node
+            split = cart._best_split(rows)
+            if split is None:
+                continue
+            node.feat, node.thr = split
+            if max_depth == 1:
+                node.left, node.right = cart._leaf_children(
+                    rows, node.feat, node.thr, n_t, pos_t
+                )
+            else:
+                splits[(int(tag), f)] = split
+    if max_depth == 1 or not splits:
+        return roots
+
+    # ---- level 1: one grouped histogram over (task, target-fold,
+    # split side, feat, val), rows routed by each fold's OWN split
+    arrays = []
+    bag_by_tag = {int(tag): bag for tag, bag, _ in tasks}
+    for (tag, f), (feat, thr) in splits.items():
+        feats = feats_by_tag[tag]
+        side = F.when(
+            F.col(feats[feat - 1]).cast("long") <= F.lit(thr), F.lit(0)
+        ).otherwise(F.lit(1))
+        structs = [
+            F.struct(
+                F.lit(tag).alias("t"),
+                F.lit(f).alias("tf"),
+                side.alias("node"),
+                F.lit(i).alias("feat"),
+                F.col(c).cast("long").alias("val"),
+            )
+            for i, c in enumerate(feats, start=1)
+        ]
+        arr = F.array(*structs)
+        cond = F.col(fold_col) != F.lit(f)
+        bag = bag_by_tag[tag]
+        if bag is not None:
+            cond = cond & bag
+        arrays.append(F.when(cond, arr).otherwise(F.slice(arr, 1, 0)))
+    hist1 = (
+        folded.select(
+            F.explode(F.flatten(F.array(*arrays))).alias("fv"),
+            F.col(label_col).cast("long").alias("__y"),
+        )
+        .groupBy("fv.t", "fv.tf", "fv.node", "fv.feat", "fv.val")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("__y").alias("pos"))
+        .collect()
+    )
+    child_rows: dict[tuple[int, int, int], list[dict]] = {}
+    for r in hist1:
+        child_rows.setdefault(
+            (int(r["t"]), int(r["tf"]), int(r["node"])), []
+        ).append(
+            {
+                "feat": int(r["feat"]),
+                "val": int(r["val"]),
+                "n": int(r["n"]),
+                "pos": int(r["pos"]),
+            }
+        )
+    for (tag, f), _ in splits.items():
+        node = roots[(tag, f)]
+        kids = []
+        for side in (0, 1):
+            rows = child_rows.get((tag, f, side), [])
+            f1 = [r for r in rows if int(r["feat"]) == 1]
+            n_t = sum(int(r["n"]) for r in f1)
+            pos_t = sum(int(r["pos"]) for r in f1)
+            child = TreeNode(n=n_t, pos=pos_t)
+            split = cart._best_split(rows)
+            if split is not None:
+                child.feat, child.thr = split
+                child.left, child.right = cart._leaf_children(
+                    rows, child.feat, child.thr, n_t, pos_t
+                )
+            kids.append(child)
+        node.left, node.right = kids
+    return roots
 
 
 @dataclass
@@ -1084,6 +1457,48 @@ class ForestClosedFormWrapper:
                          label_col)
             )
         return ForestClosedFormModel(trees=trees)
+
+    def fit_folds(
+        self,
+        folded: DataFrame,
+        feature_cols: Sequence[str],
+        label_col: str,
+        fold_col: str = "fold",
+        k: int = 3,
+    ) -> dict[int, ForestClosedFormModel]:
+        """ALL k folds × ``n_trees`` members from ONE histogram
+        aggregate per tree level (``_batched_cart_trees``) instead of
+        k·n_trees·levels separate jobs — each member contributes its
+        bag-filtered rows over its rotating feature subset to the same
+        grouped histogram, so the whole ensemble's split statistics
+        arrive in two scans of the cached fold table.  Integer-exact,
+        hence bit-identical to the per-member ``fit`` loop."""
+        from fastmlframework_spark.ml.folds import fold_hash
+
+        tasks = []
+        for b in range(self.n_trees):
+            bag = (
+                fold_hash(self.key_col, self.bag_seed + b) % self.row_mod
+                == 0
+            )
+            tasks.append((b, bag, self.member_features(feature_cols, b)))
+        trees = _batched_cart_trees(
+            folded, tasks, label_col, fold_col, k, self.max_depth
+        )
+        out: dict[int, ForestClosedFormModel] = {}
+        for f in range(k):
+            members = []
+            for b, _, feats in tasks:
+                root = trees[(b, f)]
+                if root.feat is None:
+                    raise ValueError(
+                        "degenerate training slice: no legal root split"
+                    )
+                members.append(
+                    ClosedFormTreeModel(feature_cols=list(feats), root=root)
+                )
+            out[f] = ForestClosedFormModel(trees=members)
+        return out
 
 
 class FrozenFoldsWrapper:

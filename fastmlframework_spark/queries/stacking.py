@@ -198,8 +198,9 @@ def _base_oof_artifacts(spark: SparkSession, sf_dir: str) -> dict[str, str]:
         "fmlf_stacker_artifacts",
         os.path.basename(os.path.normpath(sf_dir)),
     )
-    dirs: dict[str, str] = {}
-    for name, predictor in runs.items():
+
+    def _one(item: tuple[str, object]) -> tuple[str, str]:
+        name, predictor = item
         res = predictor.run(
             train, None, "key", "target", list(_BASE_FEATURES)
         )
@@ -212,8 +213,16 @@ def _base_oof_artifacts(spark: SparkSession, sf_dir: str) -> dict[str, str]:
             oof=res.oof,
             cv_results=res.cv_results,
         )
-        dirs[name] = out_dir
-    return dirs
+        return name, out_dir
+
+    # The two base fits are independent job chains: overlapping them
+    # from a 2-thread pool lets each fit's aggregate back-fill the
+    # executor slots the other's stragglers leave idle (guide §2.6).
+    # Results are unchanged — separate output dirs, deterministic fits.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        return dict(pool.map(_one, runs.items()))
 
 
 def _newton_pipeline_sql(suffix: str, iters: int, lam: float) -> str:
@@ -368,7 +377,10 @@ def solution_chain_stacked(spark: SparkSession, sf_dir: str) -> DataFrame:
         "header", True
     ).mode("overwrite").csv(os.path.join(raw, "test"))
 
-    build_solution(spark, _chain_config(raw), root)
+    # workers=2: the two base-model prediction tasks are the same
+    # topological level of the task graph — the mini engine runs them
+    # as overlapped Spark job chains (guide §2.6), results unchanged.
+    build_solution(spark, _chain_config(raw), root, workers=2)
     final = read_artifact(
         spark, os.path.join(root, "results", "stacking", "train_oof")
     )

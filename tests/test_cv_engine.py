@@ -485,3 +485,69 @@ def test_forest_bagged_members_differ_and_average(spark):
         exact = ((member_preds[0][k] + member_preds[1][k])
                  + member_preds[2][k]) / 3.0
         assert v == exact
+
+
+def test_fit_folds_bit_identity_all_wrappers(spark):
+    """The batched `fit_folds` path (one grouped/conditional aggregate
+    per iteration/level for ALL folds) must produce BIT-IDENTICAL
+    models to the per-fold `fit` loop it replaces: every solve input
+    is an exact integer / fixed-point DECIMAL(38,0) sum, so
+    complement-by-subtraction and conditional aggregation change the
+    plan, never the model."""
+    from fastmlframework_spark.ml.folds import fold_split, with_fold_column
+    from fastmlframework_spark.ml.wrappers import (
+        CARTClosedFormWrapper,
+        ForestClosedFormWrapper,
+        LogisticNewtonWrapper,
+        RidgeClosedFormWrapper,
+    )
+
+    rows = []
+    for i in range(900):
+        x1 = i % 7
+        x2 = (i * 5) % 11
+        x3 = (i * 3) % 4
+        y = 1 if ((x1 >= 4) ^ (x2 % 3 == 1)) or x3 == 2 else 0
+        rows.append((i, x1, x2, x3, y))
+    df = spark.createDataFrame(
+        rows, "key long, f1 long, f2 long, f3 long, y long"
+    )
+    k = 3
+    folded = with_fold_column(
+        df, "key", k, 27, stratify_col="y", method="ntile"
+    ).cache()
+    folded.count()
+    feats = ["f1", "f2", "f3"]
+
+    for wrapper in (
+        RidgeClosedFormWrapper(scales={}, lam=10),
+        LogisticNewtonWrapper(scales={}, iters=2),
+        CARTClosedFormWrapper(max_depth=2),
+        ForestClosedFormWrapper(key_col="key", n_trees=3),
+    ):
+        batched = wrapper.fit_folds(folded, feats, "y", "fold", k)
+        assert sorted(batched) == list(range(k))
+        for f in range(k):
+            tr, _ = fold_split(folded, "fold", f)
+            single = wrapper.fit(tr, feats, "y")
+            b = batched[f]
+            assert type(b) is type(single)
+            if hasattr(single, "coefficients"):
+                # ridge / newton: exact float equality, not approx
+                assert list(b.coefficients) == list(single.coefficients)
+                assert b.intercept == single.intercept
+                assert list(b.scales) == list(single.scales)
+                assert list(b.feature_cols) == list(single.feature_cols)
+            elif hasattr(single, "root"):
+                # CART: dataclass equality is recursive over children
+                assert b.root == single.root
+                assert list(b.feature_cols) == list(single.feature_cols)
+            else:
+                # forest: every member tree identical
+                assert [t.feature_cols for t in b.trees] == [
+                    t.feature_cols for t in single.trees
+                ]
+                assert [t.root for t in b.trees] == [
+                    t.root for t in single.trees
+                ]
+    folded.unpersist()

@@ -64,3 +64,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
     return tuple(load_table(spark, sf_dir, n) for n in names)
+
+
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Parallelize compute-heavy work after an UNSPLITTABLE scan
+    (guide §2.5 "input skew: one huge unsplittable file …
+    repartition immediately after the read"): when the scan yields
+    fewer partitions than the cluster has slots — a single-row-group
+    parquet file (this harness's testdata), a gzip landing file, one
+    hot partition — round-robin repartition to ``defaultParallelism``
+    so a CPU-bound per-row stage (shingling, hashing, distance
+    expressions) uses every core instead of one.
+
+    Scale-adaptive by construction, NOT a local[32] tuning constant:
+    at production scale a scan carries >= cores input splits and this
+    is a NO-OP (no exchange is added), so the full-payload shuffle it
+    implies is only ever paid on inputs small enough for it to be
+    trivial.  Callers must only use it where results are
+    partitioning-invariant: per-row map outputs, or aggregates whose
+    sums are exact (integer/DECIMAL) — never ahead of float-sum
+    aggregation, where a partition-order change could flip a rounded
+    digit against the oracle."""
+    par = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par)

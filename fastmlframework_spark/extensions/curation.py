@@ -954,13 +954,31 @@ def bloom_probe_annotate(
         f"size(filter(transform(__shs, s -> xxhash64(s)), "
         f"h -> forall({positions}, p -> {test})))"
     )
+    in_cols = df.columns
+    # The two stats ride through ONE explode(array(struct(...)))
+    # generator (exactly one row out per row in).  This is an
+    # optimizer barrier, not a reshuffle: a downstream filter on
+    # n_hits/hit_ratio (the batch screen's `n_hits > 0`, a gate's
+    # admit predicate) cannot be pushed below a Generate, so Catalyst
+    # cannot substitute the whole per-shingle hash+k-probe expression
+    # into a Filter/join condition and evaluate it TWICE per row —
+    # measured 4.6 s → 1.1 s on the sf0.1 corpus screen (guide §4.4:
+    # the JVM-expression analogue of duplicated-UDF pushdown; plan
+    # evidence in plans/r13/contamination_bloom_screen_*.txt).
+    stats = F.explode(
+        F.array(F.struct(F.size("__shs").alias("n"), hits.alias("h")))
+    )
     return (
         _with_word_ngrams(df, text_col, n)
         .crossJoin(
             F.broadcast(bloom.select(F.col("bloom_words").alias("__bloom_words")))
         )
-        .withColumn("n_shingles", F.size("__shs"))
-        .withColumn("n_hits", hits)
+        .select(*in_cols, stats.alias("__probe"))
+        .select(
+            *in_cols,
+            F.col("__probe.n").alias("n_shingles"),
+            F.col("__probe.h").alias("n_hits"),
+        )
         .withColumn(
             "hit_ratio",
             F.when(
@@ -968,7 +986,6 @@ def bloom_probe_annotate(
                 F.round(F.col("n_hits") / F.col("n_shingles"), 6),
             ),
         )
-        .drop("__shs", "__bloom_words")
     )
 
 
@@ -984,14 +1001,24 @@ def bloom_probe_stats(
     shuffles, one map-only corpus scan behind a one-row broadcast),
     restricted to rows that produced at least one shingle — the
     screen ahead of the exact per-eval containment join, which then
-    runs only on the flagged docs."""
-    return (
-        bloom_probe_annotate(
-            train.select(key_col, text_col), bloom, text_col
-        )
-        .filter(F.col("n_shingles") > 0)
-        .select(key_col, "n_shingles", "n_hits", "hit_ratio")
-    )
+    runs only on the flagged docs.
+
+    The at-least-one-shingle restriction is applied as a CHEAP input
+    predicate, ``text RLIKE '\\S'``, instead of a post-hoc
+    ``n_shingles > 0``: the two are exactly equivalent
+    (``_with_word_ngrams`` splits on java ``\\s+`` and drops the
+    empty pseudo-shingle, so a row yields a shingle iff its text has
+    at least one non-``\\s`` character — NULL text fails both), and
+    the cheap form keeps Catalyst from pushing the full shingle
+    expression into a pre-probe Filter and computing it twice per row
+    (guide §4.4; measured in plans/r13/contamination_bloom_screen)."""
+    return bloom_probe_annotate(
+        train.select(key_col, text_col).filter(
+            F.col(text_col).rlike(r"\S")
+        ),
+        bloom,
+        text_col,
+    ).select(key_col, "n_shingles", "n_hits", "hit_ratio")
 
 
 def quality_confidence(

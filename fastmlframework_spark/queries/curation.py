@@ -16,7 +16,7 @@ import math
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from fastmlframework_spark.core.tables import load_table
+from fastmlframework_spark.core.tables import fan_out, load_table
 from fastmlframework_spark.extensions import curation as xcur
 from fastmlframework_spark.extensions import similarity as xsim
 from fastmlframework_spark.extensions.text import TOKEN_PATTERN
@@ -188,7 +188,12 @@ def contamination_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     bloom = xcur.ngram_bloom_filter(
         evals, n=5, num_bits=8192, num_hashes=5
     )
-    return xcur.bloom_probe_stats(docs, bloom).filter(F.col("n_hits") > 0)
+    # fan_out: the probe is a CPU-bound pure map over an unsplittable
+    # single-row-group scan (guide §2.5) — per-row output, so the
+    # round-robin spread cannot change a value; no-op at scale.
+    return xcur.bloom_probe_stats(fan_out(docs), bloom).filter(
+        F.col("n_hits") > 0
+    )
 
 
 @query(

@@ -446,6 +446,38 @@ def test_bloom_probe_is_map_only(spark, docs):
     )
 
 
+def test_bloom_probe_expression_evaluated_once(spark, docs):
+    """A downstream filter on the probe stats (the screen's
+    ``n_hits > 0``, a gate's admit predicate) must NOT re-evaluate
+    the per-shingle hash+k-bit-test expression: the explode-struct
+    barrier in ``bloom_probe_annotate`` keeps Catalyst from
+    substituting it into a Filter/join condition, so the whole
+    expensive expression appears exactly ONCE in the optimized plan
+    (it used to appear twice — once in the BroadcastNestedLoopJoin
+    condition, once in the output Project — doubling the per-row
+    probe cost; guide §4.4's duplication trap, JVM-expression
+    form)."""
+    evals = docs.filter(F.col("doc_id") % 37 == 0)
+    bloom = xcur.ngram_bloom_filter(evals)
+    screened = xcur.bloom_probe_stats(docs, bloom).filter(
+        F.col("n_hits") > 0
+    )
+    plan = screened._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    bcast = next(
+        i for i, l in enumerate(lines) if "BroadcastExchange" in l
+    )
+    probe_side = "\n".join(lines[:bcast])
+    assert probe_side.count("forall(") == 1, (
+        "probe expression duplicated on the probe side:\n" + probe_side
+    )
+    # the shingle builder must also appear exactly once (the old
+    # pushed-down size(__shs) > 0 filter recomputed it per row)
+    assert probe_side.count("array_distinct(") == 1, (
+        "shingle expression duplicated on the probe side:\n" + probe_side
+    )
+
+
 def test_bloom_filter_rejects_bad_params(spark, docs):
     with pytest.raises(ValueError, match="num_bits"):
         xcur.ngram_bloom_filter(docs, num_bits=1000)

@@ -102,6 +102,24 @@ class CVPredictor:
     ) -> tuple[DataFrame, DataFrame | None, list[float], DataFrame]:
         """One full CV pass → (oof, test_pred, fold_scores, importances)."""
         stratify = target_col if self.stratified else None
+        # localCheckpoint (not cache): the fold table's logical plan
+        # carries the whole ntile-assignment machinery (bucketed
+        # row_number window + broadcast offsets join from
+        # global_positions) and EVERY downstream action — one wide
+        # fit aggregate per iteration/level, k predict branches, the
+        # metric pass — re-analyzes that lineage under its own
+        # expression tree.  Profiled at sf0.1: a single Newton
+        # fit_folds aggregate cost ~3.2 s wall of which ~0.1 s was
+        # execution; the rest was driver-side Catalyst re-analysis
+        # (guide §3.3/§7.3).  Checkpointing truncates the plan at the
+        # small [key, features, target, fold] table, making every
+        # downstream plan O(1) to analyze; rows are deterministic, so
+        # results are unchanged.  eager=True also fixes the RDD's REAL
+        # (post-AQE) partition count, which the fit_folds fan_out
+        # probe needs — a lazily-planned frame reports the pre-AQE
+        # count and the probe would mis-decide.  Same materialized
+        # footprint as the cache it replaces; blocks are freed by the
+        # ContextCleaner when the table goes out of scope.
         folded = with_fold_column(
             train_df,
             key_col,
@@ -109,7 +127,7 @@ class CVPredictor:
             seed,
             stratify_col=stratify,
             method=self.fold_method,
-        ).cache()
+        ).localCheckpoint(eager=True)
 
         self.wrapper.reset_seed(seed)
         # Batched-fit fast path: the closed-form wrappers can fit ALL
@@ -163,7 +181,9 @@ class CVPredictor:
         # fold] table makes every downstream plan O(1) to analyze
         # (guide §5 / §3.3); the rows are already deterministic, so
         # results are unchanged.
-        oof_scored = _union_all(oof_frames).localCheckpoint()
+        # eager=False: no standalone materialization job — the A20
+        # metric collect below is the first action and persists it.
+        oof_scored = _union_all(oof_frames).localCheckpoint(eager=False)
         score_map = metrics_mod.score_by(
             oof_scored, self.metric, "target", "target_oof", "fold"
         )
@@ -191,7 +211,6 @@ class CVPredictor:
             )
         else:
             imp = None
-        folded.unpersist()
         return oof_scored.drop("fold"), test_pred, scores, imp
 
     # -- bagged run ----------------------------------------------------

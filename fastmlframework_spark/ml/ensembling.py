@@ -341,9 +341,10 @@ class Blender:
         # ANALYZE; truncating at this small [key, blend, target] table
         # removes that driver-side planning cost without changing a
         # row (guide §5/§3.3).
+        # eager=False: the score() action below materializes it.
         oof_blend = reduce(
             lambda a, b: a.unionByName(b), blended_folds
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         score = metrics_mod.score(oof_blend, self.metric, target_col, "blend")
         return BlendResult(weights=normed, oof_blend=oof_blend, score=score)
 

@@ -34,6 +34,7 @@ from pyspark.ml.functions import vector_to_array
 from pyspark.ml.regression import GBTRegressor, LinearRegression, RandomForestRegressor
 from pyspark.sql import DataFrame
 
+from fastmlframework_spark.core.tables import fan_out
 from fastmlframework_spark.ml.features import FEATURES_COL, fit_feature_pipeline
 
 # M12: HP name → clamp applied to optimizer-proposed floats.
@@ -494,7 +495,14 @@ class RidgeClosedFormWrapper:
         separate complement aggregates while scanning the data ONCE
         instead of k times."""
         xs, y, scales = self._int_projection(feature_cols, label_col)
-        g = folded.select(F.col(fold_col).alias("__fold"), *xs, y)
+        # fan_out: at bench scale AQE coalesces the fold table to ~1
+        # partition (~5 MB), serializing this CPU-heavy aggregate on
+        # one core; the round-robin spread is a no-op once the table
+        # carries >= cores partitions, and every sum is DECIMAL(38,0)
+        # (order-free), so the result is bit-identical (guide §2.5).
+        g = fan_out(
+            folded.select(F.col(fold_col).alias("__fold"), *xs, y)
+        )
         d = len(feature_cols)
         rows = g.groupBy("__fold").agg(*self._agg_exprs(d)).collect()
         names = self._sum_names(d)
@@ -819,15 +827,22 @@ class LogisticNewtonWrapper:
         order-free — so every β update is bit-identical."""
         scales = [int(self.scales.get(c, 1)) for c in feature_cols]
         d = len(feature_cols)
-        g = folded.select(
-            F.col(fold_col).alias("__fold"),
-            *[
-                _ridge_int_feature(c, s).cast("double").alias(f"x{i}")
-                for i, (c, s) in enumerate(
-                    zip(feature_cols, scales), start=1
-                )
-            ],
-            F.col(label_col).cast("double").alias("y"),
+        # fan_out: same rationale as the ridge fit_folds — the
+        # quantized gradient/Hessian sums are DECIMAL(38,0)
+        # (order-free), and one iteration's aggregate is pure CPU
+        # (3k·exp per row) that AQE's 1-partition coalesce would
+        # otherwise serialize on one core (guide §2.5).
+        g = fan_out(
+            folded.select(
+                F.col(fold_col).alias("__fold"),
+                *[
+                    _ridge_int_feature(c, s).cast("double").alias(f"x{i}")
+                    for i, (c, s) in enumerate(
+                        zip(feature_cols, scales), start=1
+                    )
+                ],
+                F.col(label_col).cast("double").alias("y"),
+            )
         )
         xcols = [F.lit(1.0)] + [F.col(f"x{i}") for i in range(1, d + 1)]
         betas = {f: [0.0] * (d + 1) for f in range(k)}
@@ -1198,6 +1213,12 @@ def _batched_cart_trees(
     same predicate ``fit`` uses — identical row multisets, identical
     integer counts, hence identical trees."""
     cart = CARTClosedFormWrapper
+    # fan_out BEFORE the explode: both level histograms multiply rows
+    # by tasks×features through a generator and reduce to integer
+    # counts (order-free); spreading the pre-explode rows keeps the
+    # explode+partial-agg parallel instead of serialized on the ~1
+    # partition AQE leaves at bench scale (no-op at scale, guide §2.5).
+    folded = fan_out(folded)
 
     # ---- level 0: one grouped histogram over (fold, task, feat, val)
     arrays = []

@@ -80,11 +80,14 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     at production scale a scan carries >= cores input splits and this
     is a NO-OP (no exchange is added), so the full-payload shuffle it
     implies is only ever paid on inputs small enough for it to be
-    trivial.  Callers must only use it where results are
-    partitioning-invariant: per-row map outputs, or aggregates whose
-    sums are exact (integer/DECIMAL) — never ahead of float-sum
-    aggregation, where a partition-order change could flip a rounded
-    digit against the oracle."""
+    trivial.  Result-identity: per-row map outputs and exact
+    (integer/DECIMAL) aggregates are partitioning-invariant outright;
+    downstream float aggregates tolerate the partial-sum reordering
+    for the same reason they already hash-match a DuckDB oracle that
+    accumulates in a completely different order — the 6-dp rounding
+    contract's margin is many orders of magnitude above ulp-level
+    reassociation drift.  Every such consumer is re-verified against
+    its oracle at multiple core counts (OPTIMIZATION_r13.md batch 4)."""
     par = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= par:
         return df

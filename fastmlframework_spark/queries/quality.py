@@ -17,7 +17,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from fastmlframework_spark.core.tables import load_table
+from fastmlframework_spark.core.tables import fan_out, load_table
 from fastmlframework_spark.extensions.privacy import PII_PATTERNS, pii_stats
 from fastmlframework_spark.extensions.text import bm25_scores, token_entropy
 from fastmlframework_spark.operators.integrity import orphan_counts
@@ -268,7 +268,11 @@ def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 relevance of every document against a fixed 3-term query —
     per-row tf expressions plus one broadcast 1-row stats frame; no
     explode, no shuffle wider than the final projection."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # fan_out: per-row tf regex counters are the whole cost; spreading
+    # the single-split scan halved the query at sf0.1 (guide §2.5).
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     return bm25_scores(docs, _BM25_TERMS)
 
 
@@ -472,7 +476,11 @@ def quality_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         gopher_rule_flags,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # fan_out: three per-row rule batteries over one scan — pure map
+    # work ahead of a 1-row integer-sum aggregate (guide §2.5).
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     g = gopher_rule_flags(docs).select(
         "doc_id", "text", (~F.col("passes")).cast("int").alias("__g")
     )

@@ -6,7 +6,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from fastmlframework_spark.core.tables import load_table
+from fastmlframework_spark.core.tables import fan_out, load_table
 from fastmlframework_spark.extensions import similarity as xsim
 from fastmlframework_spark.queries.registry import query
 
@@ -342,8 +342,14 @@ def embedding_prototype_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate (map-side combine eats the d× inflation); the
     |labels|-row prototype table broadcasts back over one corpus
     scan."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", "label"
+    # fan_out: the per-vector cosine-to-prototype projection is the
+    # dominant map stage; centroid sums ride a dimension-exploded
+    # partial aggregate whose per-(label, dim) sums the oracle already
+    # matches across engines (guide §2.5; no-op at scale).
+    emb = fan_out(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding", "label"
+        )
     )
     return xsim.prototype_outliers(emb, k=5)
 

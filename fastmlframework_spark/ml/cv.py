@@ -141,6 +141,15 @@ class CVPredictor:
             if fit_all is not None
             else None
         )
+        # Single-pass OOF fast path: closed-form models expose their
+        # prediction as a bare Column, so the W5 scatter collapses to
+        # ONE CASE-on-fold projection over the fold table — each row
+        # is scored by exactly its own fold's expression, identical to
+        # the k filter+predict branches it replaces, without k scans,
+        # the union, or the per-branch plan analysis (guide §1.2-1).
+        one_pass = models is not None and all(
+            hasattr(m, "prediction_col") for m in models.values()
+        )
         oof_frames, test_frames, scores = [], [], []
         imp_rows: list[tuple[str, float, int]] = []
         for fold in range(self.k):
@@ -150,16 +159,18 @@ class CVPredictor:
             else:
                 tr, va = fold_split(folded, "fold", fold)
                 fitted = self.wrapper.fit(tr, feature_cols, target_col)
-            # Tag the fold as a LITERAL: the validation slice IS fold
-            # `fold` by construction, so the A20 pass below needs no
-            # re-tag join back onto the folded table (VERDICT r8 #2).
-            oof = self._predict_frame(fitted, va).select(
-                F.col(key_col),
-                F.col("prediction").alias("target_oof"),
-                F.col(target_col).alias("target"),
-                F.lit(fold).alias("fold"),
-            )
-            oof_frames.append(oof)
+            if not one_pass:
+                # Tag the fold as a LITERAL: the validation slice IS
+                # fold `fold` by construction, so the A20 pass below
+                # needs no re-tag join back onto the folded table
+                # (VERDICT r8 #2).
+                oof = self._predict_frame(fitted, va).select(
+                    F.col(key_col),
+                    F.col("prediction").alias("target_oof"),
+                    F.col(target_col).alias("target"),
+                    F.lit(fold).alias("fold"),
+                )
+                oof_frames.append(oof)
             if test_df is not None:
                 test_frames.append(
                     self._predict_frame(fitted, test_df).select(
@@ -183,7 +194,26 @@ class CVPredictor:
         # results are unchanged.
         # eager=False: no standalone materialization job — the A20
         # metric collect below is the first action and persists it.
-        oof_scored = _union_all(oof_frames).localCheckpoint(eager=False)
+        if one_pass:
+            pred = None
+            for fold in range(self.k):
+                expr = models[fold].prediction_col(
+                    self.predict_probability, self.class_label
+                )
+                cond = F.col("fold") == fold
+                pred = (
+                    F.when(cond, expr)
+                    if pred is None
+                    else pred.when(cond, expr)
+                )
+            oof_scored = folded.select(
+                F.col(key_col),
+                pred.alias("target_oof"),
+                F.col(target_col).alias("target"),
+                F.col("fold"),
+            ).localCheckpoint(eager=False)
+        else:
+            oof_scored = _union_all(oof_frames).localCheckpoint(eager=False)
         score_map = metrics_mod.score_by(
             oof_scored, self.metric, "target", "target_oof", "fold"
         )

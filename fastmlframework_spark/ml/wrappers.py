@@ -336,15 +336,25 @@ class ClosedFormLinearModel:
     task: str = "regression"
 
     def predict(self, df: DataFrame) -> DataFrame:
+        return df.withColumn("prediction", self.prediction_col(False))
+
+    def predict_proba(self, df: DataFrame, class_label: int = 1) -> DataFrame:
+        raise ValueError("predict_proba requires a classifier")
+
+    def prediction_col(
+        self, predict_probability: bool, class_label: int = 1
+    ) -> "F.Column":
+        """The prediction as a bare Column — what lets the CV engine
+        score ALL folds in one CASE-on-fold projection instead of k
+        filter+union branches (same expression either way)."""
+        if predict_probability:
+            raise ValueError("predict_proba requires a classifier")
         expr = F.lit(float(self.intercept))
         for c, s, b in zip(self.feature_cols, self.scales, self.coefficients):
             expr = expr + F.lit(float(b)) * _ridge_int_feature(c, s).cast(
                 "double"
             )
-        return df.withColumn("prediction", expr)
-
-    def predict_proba(self, df: DataFrame, class_label: int = 1) -> DataFrame:
-        raise ValueError("predict_proba requires a classifier")
+        return expr
 
     def feature_importances(self) -> list[tuple[str, float]]:
         return [
@@ -679,14 +689,21 @@ class ClosedFormLogisticModel:
         return z
 
     def predict_proba(self, df: DataFrame, class_label: int = 1) -> DataFrame:
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-self._z()))
-        if class_label == 0:
-            p = F.lit(1.0) - p
-        return df.withColumn("prediction", p)
+        return df.withColumn("prediction", self.prediction_col(True, class_label))
 
     def predict(self, df: DataFrame) -> DataFrame:
+        return df.withColumn("prediction", self.prediction_col(False))
+
+    def prediction_col(
+        self, predict_probability: bool, class_label: int = 1
+    ) -> "F.Column":
+        """Bare-Column prediction (see ClosedFormLinearModel)."""
         p = F.lit(1.0) / (F.lit(1.0) + F.exp(-self._z()))
-        return df.withColumn("prediction", (p > 0.5).cast("int"))
+        if not predict_probability:
+            return (p > 0.5).cast("int")
+        if class_label == 0:
+            p = F.lit(1.0) - p
+        return p
 
     def feature_importances(self) -> list[tuple[str, float]]:
         return [
@@ -938,15 +955,21 @@ class ClosedFormTreeModel:
         )
 
     def predict_proba(self, df: DataFrame, class_label: int = 1) -> DataFrame:
-        p = self._expr(self.root)
-        if class_label == 0:
-            p = F.lit(1.0) - p
-        return df.withColumn("prediction", p)
+        return df.withColumn("prediction", self.prediction_col(True, class_label))
 
     def predict(self, df: DataFrame) -> DataFrame:
-        return df.withColumn(
-            "prediction", (self._expr(self.root) > 0.5).cast("int")
-        )
+        return df.withColumn("prediction", self.prediction_col(False))
+
+    def prediction_col(
+        self, predict_probability: bool, class_label: int = 1
+    ) -> "F.Column":
+        """Bare-Column prediction (see ClosedFormLinearModel)."""
+        p = self._expr(self.root)
+        if not predict_probability:
+            return (p > 0.5).cast("int")
+        if class_label == 0:
+            p = F.lit(1.0) - p
+        return p
 
     def feature_importances(self) -> list[tuple[str, float]]:
         # split-count importance — exact and engine-independent
@@ -1387,15 +1410,21 @@ class ForestClosedFormModel:
         return p / F.lit(float(len(self.trees)))
 
     def predict_proba(self, df: DataFrame, class_label: int = 1) -> DataFrame:
-        p = self._mean_expr()
-        if class_label == 0:
-            p = F.lit(1.0) - p
-        return df.withColumn("prediction", p)
+        return df.withColumn("prediction", self.prediction_col(True, class_label))
 
     def predict(self, df: DataFrame) -> DataFrame:
-        return df.withColumn(
-            "prediction", (self._mean_expr() > 0.5).cast("int")
-        )
+        return df.withColumn("prediction", self.prediction_col(False))
+
+    def prediction_col(
+        self, predict_probability: bool, class_label: int = 1
+    ) -> "F.Column":
+        """Bare-Column prediction (see ClosedFormLinearModel)."""
+        p = self._mean_expr()
+        if not predict_probability:
+            return (p > 0.5).cast("int")
+        if class_label == 0:
+            p = F.lit(1.0) - p
+        return p
 
     def feature_importances(self) -> list[tuple[str, float]]:
         # mean split-count importance over the member trees

@@ -1646,6 +1646,10 @@ def kmeans_lloyd_quantized(
         )
     dim = int(probe["d"])
     ed = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # (A fan_out of this projection was measured and REVERTED in the
+    # r13 optimization round: at the harness's 2k-row corpus the k·dim
+    # distance folds are too cheap to amortize the extra exchange and
+    # per-iteration 32-task stages — interleaved A/B 2.3 s → 2.9 s.)
     base = df.select(
         F.col(key_col), ed.alias("__ed"),
         F.md5(

@@ -179,7 +179,15 @@ def bench_stream_seasonal_stats(spark, sf_dir: str) -> int:
     stream = spark.readStream.schema(ev.schema).option(
         "maxFilesPerTrigger", 2
     ).parquet(ctx["src"])
-    run_available_now(seasonal_stats(stream), "bench_seasonal")
+    # state_partitions=8: the running aggregation's state is bounded
+    # by |event_type|·24 cells (~hundreds of rows) and every state
+    # partition pays an open/commit per micro-batch — partitions
+    # follow state cardinality, not cluster width (measured 4.1 s →
+    # 2.3 s at sf0.1; the input-side partial aggregate upstream of
+    # the state exchange still uses every core).
+    run_available_now(
+        seasonal_stats(stream), "bench_seasonal", state_partitions=8
+    )
     return spark.table("bench_seasonal").count()
 
 
@@ -204,15 +212,25 @@ def bench_stream_cusum(spark, sf_dir: str) -> int:
     stream = spark.readStream.schema(ev.schema).option(
         "maxFilesPerTrigger", 2
     ).parquet(ctx["src"])
-    q = (
-        streaming_cusum(stream)
-        .writeStream.format("noop")
-        .option("checkpointLocation", os.path.join(rd, "ckpt"))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # State partitions sized to state cardinality (ONE double per
+    # key, |event_type| keys), not cluster width — same rationale and
+    # conf-scope as the seasonal bench (measured 2.25 s → 1.70 s);
+    # pinned at checkpoint creation, restored after the drain.
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try:
+        q = (
+            streaming_cusum(stream)
+            .writeStream.format("noop")
+            .option("checkpointLocation", os.path.join(rd, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(key, old)
     _capture_progress("stream_cusum", q)
     return 1
 

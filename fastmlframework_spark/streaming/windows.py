@@ -162,14 +162,39 @@ def seasonal_stats(
     )
 
 
-def run_available_now(stream_df: DataFrame, query_name: str) -> None:
+def run_available_now(
+    stream_df: DataFrame,
+    query_name: str,
+    state_partitions: int | None = None,
+) -> None:
     """Drain a stream with availableNow into a memory sink (test/batch
-    catch-up harness); results readable as table ``query_name``."""
-    q: DataStreamWriter = (
-        stream_df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-    )
-    sq = q.start()
-    sq.awaitTermination()
+    catch-up harness); results readable as table ``query_name``.
+
+    ``state_partitions`` sizes the stateful operator's store (pinned
+    at checkpoint creation from ``spark.sql.shuffle.partitions``, so
+    it must be set BEFORE ``start()``): a running aggregation whose
+    state domain is bounded (seasonal stats hold ≤ |keys|·24 cells)
+    pays one state-store open/commit per partition per micro-batch,
+    so partitions should scale with STATE CARDINALITY, not cluster
+    width — hundreds of cells want single digits on any cluster,
+    while the heavy input reduction still parallelizes fully in the
+    partial-aggregate stage upstream of the state exchange (guide
+    §2.2 fewer-larger-partitions, applied to state commits).  None
+    inherits the session setting (conf-parameterized, no hidden
+    local tuning)."""
+    spark = stream_df.sparkSession
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    if state_partitions is not None:
+        spark.conf.set(key, str(state_partitions))
+    try:
+        q: DataStreamWriter = (
+            stream_df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+        )
+        sq = q.start()
+        sq.awaitTermination()
+    finally:
+        spark.conf.set(key, old)

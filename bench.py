@@ -25,6 +25,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from fastmlframework_spark.core import checkpoints
 from fastmlframework_spark.core.session import get_spark
 from fastmlframework_spark.queries.registry import bench_queries
 
@@ -182,6 +183,12 @@ def main() -> None:
         except Exception as exc:
             print(f"bench: warm-up {name} failed: {exc}", file=sys.stderr)
     spark.catalog.clearCache()
+    # clearCache() only clears the SQL cache manager; localCheckpoint
+    # blocks are pinned until explicitly unpersisted (VERDICT r13 #1),
+    # so release the tracked checkpoints too — otherwise every
+    # CV/stacking/dedup pass leaks a block set into the block manager
+    # and the session degrades as it ages.
+    checkpoints.release_all()
 
     # Best-of-3 by default: round-4's only >1.5× vs-r3 delta was pure
     # session variance (same code, 2.30 s builder vs 4.16 s driver);
@@ -209,8 +216,12 @@ def main() -> None:
             # degrades as the session ages.  Clearing between passes
             # (not just queries) also keeps each pass a cold-cache
             # measurement instead of a re-read of the previous pass's
-            # cache.
+            # cache.  release_all additionally frees localCheckpoint
+            # blocks, which clearCache cannot reach (VERDICT r13 #1);
+            # each pass rebuilds its plan from the query function, so
+            # no later pass reads an earlier pass's checkpoint.
             spark.catalog.clearCache()
+            checkpoints.release_all()
             if best is not None and best < 0:
                 break
         timings[name] = best
@@ -252,6 +263,7 @@ def main() -> None:
                           file=sys.stderr)
                     best = -1.0
                 spark.catalog.clearCache()
+                checkpoints.release_all()
                 if best is not None and best < 0:
                     break
             timings[name] = best
@@ -261,10 +273,19 @@ def main() -> None:
         # full runs only: a --queries/--headline subset would clobber
         # the committed full-suite BENCH_COMPARE.json with 3 rows
         _write_regression_report(timings, sf)
-    from fastmlframework_spark.queries.registry import all_queries
+    from fastmlframework_spark.queries.registry import (
+        all_queries,
+        bench_exclusions,
+    )
 
     unbenched = set(all_queries()) - set(bench_queries())
-    unexplained = sorted(unbenched - set(EXCLUDED_REASONS))
+    # A registry-declared bench_reason explains an exclusion just as
+    # well as this file's EXCLUDED_REASONS dict (which predates the
+    # registry's bench_reason field) — r13's driver tail shows the
+    # stale warning this silences.
+    unexplained = sorted(
+        unbenched - set(EXCLUDED_REASONS) - set(bench_exclusions())
+    )
     if unexplained:
         print(
             f"bench: unbenched queries missing an EXCLUDED_REASONS "
@@ -284,7 +305,10 @@ def main() -> None:
                     "sf": sf,
                     "excluded": {
                         k: v
-                        for k, v in EXCLUDED_REASONS.items()
+                        for k, v in {
+                            **bench_exclusions(),
+                            **EXCLUDED_REASONS,
+                        }.items()
                         if k in unbenched
                     },
                 },
@@ -326,7 +350,17 @@ def _final_line(
     window, truncating its own head.  The line keeps the contract keys
     (metric/value/unit/queries/sf) but budgets the queries dict —
     slowest first, since those drive the grading — and points at
-    BENCH_FULL.json (written above) for the complete set."""
+    BENCH_FULL.json (written above) for the complete set.
+
+    VERDICT r13 #4: pure slowest-first truncation made queries that
+    merely got FASTER vanish from the line, which the round-over-round
+    comparison then misread as 12 dropped queries.  The inclusion
+    order is therefore (1) every query named in the newest committed
+    driver line (``BENCH_r{N}.json``) — so a query present last round
+    stays present this round no matter how fast it got — then (2) the
+    remaining queries slowest-first until the budget is full.  The
+    value dict itself is unchanged: same timings, same keys when
+    everything fits."""
     budget = 1900
     meta = {
         "metric": "total_query_sec",
@@ -340,12 +374,44 @@ def _final_line(
     line = json.dumps(meta)
     if len(line) <= budget:
         return line
-    by_cost = sorted(timings, key=lambda k: -abs(timings[k]))
+    pinned = [q for q in _prev_driver_line_queries() if q in timings]
+    rest = sorted(
+        (k for k in timings if k not in set(pinned)),
+        key=lambda k: -abs(timings[k]),
+    )
+    by_cost = pinned + rest
     while by_cost and len(line) > budget:
         by_cost.pop()
         meta["queries"] = {k: timings[k] for k in sorted(by_cost)}
         line = json.dumps(meta)
     return line
+
+
+def _prev_driver_line_queries() -> list[str]:
+    """Query names from the newest committed BENCH_r{N}.json driver
+    artifact (its parsed one-line dict), oldest-drop order: names a
+    previous driver line reported must keep appearing or the driver
+    flags them as dropped.  Empty on any failure — then the line
+    falls back to pure slowest-first."""
+    import glob
+    import re as _re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best: tuple[int, str] | None = None
+    for p in glob.glob(os.path.join(here, "BENCH_r[0-9]*.json")):
+        m = _re.match(r"BENCH_r(\d+)\.json$", os.path.basename(p))
+        if m:
+            n = int(m.group(1))
+            if best is None or n > best[0]:
+                best = (n, p)
+    if best is None:
+        return []
+    try:
+        with open(best[1]) as fh:
+            parsed = json.load(fh).get("parsed") or {}
+        return list(parsed.get("queries", {}))
+    except (OSError, ValueError, AttributeError):
+        return []
 
 
 def _write_regression_report(timings: dict[str, float], sf: float) -> None:

@@ -87,8 +87,19 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     accumulates in a completely different order — the 6-dp rounding
     contract's margin is many orders of magnitude above ulp-level
     reassociation drift.  Every such consumer is re-verified against
-    its oracle at multiple core counts (OPTIMIZATION_r13.md batch 4)."""
-    par = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    its oracle at multiple core counts (OPTIMIZATION_r13.md batch 4).
+
+    Caveats (ADVICE r13): ``min_partitions`` is compared against
+    ``None`` (an explicit 0 disables the fan-out rather than falling
+    back to defaultParallelism), and the ``getNumPartitions`` probe
+    reports the PRE-AQE partition count for shuffle-fed lineages — it
+    is only accurate for scans and (eagerly) checkpointed frames,
+    which is where every current caller applies it."""
+    par = (
+        df.sparkSession.sparkContext.defaultParallelism
+        if min_partitions is None
+        else min_partitions
+    )
     if df.rdd.getNumPartitions() >= par:
         return df
     return df.repartition(par)

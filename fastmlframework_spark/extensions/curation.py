@@ -26,6 +26,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+from fastmlframework_spark.core import checkpoints
+
 from fastmlframework_spark.extensions.dedup import shingles
 from fastmlframework_spark.extensions.text import TOKEN_PATTERN, count_bpe_tokens
 
@@ -1178,7 +1180,7 @@ def curation_funnel(
         .drop("__mn")
     )
     if survivor_persistence == "local_checkpoint":
-        s3 = s3.localCheckpoint(eager=True)
+        s3 = checkpoints.checkpoint(s3, eager=True)
     elif survivor_persistence == "persist":
         s3 = s3.persist()
         s3.count()  # materialize now; lineage kept for fault recovery

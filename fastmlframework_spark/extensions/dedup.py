@@ -31,6 +31,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+from fastmlframework_spark.core import checkpoints
+
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition across all cores.  Small parquet inputs arrive as
     1-2 splits; the sketch computations (per-row hash arrays) are
@@ -64,7 +66,7 @@ def _materialize_release(out: DataFrame, *cached: DataFrame) -> DataFrame:
     explicit parquet intermediate instead.  ``_plan_evidence`` is a
     Python-side attribute: it survives only on this exact handle and
     silently disappears after any further DataFrame transformation."""
-    ckpt = out.localCheckpoint(eager=True)
+    ckpt = checkpoints.checkpoint(out, eager=True)
     for c in cached:
         c.unpersist()
     ckpt._plan_evidence = out
@@ -74,8 +76,14 @@ def _materialize_release(out: DataFrame, *cached: DataFrame) -> DataFrame:
 def release_checkpoint(df: DataFrame) -> None:
     """Free the executor storage pinned by a ``_materialize_release``
     (or any ``localCheckpoint``) result once the caller is done with
-    it.  Safe to call on non-checkpointed frames (no-op effect)."""
-    df.rdd.unpersist()
+    it.  Safe to call on non-checkpointed frames (no-op effect).
+
+    VERDICT r13 #1: the old ``df.rdd.unpersist()`` form never freed
+    anything — ``.rdd`` wraps the persisted internal RDD in a fresh
+    unpersisted MapPartitionsRDD — so this now routes through
+    ``core.checkpoints.release``, which unpersists the ``LogicalRDD``
+    node's RDD (the one actually holding the blocks)."""
+    checkpoints.release(df)
 
 
 def exact_dedup(
@@ -787,8 +795,13 @@ def connected_components(
     # downstream plans embedding it can grow until plan construction
     # itself exhausts driver memory.  The frame is label-table-sized
     # and the loop already materialized it, so the checkpoint is a
-    # cheap copy.
-    return labels.localCheckpoint(eager=True)
+    # cheap copy.  Tracked so the session owner can release it; the
+    # final iteration's cache is dead once the checkpoint holds the
+    # rows, so drop it here instead of leaving it to clearCache().
+    out = checkpoints.checkpoint(labels, eager=True)
+    if prev is not None:
+        prev.unpersist()
+    return out
 
 
 #: Hard ceiling for the exact all-pairs path.  Above this the O(n²)
@@ -1031,7 +1044,7 @@ def semantic_dedup(
     # u/v mirror union would otherwise evaluate the quadratic verify
     # twice, and every iteration would re-analyze its lineage.  The
     # pair list is near-dup-sized (tiny), so the checkpoint is cheap.
-    pairs = pairs.localCheckpoint(eager=True)
+    pairs = checkpoints.checkpoint(pairs, eager=True)
     assigned.unpersist()
     comp = connected_components(pairs)
     dropped = comp.filter(F.col("node") != F.col("component")).select(

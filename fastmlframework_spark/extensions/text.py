@@ -17,6 +17,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
+from fastmlframework_spark.core import checkpoints
+
 # Tiny per-language stopword alternations (language-ID heuristic).
 LANG_STOPWORDS = {
     "en": r"\b(the|and|of|to|is)\b",
@@ -702,7 +704,8 @@ def bpe_train(
             F.lit(" "), F.array_join(F.split("__w", ""), "  "), F.lit(" ")
         ).alias("__syms"),
         "__wc",
-    ).localCheckpoint(eager=True)
+    )
+    vocab = checkpoints.checkpoint(vocab, eager=True)
     words.unpersist()  # no-op unless the over-cap check persisted it
     last_ckpt = vocab
     merges: list[tuple[int, str, str, str, int]] = []
@@ -735,8 +738,8 @@ def bpe_train(
             ),
         )
         if rank % ckpt_every == 0:
-            nxt = nxt.localCheckpoint(eager=True)
-            last_ckpt.rdd.unpersist()
+            nxt = checkpoints.checkpoint(nxt, eager=True)
+            checkpoints.release(last_ckpt)
             last_ckpt = nxt
         vocab = nxt
     merges_df = spark.createDataFrame(
@@ -747,11 +750,11 @@ def bpe_train(
     if return_vocab:
         # Re-checkpoint so the returned frame owns its blocks before
         # the loop's intermediate checkpoint is released.
-        vocab = vocab.localCheckpoint(eager=True)
+        vocab = checkpoints.checkpoint(vocab, eager=True)
         if last_ckpt is not vocab:
-            last_ckpt.rdd.unpersist()
+            checkpoints.release(last_ckpt)
         return merges_df, vocab
-    last_ckpt.rdd.unpersist()
+    checkpoints.release(last_ckpt)
     return merges_df
 
 

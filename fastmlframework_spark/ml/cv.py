@@ -38,6 +38,7 @@ from functools import reduce
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from fastmlframework_spark.core import checkpoints
 from fastmlframework_spark.functions.horizontal import horizontal_mean, mode_agg
 from fastmlframework_spark.ml import metrics as metrics_mod
 from fastmlframework_spark.ml.folds import fold_split, with_fold_column
@@ -117,17 +118,22 @@ class CVPredictor:
         # results are unchanged.  eager=True also fixes the RDD's REAL
         # (post-AQE) partition count, which the fit_folds fan_out
         # probe needs — a lazily-planned frame reports the pre-AQE
-        # count and the probe would mis-decide.  Same materialized
-        # footprint as the cache it replaces; blocks are freed by the
-        # ContextCleaner when the table goes out of scope.
-        folded = with_fold_column(
-            train_df,
-            key_col,
-            self.k,
-            seed,
-            stratify_col=stratify,
-            method=self.fold_method,
-        ).localCheckpoint(eager=True)
+        # count and the probe would mis-decide.  Tracked + explicitly
+        # released below once the metric pass has materialized the OOF
+        # checkpoint (VERDICT r13 #1: checkpoint blocks are NOT freed
+        # by clearCache(), and waiting on the ContextCleaner leaks
+        # executor storage for the life of a many-query session).
+        folded = checkpoints.checkpoint(
+            with_fold_column(
+                train_df,
+                key_col,
+                self.k,
+                seed,
+                stratify_col=stratify,
+                method=self.fold_method,
+            ),
+            eager=True,
+        )
 
         self.wrapper.reset_seed(seed)
         # Batched-fit fast path: the closed-form wrappers can fit ALL
@@ -147,8 +153,13 @@ class CVPredictor:
         # is scored by exactly its own fold's expression, identical to
         # the k filter+predict branches it replaces, without k scans,
         # the union, or the per-branch plan analysis (guide §1.2-1).
+        # callable(): FittedModel declares prediction_col as a STRING
+        # dataclass field, so a bare hasattr would pass MLlib-backed
+        # fold models into the CASE projection and crash at scoring
+        # time (ADVICE r13).
         one_pass = models is not None and all(
-            hasattr(m, "prediction_col") for m in models.values()
+            callable(getattr(m, "prediction_col", None))
+            for m in models.values()
         )
         oof_frames, test_frames, scores = [], [], []
         imp_rows: list[tuple[str, float, int]] = []
@@ -206,17 +217,32 @@ class CVPredictor:
                     if pred is None
                     else pred.when(cond, expr)
                 )
-            oof_scored = folded.select(
-                F.col(key_col),
-                pred.alias("target_oof"),
-                F.col(target_col).alias("target"),
-                F.col("fold"),
-            ).localCheckpoint(eager=False)
+            oof_scored = checkpoints.checkpoint(
+                folded.select(
+                    F.col(key_col),
+                    pred.alias("target_oof"),
+                    F.col(target_col).alias("target"),
+                    F.col("fold"),
+                ),
+                eager=False,
+            )
         else:
-            oof_scored = _union_all(oof_frames).localCheckpoint(eager=False)
-        score_map = metrics_mod.score_by(
-            oof_scored, self.metric, "target", "target_oof", "fold"
-        )
+            oof_scored = checkpoints.checkpoint(
+                _union_all(oof_frames), eager=False
+            )
+        try:
+            score_map = metrics_mod.score_by(
+                oof_scored, self.metric, "target", "target_oof", "fold"
+            )
+        finally:
+            # The metric collect above is the first action on the lazy
+            # OOF checkpoint, so it is materialized now and the fold
+            # table has no consumer left (test/importance frames hang
+            # off the fitted MODELS, not the fold table): free its
+            # blocks instead of leaking them until JVM GC.  The OOF
+            # checkpoint itself escapes to the caller and is released
+            # by the session owner via checkpoints.release_all().
+            checkpoints.release(folded)
         for fold in range(self.k):
             if fold not in score_map:
                 raise ValueError(f"fold {fold} produced no OOF rows")

@@ -27,6 +27,7 @@ from dataclasses import dataclass
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from fastmlframework_spark.core import checkpoints
 from fastmlframework_spark.functions.horizontal import hard_vote_long, soft_vote
 from fastmlframework_spark.ml import metrics as metrics_mod
 from fastmlframework_spark.ml.cv import CVPredictor, CVResult
@@ -318,8 +319,9 @@ class Blender:
         # cache: the k per-fold branches below are filters on this one
         # frame, and uncached each branch re-derives the FULL matrix
         # lineage (model transforms + assembly joins) — k× the scoring
-        # cost.  Left cached (no unpersist): the returned oof_blend is
-        # lazy and a consumer's first action replays the branches.
+        # cost.  Unpersisted below once score() has materialized the
+        # blend checkpoint (after that no consumer replays the
+        # branches — they read the checkpoint blocks).
         folded = with_fold_column(
             oof_matrix, key_col, self.k, self.seed, method="hash"
         ).cache()
@@ -342,10 +344,20 @@ class Blender:
         # removes that driver-side planning cost without changing a
         # row (guide §5/§3.3).
         # eager=False: the score() action below materializes it.
-        oof_blend = reduce(
-            lambda a, b: a.unionByName(b), blended_folds
-        ).localCheckpoint(eager=False)
-        score = metrics_mod.score(oof_blend, self.metric, target_col, "blend")
+        # Tracked (VERDICT r13 #1): the blend checkpoint escapes to
+        # the caller, so the session owner releases it via
+        # checkpoints.release_all(); the fold matrix cache is freed
+        # here once score() has materialized the checkpoint.
+        oof_blend = checkpoints.checkpoint(
+            reduce(lambda a, b: a.unionByName(b), blended_folds),
+            eager=False,
+        )
+        try:
+            score = metrics_mod.score(
+                oof_blend, self.metric, target_col, "blend"
+            )
+        finally:
+            folded.unpersist()
         return BlendResult(weights=normed, oof_blend=oof_blend, score=score)
 
 

@@ -1469,6 +1469,13 @@ class ForestClosedFormWrapper:
     ):
         if n_trees < 2:
             raise ValueError("a forest needs n_trees >= 2")
+        # Mirror CARTClosedFormWrapper: without this, max_depth=3
+        # raises in fit() (per-tree CART ctor) yet fit_folds() —
+        # which the CV engine auto-prefers — would silently train
+        # depth-2 trees via _batched_cart_trees, breaking the
+        # bit-identical-to-fit contract (ADVICE r13).
+        if max_depth < 1 or max_depth > 2:
+            raise ValueError("ForestClosedFormWrapper supports depth 1-2")
         self.key_col = key_col
         self.n_trees = int(n_trees)
         self.max_depth = int(max_depth)

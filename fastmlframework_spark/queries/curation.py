@@ -16,6 +16,8 @@ import math
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from fastmlframework_spark.core import checkpoints
+
 from fastmlframework_spark.core.tables import fan_out, load_table
 from fastmlframework_spark.extensions import curation as xcur
 from fastmlframework_spark.extensions import similarity as xsim
@@ -448,10 +450,8 @@ def quality_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # its child to pick bounds, so ranking the raw lineage runs the
     # whole regex battery twice.  The checkpoint RDD is released by
     # the ContextCleaner once the result frame is dropped.
-    q = (
-        quality_score(docs)
-        .select("doc_id", "quality")
-        .localCheckpoint(eager=False)
+    q = checkpoints.checkpoint(
+        quality_score(docs).select("doc_id", "quality"), eager=False
     )
     # N rides along from global_rank's own partition-size aggregate —
     # a separate count() would re-run the whole quality_score lineage
@@ -909,8 +909,8 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quality",
             count_bpe_tokens(F.col("text")).cast("long").alias("n_tokens"),
         )
-        .localCheckpoint(eager=False)
     )
+    scored = checkpoints.checkpoint(scored, eager=False)
     sel = xcur.select_to_token_budget(
         scored, budget_frac=0.5, keep_cols=["source", "quality"]
     )

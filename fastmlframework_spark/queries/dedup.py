@@ -104,10 +104,12 @@ SELECT key_a, key_b, jaccard FROM jpairs
 """
 
 
+# Restored to the bench set (VERDICT r13 #4): the r13 swap to the
+# *_sampled twin changed the bench composition without driver
+# sign-off; both forms are benched from r14 on so round-over-round
+# totals stay like-for-like.
 @query(
     "dedup_ngram_jaccard",
-    bench=False,
-    bench_reason="exact pair enumeration is answer-quadratic in the fixed-fraction subset; benched form is dedup_ngram_jaccard_sampled",
     oracle=_JACCARD_ORACLE,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -118,10 +120,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return xdedup.ngram_jaccard_pairs(corpus, n=3, threshold=0.4)
 
 
+# Restored to the bench set (VERDICT r13 #4): the r13 swap to the
+# *_sampled twin changed the bench composition without driver
+# sign-off; both forms are benched from r14 on so round-over-round
+# totals stay like-for-like.
 @query(
     "dedup_containment",
-    bench=False,
-    bench_reason="exact pair enumeration is answer-quadratic in the fixed-fraction subset; benched form is dedup_containment_sampled",
     oracle=f"""
 WITH corpus AS (
   SELECT * FROM ({_CORPUS_SQL}) c WHERE {_SUBSET_PRED}
@@ -613,10 +617,12 @@ def semantic_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(corpus, threshold=0.999)
 
 
+# Restored to the bench set (VERDICT r13 #4): the r13 swap to the
+# *_sampled twin changed the bench composition without driver
+# sign-off; both forms are benched from r14 on so round-over-round
+# totals stay like-for-like.
 @query(
     "dedup_ngram_jaccard_prefix",
-    bench=False,
-    bench_reason="exact pair enumeration is answer-quadratic in the fixed-fraction subset; benched form is dedup_ngram_jaccard_prefix_sampled",
     oracle=_JACCARD_ORACLE,
 )
 def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1032,10 +1038,12 @@ FROM labeled GROUP BY cluster
 """
 
 
+# Restored to the bench set (VERDICT r13 #4): the r13 swap to the
+# *_sampled twin changed the bench composition without driver
+# sign-off; both forms are benched from r14 on so round-over-round
+# totals stay like-for-like.
 @query(
     "dedup_best_representative",
-    bench=False,
-    bench_reason="exact-truth cluster audit over the quadratic pair set; benched form is dedup_best_representative_sampled",
     oracle=_BEST_REP_ORACLE,
 )
 def dedup_best_representative(spark: SparkSession, sf_dir: str) -> DataFrame:

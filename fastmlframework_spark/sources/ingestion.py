@@ -28,6 +28,8 @@ from dataclasses import dataclass, field
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+
+from fastmlframework_spark.core import checkpoints
 from pyspark.sql import types as T
 
 # Ordered narrowest-first; (spark type, min, max).  Mirrors the
@@ -154,7 +156,7 @@ def ingest_csv(
         # a stable key→row mapping.  Materialize once (debug path only:
         # nrows-sized, tiny) so every downstream action sees the same
         # rows with the same minted keys.
-        df = df.localCheckpoint(eager=True)
+        df = checkpoints.checkpoint(df, eager=True)
     report = IngestReport(
         row_count=df.count(),
         narrowed=narrowed,

@@ -176,7 +176,13 @@ def bench_stream_seasonal_stats(spark, sf_dir: str) -> int:
 
     ctx = _prep("seasonal", sf_dir, build)
     _run_dir(ctx)  # keeps pass accounting symmetric; memory sink needs no dirs
-    stream = spark.readStream.schema(ev.schema).option(
+    # Isolated session clone (VERDICT r13 #6): the state_partitions
+    # override mutates the stream's session conf around start(), and
+    # this session must not be the one concurrent batch work plans on.
+    # newSession() shares the SparkContext (and the prepared files)
+    # but owns its SQLConf, so the override cannot leak.
+    iso = spark.newSession()
+    stream = iso.readStream.schema(ev.schema).option(
         "maxFilesPerTrigger", 2
     ).parquet(ctx["src"])
     # state_partitions=8: the running aggregation's state is bounded
@@ -188,7 +194,8 @@ def bench_stream_seasonal_stats(spark, sf_dir: str) -> int:
     run_available_now(
         seasonal_stats(stream), "bench_seasonal", state_partitions=8
     )
-    return spark.table("bench_seasonal").count()
+    # memory-sink tables are session-scoped temp views: read via iso
+    return iso.table("bench_seasonal").count()
 
 
 def bench_stream_cusum(spark, sf_dir: str) -> int:
@@ -209,28 +216,28 @@ def bench_stream_cusum(spark, sf_dir: str) -> int:
 
     ctx = _prep("cusum", sf_dir, build)
     rd = _run_dir(ctx)
-    stream = spark.readStream.schema(ev.schema).option(
+    # Isolated session clone (VERDICT r13 #6): the shuffle-partition
+    # override below lives and dies with this throwaway session, so
+    # no concurrently-planned batch query can observe it and no
+    # restore step is needed.
+    iso = spark.newSession()
+    stream = iso.readStream.schema(ev.schema).option(
         "maxFilesPerTrigger", 2
     ).parquet(ctx["src"])
     # State partitions sized to state cardinality (ONE double per
-    # key, |event_type| keys), not cluster width — same rationale and
-    # conf-scope as the seasonal bench (measured 2.25 s → 1.70 s);
-    # pinned at checkpoint creation, restored after the drain.
-    key = "spark.sql.shuffle.partitions"
-    old = spark.conf.get(key)
-    spark.conf.set(key, "8")
-    try:
-        q = (
-            streaming_cusum(stream)
-            .writeStream.format("noop")
-            .option("checkpointLocation", os.path.join(rd, "ckpt"))
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set(key, old)
+    # key, |event_type| keys), not cluster width — same rationale as
+    # the seasonal bench (measured 2.25 s → 1.70 s); pinned at
+    # checkpoint creation from the session conf before start().
+    iso.conf.set("spark.sql.shuffle.partitions", "8")
+    q = (
+        streaming_cusum(stream)
+        .writeStream.format("noop")
+        .option("checkpointLocation", os.path.join(rd, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
     _capture_progress("stream_cusum", q)
     return 1
 

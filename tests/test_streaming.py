@@ -1360,3 +1360,58 @@ def test_index_probe_anchored_to_root_not_bare_batch_segment(
     spark.createDataFrame([("self-digest",)], "digest string") \
         .write.parquet(_index_batch_dir(index_dir, 1))
     assert _index_for_batch(spark, index_dir, batch_id=1).count() == 2
+
+
+def test_state_partition_override_is_session_isolated(
+    spark, sf_dir_small, tmp_path
+):
+    """VERDICT r13 #6: the state_partitions conf override applied
+    around a stream drain must not be observable by batch work planned
+    concurrently on the main session.  A drain with state_partitions=3
+    runs on a newSession() clone in a worker thread (exactly how
+    streaming/bench.py scopes it) while the main thread polls the
+    parent session's shuffle-partition conf and runs a threaded-CV-
+    style aggregate; the parent conf must never move."""
+    import threading
+    import time
+
+    from fastmlframework_spark.streaming.windows import seasonal_stats
+
+    events = load_table(spark, sf_dir_small, "events")
+    src = str(tmp_path / "events_iso")
+    events.repartition(4).write.mode("overwrite").parquet(src)
+
+    key = "spark.sql.shuffle.partitions"
+    parent_before = spark.conf.get(key)
+    iso = spark.newSession()
+    seen: list[str] = []
+    err: list[BaseException] = []
+
+    def drain():
+        try:
+            stream_df = (
+                iso.readStream.schema(events.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            run_available_now(
+                seasonal_stats(stream_df), "iso_test", state_partitions=3
+            )
+        except BaseException as exc:  # surfaced below
+            err.append(exc)
+
+    t = threading.Thread(target=drain)
+    t.start()
+    # Concurrent batch work on the PARENT session while the drain
+    # holds its override: poll the conf and run a real aggregate.
+    while t.is_alive():
+        seen.append(spark.conf.get(key))
+        spark.range(100).groupBy((F.col("id") % 5).alias("g")).count().collect()
+        time.sleep(0.01)
+    t.join()
+    assert not err, err
+    assert seen, "drain finished before any concurrent observation"
+    assert set(seen) == {parent_before}
+    assert spark.conf.get(key) == parent_before
+    # the override really took effect on the isolated session's drain
+    assert iso.table("iso_test").count() > 0

@@ -37,9 +37,13 @@ def _spread(df: DataFrame) -> DataFrame:
     """Repartition across all cores.  Small parquet inputs arrive as
     1-2 splits; the sketch computations (per-row hash arrays) are
     CPU-bound, so an up-front round-robin shuffle of the (tiny) rows
-    buys full parallelism.  At real scale inputs already have
-    thousands of splits and this is a no-op knob callers can skip."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    buys full parallelism.  Routed through ``fan_out`` (OPTIMIZATION
+    r14) so it really IS a no-op at real scale — the previous
+    unconditional ``repartition`` would have round-robin-shuffled a
+    100 TB corpus that already carried thousands of splits."""
+    from fastmlframework_spark.core.tables import fan_out
+
+    return fan_out(df)
 
 
 def _materialize_release(out: DataFrame, *cached: DataFrame) -> DataFrame:
@@ -1011,11 +1015,10 @@ def semantic_dedup(
         hash_sample_rows,
         lloyd_centers,
         normalize,
-        vec_dim,
         with_cells,
     )
 
-    dim = vec_dim(df, vec_col)
+    dim = None  # dot_expr ignores it; the vec_dim .first() was a dead job
     c = normalize(df, vec_col, "cv").select(key_col, "cv")
     n = c.count()
     if n_clusters is None:

@@ -20,6 +20,8 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+from fastmlframework_spark.core.tables import fan_out
+
 _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)"
 _NORM = "transform({v}, x -> x / sqrt(aggregate({v}, 0.0D, (a, e) -> a + e * e)))"
 
@@ -77,9 +79,16 @@ def cosine_topk(
     partial WindowGroupLimit so a refactor that defeats the pushdown
     (e.g. rank-filter through an intervening project barrier) fails
     CI."""
-    dim = vec_dim(corpus, vec_col)
+    # No vec_dim probe: dot_expr no longer unrolls by dimension, so
+    # the .first() it fed was a dead sequential job before every scan
+    # (guide §1.2-1: don't compute things you throw away).
+    dim = None
     par = corpus.sparkSession.sparkContext.defaultParallelism
-    c = normalize(corpus, vec_col, "cv").select(key_col, "cv").repartition(par)
+    # fan_out (not unconditional repartition): spreads the single-
+    # split bench scan across cores but is a NO-OP once the scan
+    # already carries >= cores partitions - an unconditional
+    # repartition would full-shuffle the corpus at production scale.
+    c = fan_out(normalize(corpus, vec_col, "cv").select(key_col, "cv"), par)
     q = normalize(queries, vec_col, "qv").select(
         F.col(key_col).alias(query_key_col), "qv"
     )
@@ -345,7 +354,7 @@ def ivf_topk(
     argmin projection, and with n_probe = n_clusters the result stays
     exact regardless of where the centroids landed.  ``fit_fraction``
     additionally pre-thins the sampled corpus at extreme scale."""
-    dim = vec_dim(corpus, vec_col)
+    dim = None  # dot_expr ignores it; the .first() probe was a dead job
     c = normalize(corpus, vec_col, "cv").select(key_col, "cv")
     fit_src = c
     if fit_fraction < 1.0:
@@ -503,7 +512,7 @@ def ivf_recall_curve(
         max_iter=max_iter,
     )
     assigned = with_cells(c, "cv", [("cell", centers, 0)])
-    dim = vec_dim(corpus, vec_col)
+    dim = None  # dot_expr ignores it; the .first() probe was a dead job
     spark = corpus.sparkSession
     centers_df = spark.createDataFrame(
         [(i, c_) for i, c_ in enumerate(centers)], ["cell", "center"]
@@ -526,9 +535,13 @@ def ivf_recall_curve(
         )
         .select(query_key_col, "cell", "probe_rank")
     )
+    # Broadcast the exact top-k (k·|queries| rows, bounded by
+    # construction) against the corpus-sized assignment scan — left to
+    # estimates the planner can shuffle the assignment by key instead
+    # (guide §3.1: pick the build side deliberately).
     hit_ranks = (
-        exact.select(query_key_col, key_col)
-        .join(assigned.select(key_col, "cell"), on=key_col)
+        assigned.select(key_col, "cell")
+        .join(F.broadcast(exact.select(query_key_col, key_col)), on=key_col)
         .join(F.broadcast(qranks), on=[query_key_col, "cell"])
         .select("probe_rank")
     )
@@ -574,12 +587,13 @@ def knn_graph(
     directions are mirrored into the ranking window.  Exact-oracle
     path: at 100 TB the graph comes from IVF/LSH candidates instead
     (`ivf_topk`/`lsh_topk`), this is their recall ground truth."""
-    dim = vec_dim(df, vec_col)
+    dim = None  # dot_expr ignores it; the .first() probe was a dead job
     par = df.sparkSession.sparkContext.defaultParallelism
     base = normalize(df, vec_col, "nv").select(key_col, "nv")
-    a = base.select(
-        F.col(key_col).alias("__ka"), F.col("nv").alias("ea")
-    ).repartition(par)
+    a = fan_out(
+        base.select(F.col(key_col).alias("__ka"), F.col("nv").alias("ea")),
+        par,
+    )  # conditional spread - no-op once the scan has >= cores splits
     b = base.select(F.col(key_col).alias("__kb"), F.col("nv").alias("eb"))
     pairs = (
         a.join(F.broadcast(b), F.col("__ka") < F.col("__kb"))
@@ -713,14 +727,15 @@ def pq_topk(
     per-query lookup tables over the codes scan, and a keyed join of
     ``refine*k`` rows/query against the corpus for exact re-ranking.
     The corpus is never shuffled."""
-    dim = vec_dim(corpus, vec_col)
+    c = normalize(corpus, vec_col, "cv").select(key_col, "cv")
+    # one full-dim sample, sliced per subspace on the driver; the
+    # sample rows are full vectors, so it also provides dim
+    # (fixed-width schema) — no separate vec_dim .first() job
+    sample = hash_sample_rows(c, key_col, "cv", seed=seed)
+    dim = len(sample[0]) if sample else vec_dim(corpus, vec_col)
     if dim % m != 0:
         raise ValueError(f"pq_topk: m={m} must divide dim={dim}")
     sub = dim // m
-
-    c = normalize(corpus, vec_col, "cv").select(key_col, "cv")
-    # one full-dim sample, sliced per subspace on the driver
-    sample = hash_sample_rows(c, key_col, "cv", seed=seed)
     centers = [
         lloyd_centers(
             [row[s * sub: (s + 1) * sub] for row in sample],
@@ -795,8 +810,14 @@ def pq_topk(
     )
 
     # Exact re-rank of the surviving candidates only.
+    # Broadcast the candidate list, never the corpus: bounded at
+    # refine·k·|queries| rows by construction, it is the scale-honest
+    # build side (guide §3.1) — left to estimates, the planner was
+    # broadcasting the (repartitioned!) CORPUS branch here, which adds
+    # a full round-robin exchange + corpus-sized broadcast at bench
+    # scale and breaks outright past the 8 GB relation cap at 100 TB.
     exact = (
-        candidates.join(c, on=key_col)
+        F.broadcast(candidates).join(c, on=key_col)
         .join(F.broadcast(luts.select(query_key_col, "qv")), on=query_key_col)
         .withColumn("cosine", F.round(F.expr(dot_expr("cv", "qv", dim)), 6))
     )
@@ -851,13 +872,13 @@ def ivfpq_topk(
     driver-side from the SAME ≤64k hash-sample; the probed-cell
     filter is a broadcast hash join on the (query, cell) pairs; the
     corpus is never shuffled."""
-    dim = vec_dim(corpus, vec_col)
+    c = normalize(corpus, vec_col, "cv").select(key_col, "cv")
+    sample = hash_sample_rows(c, key_col, "cv", seed=seed)
+    # dim from the sample (fixed-width schema) — no vec_dim .first() job
+    dim = len(sample[0]) if sample else vec_dim(corpus, vec_col)
     if dim % m != 0:
         raise ValueError(f"ivfpq_topk: m={m} must divide dim={dim}")
     sub = dim // m
-
-    c = normalize(corpus, vec_col, "cv").select(key_col, "cv")
-    sample = hash_sample_rows(c, key_col, "cv", seed=seed)
     coarse = lloyd_centers(sample, n_clusters, seed=seed, max_iter=max_iter)
     centers = [
         lloyd_centers(
@@ -954,8 +975,14 @@ def ivfpq_topk(
         .select(query_key_col, key_col)
     )
 
+    # Broadcast the candidate list, never the corpus: bounded at
+    # refine·k·|queries| rows by construction, it is the scale-honest
+    # build side (guide §3.1) — left to estimates, the planner was
+    # broadcasting the (repartitioned!) CORPUS branch here, which adds
+    # a full round-robin exchange + corpus-sized broadcast at bench
+    # scale and breaks outright past the 8 GB relation cap at 100 TB.
     exact = (
-        candidates.join(c, on=key_col)
+        F.broadcast(candidates).join(c, on=key_col)
         .join(F.broadcast(luts.select(query_key_col, "qv")), on=query_key_col)
         .withColumn("cosine", F.round(F.expr(dot_expr("cv", "qv", dim)), 6))
     )
@@ -995,11 +1022,14 @@ def hard_negatives(
     (WindowGroupLimit pushdown keeps the partial top-k map-side).
     For corpus×corpus mining, feed IVF/LSH candidate pairs in as
     ``queries`` batches instead of ranking n² pairs."""
-    dim = vec_dim(corpus, vec_col)
+    dim = None  # dot_expr ignores it; the .first() probe was a dead job
     par = corpus.sparkSession.sparkContext.defaultParallelism
-    c = normalize(corpus, vec_col, "cv").select(
-        key_col, F.col(label_col).alias("neg_label"), "cv"
-    ).repartition(par)
+    c = fan_out(
+        normalize(corpus, vec_col, "cv").select(
+            key_col, F.col(label_col).alias("neg_label"), "cv"
+        ),
+        par,
+    )  # conditional spread - no-op once the scan has >= cores splits
     q = normalize(queries, vec_col, "qv").select(
         F.col(key_col).alias(query_key_col),
         F.col(label_col).alias("query_label"),
@@ -1072,7 +1102,7 @@ def prototype_outliers(
     corpus scan; the per-label bottom-k is a rank-limit window
     (WindowGroupLimit partial top-k map-side).  No corpus shuffle
     beyond the d×-compacted centroid aggregate."""
-    dim = vec_dim(df, vec_col)
+    dim = None  # dot_expr ignores it; the .first() probe was a dead job
     protos = label_prototypes(df, key_col, vec_col, label_col).select(
         label_col, "centroid"
     )
@@ -1108,6 +1138,7 @@ def sq8_encode(
     dim: int,
     key_col: str = "vec_id",
     extra_cols: tuple = (),
+    rng_src: DataFrame | None = None,
 ) -> DataFrame:
     """The SQ8 index artifact (VERDICT r8 #3): per-dim [min, max]
     ranges from ONE 1-row aggregate, then byte codes PACKED 7 per
@@ -1122,8 +1153,16 @@ def sq8_encode(
     identical DOUBLE values and the oracle hash is unchanged.
 
     NOTE Spark's arr[i] subscript is 0-based (DuckDB's is 1-based);
-    the SQL twin's generate_series indices compensate."""
-    rng = c.agg(
+    the SQL twin's generate_series indices compensate.
+
+    ``rng_src``: frame to compute the per-dim [min, max] ranges from —
+    pass the UN-repartitioned normalize projection when ``c`` carries
+    a fan-out ``repartition``: min/max are partitioning-invariant
+    (identical values from identical rows), and aggregating the raw
+    scan skips replaying the full-corpus round-robin exchange for a
+    1-row result (the r13 driver plan showed exactly that replay as a
+    second Exchange feeding this aggregate)."""
+    rng = (rng_src if rng_src is not None else c).agg(
         *[
             e
             for i in range(dim)
@@ -1229,12 +1268,11 @@ def sq8_topk(
     bit-unchanged from the unpacked form."""
     dim = vec_dim(corpus, vec_col)
     par = corpus.sparkSession.sparkContext.defaultParallelism
-    c = (
-        normalize(corpus, vec_col, "cv")
-        .select(key_col, "cv")
-        .repartition(par)
-    )
-    enc = sq8_encode(c, dim, key_col)
+    cn = normalize(corpus, vec_col, "cv").select(key_col, "cv")
+    c = fan_out(cn, par)  # conditional spread (no-op at >= cores splits)
+    # rng over the un-repartitioned projection: same min/max values,
+    # no replay of the round-robin exchange for a 1-row aggregate
+    enc = sq8_encode(c, dim, key_col, rng_src=cn)
     q = normalize(queries, vec_col, "qv").select(
         F.col(key_col).alias(query_key_col), "qv"
     )
@@ -1251,8 +1289,10 @@ def sq8_topk(
         .filter(F.col("__crank") <= refine * k)
         .select(query_key_col, key_col)
     )
+    # Broadcast the shortlist, never the corpus (bounded refine·k·|q|
+    # rows — see pq_topk's re-rank note; same §3.1 rationale).
     exact = (
-        shortlist.join(c, on=key_col)
+        F.broadcast(shortlist).join(c, on=key_col)
         .join(F.broadcast(q), on=query_key_col)
         .withColumn("cosine", F.round(F.expr(dot_expr("cv", "qv", dim)), 6))
     )
@@ -1305,21 +1345,22 @@ def ivfsq8_topk(
     assign cells + pack codes, broadcast of the (query × probed-cell)
     table joined on the cell id — the corpus is never shuffled; only
     probed cells' rows are unpacked and scored."""
-    dim = vec_dim(corpus, vec_col)
     par = corpus.sparkSession.sparkContext.defaultParallelism
-    c = (
-        normalize(corpus, vec_col, "cv")
-        .select(key_col, "cv")
-        .repartition(par)
-    )
+    cn = normalize(corpus, vec_col, "cv").select(key_col, "cv")
+    c = fan_out(cn, par)  # conditional spread (no-op at >= cores splits)
+    sample = hash_sample_rows(c, key_col, "cv", seed=seed)
+    # dim from the sample (fixed-width schema) — no vec_dim .first() job
+    dim = len(sample[0]) if sample else vec_dim(corpus, vec_col)
     centers = lloyd_centers(
-        hash_sample_rows(c, key_col, "cv", seed=seed),
+        sample,
         n_clusters,
         seed=seed,
         max_iter=max_iter,
     )
     assigned = with_cells(c, "cv", [("cell", centers, 0)])
-    enc = sq8_encode(assigned, dim, key_col, extra_cols=("cell",))
+    # rng over the un-repartitioned projection: same min/max values,
+    # no replay of the round-robin exchange for a 1-row aggregate
+    enc = sq8_encode(assigned, dim, key_col, extra_cols=("cell",), rng_src=cn)
 
     spark = corpus.sparkSession
     centers_df = spark.createDataFrame(
@@ -1359,8 +1400,10 @@ def ivfsq8_topk(
         .filter(F.col("__crank") <= refine * k)
         .select(query_key_col, key_col)
     )
+    # Broadcast the shortlist, never the corpus (bounded refine·k·|q|
+    # rows — see pq_topk's re-rank note; same §3.1 rationale).
     exact = (
-        shortlist.join(c, on=key_col)
+        F.broadcast(shortlist).join(c, on=key_col)
         .join(F.broadcast(q), on=query_key_col)
         .withColumn("cosine", F.round(F.expr(dot_expr("cv", "qv", dim)), 6))
     )
@@ -1436,11 +1479,9 @@ def hamming_topk(
     n_words = (dim + 31) // 32
     par = corpus.sparkSession.sparkContext.defaultParallelism
 
-    c = (
-        normalize(corpus, vec_col, "cv")
-        .select(key_col, "cv")
-        .repartition(par)
-    )
+    c = fan_out(
+        normalize(corpus, vec_col, "cv").select(key_col, "cv"), par
+    )  # conditional spread - no-op once the scan has >= cores splits
     cb = c.select(key_col, "cv", *hamming_pack_cols("cv", dim))
     q = normalize(queries, vec_col, "qv").select(
         F.col(key_col).alias(query_key_col), "qv"
@@ -1467,8 +1508,10 @@ def hamming_topk(
         .filter(F.col("__crank") <= refine * k)
         .select(query_key_col, key_col)
     )
+    # Broadcast the shortlist, never the corpus (bounded refine·k·|q|
+    # rows — see pq_topk's re-rank note; same §3.1 rationale).
     exact = (
-        shortlist.join(c, on=key_col)
+        F.broadcast(shortlist).join(c, on=key_col)
         .join(F.broadcast(q), on=query_key_col)
         .withColumn(
             "cosine", F.round(F.expr(dot_expr("cv", "qv", dim)), 6)
@@ -1517,16 +1560,16 @@ def ivfhamming_topk(
     ≤64k hash-sample, one map-only pass to assign cells + pack bits,
     broadcast (query × probed-cell) join keyed on the cell id — the
     corpus is never shuffled."""
-    dim = vec_dim(corpus, vec_col)
-    n_words = (dim + 31) // 32
     par = corpus.sparkSession.sparkContext.defaultParallelism
-    c = (
-        normalize(corpus, vec_col, "cv")
-        .select(key_col, "cv")
-        .repartition(par)
-    )
+    c = fan_out(
+        normalize(corpus, vec_col, "cv").select(key_col, "cv"), par
+    )  # conditional spread - no-op once the scan has >= cores splits
+    sample = hash_sample_rows(c, key_col, "cv", seed=seed)
+    # dim from the sample (fixed-width schema) — no vec_dim .first() job
+    dim = len(sample[0]) if sample else vec_dim(corpus, vec_col)
+    n_words = (dim + 31) // 32
     centers = lloyd_centers(
-        hash_sample_rows(c, key_col, "cv", seed=seed),
+        sample,
         n_clusters,
         seed=seed,
         max_iter=max_iter,
@@ -1577,8 +1620,10 @@ def ivfhamming_topk(
         .filter(F.col("__crank") <= refine * k)
         .select(query_key_col, key_col)
     )
+    # Broadcast the shortlist, never the corpus (bounded refine·k·|q|
+    # rows — see pq_topk's re-rank note; same §3.1 rationale).
     exact = (
-        shortlist.join(c, on=key_col)
+        F.broadcast(shortlist).join(c, on=key_col)
         .join(F.broadcast(q), on=query_key_col)
         .withColumn(
             "cosine", F.round(F.expr(dot_expr("cv", "qv", dim)), 6)

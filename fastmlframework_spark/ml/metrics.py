@@ -68,33 +68,49 @@ METRIC_EXPRS = {
 GREATER_IS_BETTER = {"accuracy_score", "r2_score", "roc_auc_score"}
 
 
-def roc_auc_df(
-    df: DataFrame, label_col: str, score_col: str, n_buckets: int = 1024
-) -> DataFrame:
-    """Rank-based AUC (Mann-Whitney U) with average ranks on ties —
-    exactly sklearn's tie handling.  Returns a 1-row DataFrame with
-    column ``auc``.
+def _auc_agg(d: DataFrame, by_cols: list[str], n_buckets: int) -> DataFrame:
+    """Shared Mann-Whitney AUC body over ``[__g?, __s, __y]`` →
+    ``[__g?, auc]`` (``__g`` present iff ``by_cols``).
 
-    The cumulative count-below-each-score is a DISTRIBUTED prefix sum,
-    never a single-partition global window: distinct scores are value-
-    bucketed into ``n_buckets`` uniform ranges of [min, max] (the range
-    comes from a 1-row broadcast agg, so bucketing is deterministic
-    across re-evaluations — no sampling), cumulated WITHIN each bucket
-    by a partitioned window, then shifted by per-bucket offsets whose
-    own cumulation runs over at most ``n_buckets`` rows.  For
-    continuous model probabilities (the A20 use case — distinct-count
-    ~ row-count) post-shuffle work per task is ~distinct/n_buckets;
-    heavily clustered score domains make buckets uneven but collapse
-    distinct cardinality in the same stroke.  All rank arithmetic is
-    on exact integer counts, so bucketing cannot change the result."""
-    d = df.select(
-        F.col(score_col).alias("__s"), F.col(label_col).cast("double").alias("__y")
-    )
-    per_score = d.groupBy("__s").agg(
+    Plan shape (OPTIMIZATION r14, VERDICT r13 #4 "grouped-AUC metric
+    pass"): TWO data-bearing exchanges — the per-(group, score)
+    aggregate and the within-(group, bucket) prefix window — plus two
+    tiny ones (per-group [min, max] over the per-score partials, and
+    the ≤ n_buckets-rows-per-group final aggregate).  The previous
+    form had three more: a SECOND full-input scan+aggregate for the
+    range, a per-(group, bucket) offsets aggregate, and an offsets
+    window (single-partition in the ungrouped case) + broadcast join.
+    Those offsets now ride the final aggregate: per-bucket partial
+    sums are computed WITHOUT a new exchange (the groupBy(g, bkt)
+    reuses the window's partitioning), and the cross-bucket shift
+    term Σ_b npos_b · off_b is folded over a sorted ≤ n_buckets
+    collect_list with a running-sum lambda.
+
+    Bit-identity with the windowed form: every term is an exact
+    multiple of 0.5 (integer counts, half-integer average ranks) far
+    below 2⁵³ at any oracle-checked scale, so regrouping the sums
+    cannot move a bit.  Decomposition: with below(s) = off(bkt(s)) +
+    ln_below(s) and avg_rank = below + (n+1)/2,
+
+        Σ_s npos·avg_rank = Σ_s npos·ln_below            (__wpos_ln)
+                          + Σ_b npos_b · off_b           (fold term)
+                          + Σ_s npos·(n+1)/2             (__wpos_half)
+    """
+    grp = ["__g"] if by_cols else []
+    per_score = d.groupBy(*grp, "__s").agg(
         F.count(F.lit(1)).alias("__n"), F.sum("__y").alias("__npos")
     )
-    rng = d.agg(F.min("__s").alias("__lo"), F.max("__s").alias("__hi"))
-    bucketed = per_score.crossJoin(F.broadcast(rng)).withColumn(
+    # Range over the per-score partials, not the raw input: same
+    # min/max, but the plan reuses the per-score exchange instead of
+    # scanning and aggregating the full input a second time.
+    rng = per_score.groupBy(*grp).agg(
+        F.min("__s").alias("__lo"), F.max("__s").alias("__hi")
+    )
+    if grp:
+        bucketed = per_score.join(F.broadcast(rng), "__g")
+    else:
+        bucketed = per_score.crossJoin(F.broadcast(rng))
+    bucketed = bucketed.withColumn(
         "__bkt",
         F.least(
             F.floor(
@@ -106,39 +122,83 @@ def roc_auc_df(
         ),
     )
     w_local = (
-        Window.partitionBy("__bkt")
+        Window.partitionBy(*grp, "__bkt")
         .orderBy("__s")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     local = bucketed.withColumn(
         "__ln_below", F.coalesce(F.sum("__n").over(w_local), F.lit(0))
     )
-    w_off = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = (
-        bucketed.groupBy("__bkt")
-        .agg(F.sum("__n").alias("__bn"))
-        .withColumn("__off", F.coalesce(F.sum("__bn").over(w_off), F.lit(0)))
-        .select("__bkt", "__off")
+    # Per-bucket partials: grouping keys == the window's partitioning
+    # keys, so this aggregate adds NO exchange.
+    per_bkt = local.groupBy(*grp, "__bkt").agg(
+        F.sum("__n").alias("__bn"),
+        F.sum("__npos").alias("__bpos"),
+        F.sum(F.col("__npos") * F.col("__ln_below")).alias("__wpos_ln"),
+        F.sum(F.col("__npos") * (F.col("__n") + 1) / 2.0).alias(
+            "__wpos_half"
+        ),
+        F.sum(F.col("__n") - F.col("__npos")).alias("__bneg"),
     )
-    ranked = (
-        local.join(F.broadcast(offsets), "__bkt")
-        .withColumn("__below", F.col("__off") + F.col("__ln_below"))
-        .withColumn("__avg_rank", F.col("__below") + (F.col("__n") + 1) / 2.0)
+    # Cross-bucket shift Σ_b npos_b·off_b, off_b = Σ_{b'<b} n_b': a
+    # running-sum fold over the (sorted) per-bucket rows — ≤ n_buckets
+    # structs per group, so the collect_list is bounded by
+    # construction, never by data size.
+    cross = F.aggregate(
+        F.sort_array(
+            F.collect_list(F.struct("__bkt", "__bn", "__bpos"))
+        ),
+        F.struct(
+            F.lit(0.0).alias("cum"), F.lit(0.0).alias("acc")
+        ),
+        lambda a, x: F.struct(
+            (a["cum"] + x["__bn"]).alias("cum"),
+            (a["acc"] + x["__bpos"] * a["cum"]).alias("acc"),
+        ),
+        lambda a: a["acc"],
     )
     # nullif: a single-class input has denominator 0 — NULL (which
-    # score() turns into a ValueError), not an ANSI arithmetic error
-    return ranked.agg(
+    # score()/score_by() turn into a ValueError), not an ANSI
+    # arithmetic error.
+    auc = (
         (
-            (
-                F.sum(F.col("__npos") * F.col("__avg_rank"))
-                - F.sum("__npos") * (F.sum("__npos") + 1) / 2.0
-            )
-            / F.nullif(
-                F.sum("__npos") * F.sum(F.col("__n") - F.col("__npos")),
-                F.lit(0.0),
-            )
-        ).alias("auc")
+            F.sum("__wpos_ln")
+            + cross
+            + F.sum("__wpos_half")
+            - F.sum("__bpos") * (F.sum("__bpos") + 1) / 2.0
+        )
+        / F.nullif(F.sum("__bpos") * F.sum("__bneg"), F.lit(0.0))
+    ).alias("auc")
+    if grp:
+        return per_bkt.groupBy("__g").agg(auc)
+    return per_bkt.agg(auc)
+
+
+def roc_auc_df(
+    df: DataFrame, label_col: str, score_col: str, n_buckets: int = 1024
+) -> DataFrame:
+    """Rank-based AUC (Mann-Whitney U) with average ranks on ties —
+    exactly sklearn's tie handling.  Returns a 1-row DataFrame with
+    column ``auc``.
+
+    The cumulative count-below-each-score is a DISTRIBUTED prefix sum,
+    never a single-partition global window: distinct scores are value-
+    bucketed into ``n_buckets`` uniform ranges of [min, max] (the range
+    comes from a 1-row broadcast agg over the per-score partials, so
+    bucketing is deterministic across re-evaluations — no sampling),
+    cumulated WITHIN each bucket by a partitioned window, then shifted
+    by per-bucket offsets folded inside the final aggregate (see
+    ``_auc_agg`` for the plan shape and the bit-identity argument).
+    For continuous model probabilities (the A20 use case —
+    distinct-count ~ row-count) post-shuffle work per task is
+    ~distinct/n_buckets; heavily clustered score domains make buckets
+    uneven but collapse distinct cardinality in the same stroke.  All
+    rank arithmetic is on exact integer counts, so bucketing cannot
+    change the result."""
+    d = df.select(
+        F.col(score_col).alias("__s"), F.col(label_col).cast("double").alias("__y")
     )
+    return _auc_agg(d, [], n_buckets)
 
 
 def roc_auc_by_df(
@@ -167,64 +227,8 @@ def roc_auc_by_df(
         F.col(score_col).alias("__s"),
         F.col(label_col).cast("double").alias("__y"),
     )
-    per_score = d.groupBy("__g", "__s").agg(
-        F.count(F.lit(1)).alias("__n"), F.sum("__y").alias("__npos")
-    )
-    rng = d.groupBy("__g").agg(
-        F.min("__s").alias("__lo"), F.max("__s").alias("__hi")
-    )
-    bucketed = per_score.join(F.broadcast(rng), "__g").withColumn(
-        "__bkt",
-        F.least(
-            F.floor(
-                (F.col("__s") - F.col("__lo"))
-                / F.greatest(F.col("__hi") - F.col("__lo"), F.lit(1e-300))
-                * n_buckets
-            ),
-            F.lit(n_buckets - 1),
-        ),
-    )
-    w_local = (
-        Window.partitionBy("__g", "__bkt")
-        .orderBy("__s")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    local = bucketed.withColumn(
-        "__ln_below", F.coalesce(F.sum("__n").over(w_local), F.lit(0))
-    )
-    w_off = (
-        Window.partitionBy("__g")
-        .orderBy("__bkt")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = (
-        bucketed.groupBy("__g", "__bkt")
-        .agg(F.sum("__n").alias("__bn"))
-        .withColumn("__off", F.coalesce(F.sum("__bn").over(w_off), F.lit(0)))
-        .select("__g", "__bkt", "__off")
-    )
-    ranked = (
-        local.join(F.broadcast(offsets), ["__g", "__bkt"])
-        .withColumn("__below", F.col("__off") + F.col("__ln_below"))
-        .withColumn("__avg_rank", F.col("__below") + (F.col("__n") + 1) / 2.0)
-    )
-    return (
-        ranked.groupBy("__g")
-        .agg(
-            (
-                (
-                    F.sum(F.col("__npos") * F.col("__avg_rank"))
-                    - F.sum("__npos") * (F.sum("__npos") + 1) / 2.0
-                )
-                / F.nullif(
-                    F.sum("__npos") * F.sum(F.col("__n") - F.col("__npos")),
-                    F.lit(0.0),
-                )
-            ).alias("auc")
-        )
-        .select(
-            *[F.col(f"__g.{c}").alias(c) for c in by_cols], "auc"
-        )
+    return _auc_agg(d, by_cols, n_buckets).select(
+        *[F.col(f"__g.{c}").alias(c) for c in by_cols], "auc"
     )
 
 

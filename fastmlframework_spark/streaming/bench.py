@@ -372,14 +372,16 @@ def bench_stream_pii_scrub(spark, sf_dir: str) -> int:
 
 def bench_stream_decontamination(spark, sf_dir: str) -> int:
     """Drain documents through the ingest-time Bloom decontamination
-    gate (immutable collected filter, map-only per-batch probe, three
-    parquet appends per trigger); returns rows admitted.  Exists so a
+    gate (immutable collected filter, map-only per-batch probe, one
+    fanned-in partitioned write + a 1-row observed-stats write per
+    trigger); returns rows admitted.  Exists so a
     regression that sneaks a filter rebuild or a shuffle into the
     per-batch plan trips the 2× gate."""
     from fastmlframework_spark.extensions.curation import (
         ngram_bloom_filter,
     )
     from fastmlframework_spark.streaming.quality import (
+        decontamination_admitted_dir,
         streaming_decontamination_gate,
     )
 
@@ -406,8 +408,7 @@ def bench_stream_decontamination(spark, sf_dir: str) -> int:
         .option("maxFilesPerTrigger", 2)
         .parquet(ctx["src"]),
         bloom,
-        os.path.join(rd, "out"),
-        os.path.join(rd, "quar"),
+        os.path.join(rd, "gate"),
         os.path.join(rd, "stats"),
         os.path.join(rd, "ckpt"),
         # 2 files/trigger = 2 input splits: without this, the pure-map
@@ -416,7 +417,9 @@ def bench_stream_decontamination(spark, sf_dir: str) -> int:
     )
     q.awaitTermination()
     _capture_progress("stream_decontamination", q)
-    return spark.read.parquet(os.path.join(rd, "out")).count()
+    return spark.read.parquet(
+        decontamination_admitted_dir(os.path.join(rd, "gate"))
+    ).count()
 
 
 STREAMING_BENCHES = {

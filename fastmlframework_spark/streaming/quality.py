@@ -30,10 +30,27 @@ from __future__ import annotations
 from typing import Callable
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 
 from fastmlframework_spark.extensions.filtering import gopher_rule_flags
 from fastmlframework_spark.streaming.joins import overwrite_batch_partition
+
+
+def _write_stats_row(
+    spark, batch_id: int, stats_dir: str, schema: str, values: tuple
+) -> None:
+    """The 1-row per-trigger stats write, built from OBSERVED metrics
+    (driver-side scalars) instead of a second aggregation pass over
+    the batch (OPTIMIZATION r14, VERDICT r13 #7): the counts ride the
+    main sink write's job via ``Dataset.observe`` — zero extra data
+    passes, zero extra batch-side jobs — and this write only ships
+    one local row.  Exactly-once is unchanged: batch content is
+    deterministic, so a replay re-observes identical counts and the
+    ``__batch_id`` dynamic overwrite replaces the same row."""
+    row_df = spark.createDataFrame([values], schema).select(
+        F.lit(batch_id).alias("batch_id"), "*"
+    )
+    overwrite_batch_partition(row_df, batch_id, stats_dir)
 
 
 def streaming_quality_gate(
@@ -65,25 +82,30 @@ def streaming_quality_gate(
     in_cols = stream_df.columns
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        flagged = gopher_rule_flags(batch_df, text_col).cache()
-        try:
-            overwrite_batch_partition(
-                flagged.filter(F.col("passes")).select(*in_cols),
-                batch_id,
-                out_dir,
-            )
-            overwrite_batch_partition(
-                flagged.agg(
-                    F.count(F.lit(1)).alias("n_in"),
-                    F.sum(F.col("passes").cast("long")).alias("n_pass"),
-                ).select(
-                    F.lit(batch_id).alias("batch_id"), "n_in", "n_pass"
-                ),
-                batch_id,
-                stats_dir,
-            )
-        finally:
-            flagged.unpersist()
+        # observe (not cache + a second agg pass): the stats counts
+        # are collected DURING the sink write's own job — one data
+        # pass per trigger instead of cache-fill + filtered write +
+        # aggregate (VERDICT r13 #7).  The CollectMetrics node sits
+        # below the passes-filter, so n_in sees every input row.
+        obs = Observation(f"quality_gate_{batch_id}")
+        flagged = gopher_rule_flags(batch_df, text_col).observe(
+            obs,
+            F.count(F.lit(1)).alias("n_in"),
+            F.sum(F.col("passes").cast("long")).alias("n_pass"),
+        )
+        overwrite_batch_partition(
+            flagged.filter(F.col("passes")).select(*in_cols),
+            batch_id,
+            out_dir,
+        )
+        m = obs.get
+        _write_stats_row(
+            batch_df.sparkSession,
+            batch_id,
+            stats_dir,
+            "n_in bigint, n_pass bigint",
+            (m["n_in"], m["n_pass"]),
+        )
         if after_write_hook is not None:
             after_write_hook(batch_id)
 
@@ -128,43 +150,44 @@ def streaming_pii_scrub(
     in_cols = stream_df.columns
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        scrubbed = pii_scrub(batch_df, text_col).cache()
-        try:
-            overwrite_batch_partition(
-                scrubbed.drop(text_col)
-                .withColumnRenamed("clean_text", text_col)
-                .select(*in_cols),
-                batch_id,
-                out_dir,
-            )
-            overwrite_batch_partition(
-                scrubbed.agg(
-                    F.count(F.lit(1)).alias("n_rows"),
-                    F.sum("n_email").alias("n_email"),
-                    F.sum("n_phone").alias("n_phone"),
-                    F.sum("n_ipv4").alias("n_ipv4"),
-                    F.sum(
-                        (
-                            (
-                                F.col("n_email")
-                                + F.col("n_phone")
-                                + F.col("n_ipv4")
-                            ) > 0
-                        ).cast("long")
-                    ).alias("n_pii_docs"),
-                ).select(
-                    F.lit(batch_id).alias("batch_id"),
-                    "n_rows",
-                    "n_email",
-                    "n_phone",
-                    "n_ipv4",
-                    "n_pii_docs",
-                ),
-                batch_id,
-                stats_dir,
-            )
-        finally:
-            scrubbed.unpersist()
+        # observe (not cache + a second agg pass) — see
+        # streaming_quality_gate; one data pass per trigger.
+        obs = Observation(f"pii_scrub_{batch_id}")
+        scrubbed = pii_scrub(batch_df, text_col).observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_email").alias("n_email"),
+            F.sum("n_phone").alias("n_phone"),
+            F.sum("n_ipv4").alias("n_ipv4"),
+            F.sum(
+                (
+                    (
+                        F.col("n_email")
+                        + F.col("n_phone")
+                        + F.col("n_ipv4")
+                    ) > 0
+                ).cast("long")
+            ).alias("n_pii_docs"),
+        )
+        overwrite_batch_partition(
+            scrubbed.drop(text_col)
+            .withColumnRenamed("clean_text", text_col)
+            .select(*in_cols),
+            batch_id,
+            out_dir,
+        )
+        m = obs.get
+        _write_stats_row(
+            batch_df.sparkSession,
+            batch_id,
+            stats_dir,
+            "n_rows bigint, n_email bigint, n_phone bigint,"
+            " n_ipv4 bigint, n_pii_docs bigint",
+            (
+                m["n_rows"], m["n_email"], m["n_phone"],
+                m["n_ipv4"], m["n_pii_docs"],
+            ),
+        )
         if after_write_hook is not None:
             after_write_hook(batch_id)
 
@@ -201,11 +224,21 @@ def _decontamination_scored(
     )
 
 
+def decontamination_admitted_dir(gate_dir: str) -> str:
+    """Where the gate's ADMITTED rows land (a partition subdirectory
+    of ``gate_dir`` — readable as ordinary parquet)."""
+    return f"{gate_dir.rstrip('/')}/__admit=true"
+
+
+def decontamination_quarantined_dir(gate_dir: str) -> str:
+    """Where the gate's QUARANTINED rows land."""
+    return f"{gate_dir.rstrip('/')}/__admit=false"
+
+
 def streaming_decontamination_gate(
     stream_df: DataFrame,
     bloom: DataFrame,
-    out_dir: str,
-    quarantine_dir: str,
+    gate_dir: str,
     stats_dir: str,
     checkpoint_dir: str,
     key_col: str = "doc_id",
@@ -218,10 +251,22 @@ def streaming_decontamination_gate(
     against a PRE-BUILT eval Bloom filter
     (``extensions.curation.ngram_bloom_filter``); rows at
     ``hit_ratio <= max_hit_ratio`` (and NULL/empty-text rows, which
-    cannot be contaminated) land in ``out_dir``, the rest are
-    QUARANTINED to ``quarantine_dir`` for the exact containment pass,
-    and one [batch_id, n_in, n_admitted, n_quarantined] stats row per
-    trigger.  Returns the StreamingQuery.
+    cannot be contaminated) are ADMITTED, the rest are QUARANTINED
+    for the exact containment pass, and one [batch_id, n_in,
+    n_admitted, n_quarantined] stats row lands per trigger.  Returns
+    the StreamingQuery.
+
+    Sink fan-in (OPTIMIZATION r14, VERDICT r13 #7): admitted and
+    quarantined rows land in ONE dynamic-partition-overwrite write
+    under ``gate_dir``, partitioned by (``__admit``, ``__batch_id``)
+    — read them back via :func:`decontamination_admitted_dir` /
+    :func:`decontamination_quarantined_dir` (ordinary parquet paths;
+    both carry the probe's ``n_hits``/``hit_ratio`` columns).  The
+    stats counts ride the same write via ``Dataset.observe``.  The
+    per-trigger cost drops from cache-fill + three sink jobs with
+    three commit rounds to ONE data pass, one data commit and a
+    1-local-row stats commit; decisions, row sets and stats values
+    are unchanged.
 
     Bloom error is one-sided, so an admitted row is GUARANTEED to
     share no ``n``-gram with the eval corpus at the chosen operating
@@ -241,12 +286,13 @@ def streaming_decontamination_gate(
     ``tests/test_streaming.py::test_decontamination_scored_plan_is_map_only``),
     with no recompute of the filter build and nothing that grows over
     the stream's lifetime.  Batch parity is pytest-pinned: micro-batch
-    boundaries cannot change any admit/quarantine decision.  All three
+    boundaries cannot change any admit/quarantine decision.  Both
     sinks are exactly-once ROWS under batch retry: each write lands in
-    its ``__batch_id`` partition via dynamic partition overwrite, so a
-    batch replayed after a crash in the write/commit window replaces
-    its own (possibly partial) output — no ``key_col`` dedup needed
-    downstream.
+    its ``(__admit,) __batch_id`` partitions via dynamic partition
+    overwrite, so a batch replayed after a crash in the write/commit
+    window replaces its own (possibly partial) output — no ``key_col``
+    dedup needed downstream (batch content is deterministic, so the
+    replay produces the same partition set).
 
     ``min_partitions``: a PURE-MAP gate inherits the micro-batch's
     source partitioning and — having no shuffle — never re-spreads
@@ -270,41 +316,38 @@ def streaming_decontamination_gate(
         ):
             batch_df = batch_df.repartition(min_partitions)
         bl = spark.createDataFrame([frow], fschema)
+        obs = Observation(f"decontamination_gate_{batch_id}")
         scored = _decontamination_scored(
             batch_df, bl, text_col, max_hit_ratio
-        ).cache()
-        try:
-            overwrite_batch_partition(
-                scored.filter(F.col("__admit")).select(*in_cols),
-                batch_id,
-                out_dir,
-            )
-            overwrite_batch_partition(
-                scored.filter(~F.col("__admit")).select(
-                    *in_cols, "n_hits", "hit_ratio"
-                ),
-                batch_id,
-                quarantine_dir,
-            )
-            overwrite_batch_partition(
-                scored.agg(
-                    F.count(F.lit(1)).alias("n_in"),
-                    F.sum(F.col("__admit").cast("long")).alias(
-                        "n_admitted"
-                    ),
-                ).select(
-                    F.lit(batch_id).alias("batch_id"),
-                    "n_in",
-                    "n_admitted",
-                    (F.col("n_in") - F.col("n_admitted")).alias(
-                        "n_quarantined"
-                    ),
-                ),
-                batch_id,
-                stats_dir,
-            )
-        finally:
-            scored.unpersist()
+        ).observe(
+            obs,
+            F.count(F.lit(1)).alias("n_in"),
+            F.sum(F.col("__admit").cast("long")).alias("n_admitted"),
+        )
+        # ONE partitioned write for both decisions: __admit routes the
+        # row to the admitted/quarantined subdirectory, __batch_id
+        # keeps the retry-replay overwrite idempotence.
+        (
+            scored.select(*in_cols, "n_hits", "hit_ratio", "__admit")
+            .withColumn("__batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__admit", "__batch_id")
+            .parquet(gate_dir)
+        )
+        m = obs.get
+        n_in, n_adm = m["n_in"], m["n_admitted"]
+        _write_stats_row(
+            spark,
+            batch_id,
+            stats_dir,
+            "n_in bigint, n_admitted bigint, n_quarantined bigint",
+            (
+                n_in,
+                n_adm,
+                None if n_adm is None else n_in - n_adm,
+            ),
+        )
         if after_write_hook is not None:
             after_write_hook(batch_id)
 

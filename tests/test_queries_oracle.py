@@ -19,7 +19,12 @@ def test_oracle_parity(spark, sf_dir, name):
     compare_query(spark, _QUERIES[name], _ORACLES[name], sf_dir)
 
 
+@pytest.mark.slow
 def test_every_query_returns_rows(spark, sf_dir_small):
+    """Default-deselected (VERDICT r13 #5): a ~5-minute smoke that
+    re-executes all 229 queries — redundant under the driver's own
+    correctness pass and the per-query parity cases above; run with
+    `-m slow`."""
     for name, fn in _QUERIES.items():
         df = fn(spark, sf_dir_small)
         assert df.columns, name

@@ -5,6 +5,8 @@ where the reference had no tests at all)."""
 
 from __future__ import annotations
 
+import pytest
+
 import pyspark.sql.functions as F
 from hypothesis import given, settings, strategies as st
 
@@ -12,6 +14,10 @@ from fastmlframework_spark.core.tables import load_table
 from fastmlframework_spark.functions.horizontal import horizontal_mean, soft_vote
 from fastmlframework_spark.ml.folds import with_fold_column
 from fastmlframework_spark.operators.skew import salted_groupby, salted_join
+
+# Default-deselected (VERDICT r13 #5: the suite outgrew the driver's
+# pytest budget): hypothesis property sweep - run with `-m slow`.
+pytestmark = pytest.mark.slow
 
 
 def test_salted_groupby_equals_direct(spark, sf_dir_small):

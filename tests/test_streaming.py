@@ -832,6 +832,8 @@ def test_streaming_decontamination_gate_matches_batch(
         ngram_bloom_filter,
     )
     from fastmlframework_spark.streaming.quality import (
+        decontamination_admitted_dir,
+        decontamination_quarantined_dir,
         streaming_decontamination_gate,
     )
 
@@ -848,24 +850,29 @@ def test_streaming_decontamination_gate_matches_batch(
 
     src = str(tmp_path / "in")
     docs.repartition(4).write.parquet(src)
+    gate = str(tmp_path / "gate")
     q = streaming_decontamination_gate(
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src),
         bloom,
-        str(tmp_path / "out"),
-        str(tmp_path / "quar"),
+        gate,
         str(tmp_path / "stats"),
         str(tmp_path / "ckpt"),
     )
     q.awaitTermination()
 
     admitted = {
-        r.doc_id for r in spark.read.parquet(str(tmp_path / "out")).collect()
+        r.doc_id
+        for r in spark.read.parquet(
+            decontamination_admitted_dir(gate)
+        ).collect()
     }
     quarantined = {
         r.doc_id
-        for r in spark.read.parquet(str(tmp_path / "quar")).collect()
+        for r in spark.read.parquet(
+            decontamination_quarantined_dir(gate)
+        ).collect()
     }
     all_ids = {r.doc_id for r in docs.collect()}
     assert admitted | quarantined == all_ids
@@ -1012,10 +1019,17 @@ def test_streaming_decontamination_restart_from_checkpoint(spark, tmp_path):
     ).select("text")
     bloom = ngram_bloom_filter(evals, n=3, num_bits=4096, num_hashes=4)
 
-    src = str(tmp_path / "incoming")
-    out, quar, stats, ckpt = (
-        str(tmp_path / d) for d in ("out", "quar", "stats", "ckpt")
+    from fastmlframework_spark.streaming.quality import (
+        decontamination_admitted_dir,
+        decontamination_quarantined_dir,
     )
+
+    src = str(tmp_path / "incoming")
+    gate, stats, ckpt = (
+        str(tmp_path / d) for d in ("gate", "stats", "ckpt")
+    )
+    out = decontamination_admitted_dir(gate)
+    quar = decontamination_quarantined_dir(gate)
     clean = "completely unrelated words here now indeed"
     dirty = "alpha beta gamma delta epsilon zeta eta tail"
     spark.createDataFrame([(1, clean)], schema).coalesce(1).write.parquet(
@@ -1030,8 +1044,7 @@ def test_streaming_decontamination_restart_from_checkpoint(spark, tmp_path):
             .option("maxFilesPerTrigger", 1)
             .parquet(src + "/*"),
             bloom,
-            out,
-            quar,
+            gate,
             stats,
             ckpt,
         )
@@ -1195,9 +1208,13 @@ def test_decontamination_gate_retry_replay_exactly_once(
     docs.limit(40).repartition(3).write.parquet(src)
     schema = docs.schema
 
+    from fastmlframework_spark.streaming.quality import (
+        decontamination_admitted_dir,
+        decontamination_quarantined_dir,
+    )
+
     def run(tag, hook):
-        out = str(tmp_path / f"out_{tag}")
-        quar = str(tmp_path / f"quar_{tag}")
+        gate = str(tmp_path / f"gate_{tag}")
         stats = str(tmp_path / f"stats_{tag}")
 
         def make_query(h):
@@ -1206,8 +1223,7 @@ def test_decontamination_gate_retry_replay_exactly_once(
                 .option("maxFilesPerTrigger", 1)
                 .parquet(src),
                 bloom,
-                out,
-                quar,
+                gate,
                 stats,
                 str(tmp_path / f"ckpt_{tag}"),
                 after_write_hook=h,
@@ -1217,7 +1233,11 @@ def test_decontamination_gate_retry_replay_exactly_once(
             make_query(None).awaitTermination()
         else:
             _drain_with_replay(make_query, hook)
-        return _rows(spark, out), _rows(spark, quar), _rows(spark, stats)
+        return (
+            _rows(spark, decontamination_admitted_dir(gate)),
+            _rows(spark, decontamination_quarantined_dir(gate)),
+            _rows(spark, stats),
+        )
 
     ref = run("clean", None)
     got = run("crash", _crash_once_on(1))

@@ -17,6 +17,10 @@ import pytest
 
 from fastmlframework_spark.streaming.stateful import streaming_sessions
 
+# Default-deselected (VERDICT r13 #5: the suite outgrew the driver's
+# pytest budget): wall-clock soak - run with `-m slow`.
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.slow
 def test_rate_soak_watermark_advances_and_state_stays_bounded(spark):

